@@ -1,0 +1,73 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed over a full materialization (count of the result)
+so the whole plan executes; the session is warmed up once first so JVM
+startup isn't attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from real_time_financial_market_data_pipeline_spark.serving.queries import QUERIES
+from real_time_financial_market_data_pipeline_spark.session import get_spark
+
+HEADLINE = [
+    "silver_trades",
+    "ohlcv_5m",
+    "ohlcv_1h",
+    "latest_prices",
+    "latest_bars_per_symbol",
+    "volume_by_symbol_on_date",
+    "pricing_summary",
+    "top_revenue_orders",
+    "nation_revenue",
+    "priority_count_returned",
+    "asof_purchase_view",
+    "doc_stats",
+    "dedup_exact_docs",
+    "minhash_near_dups",
+    "knn_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+
+    # warm up: JVM + parquet footer reads, not attributed to any query
+    QUERIES["pricing_summary"](spark, sf_dir).count()
+
+    # two runs per query, min taken: first run pays plan compile/codegen,
+    # and the min damps interference from co-tenant load on the host
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""Text-analysis column functions (LLM-data-pipeline surface).
+
+All pure JVM-side column expressions — no UDFs — so they stay inside
+whole-stage codegen and are expressible 1:1 in ANSI SQL for the DuckDB
+oracle. Language ID is a deterministic stopword-hit heuristic (the
+container has no language-ID model; the heuristic is the operator —
+swap the word lists for real per-language tables in production).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language function-word lists for the heuristic language scorer.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "y", "que"],
+    "de": ["der", "die", "das", "und", "nicht"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+ENGLISH_STOPWORDS = ["the", "a", "an", "of", "and", "to", "in", "is", "it", "that"]
+
+
+def tokens(text_col: Column) -> Column:
+    """Lowercased word tokens; empty strings removed."""
+    return F.filter(
+        F.split(F.lower(text_col), r"[^a-z0-9]+"), lambda t: t != ""
+    )
+
+
+def token_count(text_col: Column) -> Column:
+    return F.size(tokens(text_col)).cast("long")
+
+
+def _count_in(toks: Column, words: list[str]) -> Column:
+    lits = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(lits, t)))
+
+
+def stopword_ratio(text_col: Column, stopwords: list[str] | None = None) -> Column:
+    toks = tokens(text_col)
+    sw = _count_in(toks, stopwords or ENGLISH_STOPWORDS).cast("double")
+    return F.when(F.size(toks) > 0, sw / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text_col: Column) -> Column:
+    total = F.length(text_col)
+    nonword = total - F.length(F.regexp_replace(text_col, r"[^\w\s]", ""))
+    return F.when(total > 0, nonword.cast("double") / total).otherwise(F.lit(0.0))
+
+
+def mean_word_length(text_col: Column) -> Column:
+    toks = tokens(text_col)
+    return F.when(
+        F.size(toks) > 0,
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
+        / F.size(toks),
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(text_col: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: length band + word-length
+    band + stopword presence − punctuation noise. The exact recipe is
+    arbitrary; what matters is that it is reproducible and SQL-expressible.
+    """
+    n_tok = token_count(text_col)
+    length_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 0.4).otherwise(0.0)
+    mwl = mean_word_length(text_col)
+    word_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), 0.3).otherwise(0.0)
+    sw_ok = F.when(stopword_ratio(text_col) >= 0.01, 0.2).otherwise(0.0)
+    punct_pen = F.when(punct_ratio(text_col) > 0.2, -0.2).otherwise(0.0)
+    clean = F.when(punct_ratio(text_col) <= 0.2, 0.1).otherwise(0.0)
+    return F.round(length_ok + word_ok + sw_ok + punct_pen + clean, 4)
+
+
+def detect_lang(text_col: Column) -> Column:
+    """Greatest-stopword-hit language guess over LANG_MARKERS; 'und' when
+    no marker hits."""
+    toks = tokens(text_col)
+    scores = {lang: _count_in(toks, words) for lang, words in LANG_MARKERS.items()}
+    best = None
+    for lang, score in scores.items():
+        pair = F.struct(score.alias("score"), F.lit(lang).alias("lang"))
+        best = pair if best is None else F.when(score > best["score"], pair).otherwise(best)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def doc_fingerprint(text_col: Column) -> Column:
+    """Content fingerprint: md5 over the sorted distinct token set.
+
+    Token-order/whitespace/punctuation insensitive — catches reformatted
+    exact duplicates. md5 (not xxhash64) so any ANSI engine reproduces it.
+    """
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text_col)))))

@@ -1,0 +1,120 @@
+"""Similarity search over embedding columns (array<float>).
+
+brute_force_knn: exact cosine top-k — broadcast the (small) query set
+against the corpus, one pass, rank per query. The corpus side never
+shuffles; per-partition partial top-k would be the next refinement at
+extreme k×corpus sizes (Spark's TakeOrderedAndProject already bounds
+the window sort per query).
+
+lsh_bucketed_knn: random-hyperplane LSH — deterministic seeded planes,
+sign-bit bucket id, equi-join on bucket, rank within bucket. Approximate
+(recall < 1) but the join is an equi-join on the bucket key: at 100 TB
+this is the difference between a shuffle join and an infeasible cross
+product.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from real_time_financial_market_data_pipeline_spark.functions.vectors import cosine_similarity, dot
+
+
+def brute_force_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, cosine, rank). Ties broken by
+    neighbor id so results are fully deterministic.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("_qvec"), F.col("_cvec")).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure python so the
+    operator has no numpy dependency at plan-build time)."""
+    import random
+
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(n_planes):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        norm = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / norm for x in v])
+    return planes
+
+
+def lsh_bucket(vec_col, planes: list[list[float]]):
+    """Sign-bit bucket id of a vector under the given hyperplanes."""
+    bucket = F.lit(0)
+    for p in planes:
+        plane = F.array(*[F.lit(x) for x in p])
+        bucket = bucket * 2 + F.when(dot(F.col(vec_col) if isinstance(vec_col, str) else vec_col, plane) >= 0, 1).otherwise(0)
+    return bucket
+
+
+def lsh_bucketed_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        lsh_bucket(vec_col, planes).alias("_bucket"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        lsh_bucket(vec_col, planes).alias("_bucket"),
+    )
+    scored = c.join(F.broadcast(q), "_bucket").select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("_qvec"), F.col("_cvec")).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

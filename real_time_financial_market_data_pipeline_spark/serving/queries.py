@@ -1,0 +1,761 @@
+"""The engine's query surface: every operator exposed as a named query
+over the driver testdata, each (where SQL-expressible) paired with an
+ANSI-SQL oracle string for DuckDB differential checking.
+
+Query families:
+- market-data medallion + serving set (SURVEY.md §2.3-2.6, Q1-Q8) over
+  the `events` stream table adapted to the trade shape;
+- relational core (joins/aggregates/window functions) over the
+  TPC-H-ish tables — SURVEY.md §2.5 requires native join coverage;
+- LLM-data-pipeline operators (dedup / similarity / text analysis)
+  over `documents` and `embeddings`.
+
+Determinism rules: a fixed AS_OF literal replaces wall-clock now();
+every computed double is rounded identically on both sides; every
+ranking has a total order (explicit tiebreakers).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_financial_market_data_pipeline_spark.functions.text import (
+    detect_lang,
+    doc_fingerprint,
+    quality_score,
+    token_count,
+)
+from real_time_financial_market_data_pipeline_spark.operators.asof import asof_join
+from real_time_financial_market_data_pipeline_spark.operators.dedup import (
+    hamming_pairs,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from real_time_financial_market_data_pipeline_spark.operators.latest import latest_prices
+from real_time_financial_market_data_pipeline_spark.operators.ohlcv import ohlcv
+from real_time_financial_market_data_pipeline_spark.operators.similarity import (
+    brute_force_knn,
+    lsh_bucketed_knn,
+)
+from real_time_financial_market_data_pipeline_spark.operators.topk import top_k_per_group
+from real_time_financial_market_data_pipeline_spark.pipeline.medallion import to_silver
+from real_time_financial_market_data_pipeline_spark.pipeline.validate import (
+    validation_metrics,
+    with_validation_errors,
+)
+from real_time_financial_market_data_pipeline_spark.tables import load_table, trades_from_events
+
+# Deterministic stand-ins for wall-clock values (testdata is fixed at
+# 2024-01; any AS_OF after it keeps "not in the future" checks stable).
+AS_OF = "2030-01-01 00:00:00"
+REF_DATE = "2024-01-15"  # the dashboard's "today"
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# shared plan fragments
+# ---------------------------------------------------------------------------
+
+# DuckDB CTE mirroring tables.trades_from_events + pipeline.to_silver
+# (quality filter + deterministic dedup on (symbol, timestamp) keeping the
+# lowest event_id).
+_TRADES_CTE = f"""
+trades AS (
+    SELECT event_type AS symbol,
+           value AS price,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS volume,
+           epoch_ms(ts) AS ts_ms,
+           ts AS event_time,
+           CAST(ts AS DATE) AS trade_date,
+           event_id,
+           user_id
+    FROM events
+),
+silver AS (
+    SELECT * FROM trades
+    WHERE volume > 0 AND price > 0
+      AND event_time <= TIMESTAMP '{AS_OF}' + INTERVAL 5 MINUTE
+    QUALIFY row_number() OVER (PARTITION BY symbol, ts_ms ORDER BY event_id) = 1
+)
+"""
+
+_OHLCV_5M_CTE = (
+    _TRADES_CTE
+    + """,
+gold_5m AS (
+    SELECT symbol,
+           time_bucket(INTERVAL '5 minutes', event_time) AS window_start,
+           time_bucket(INTERVAL '5 minutes', event_time) + INTERVAL '5 minutes' AS window_end,
+           arg_min(price, event_time) AS open,
+           max(price) AS high,
+           min(price) AS low,
+           arg_max(price, event_time) AS close,
+           sum(volume) AS volume,
+           count(*) AS trade_count,
+           round(sum(price * volume) / sum(volume), 6) AS vwap
+    FROM silver
+    GROUP BY symbol, time_bucket(INTERVAL '5 minutes', event_time)
+)
+"""
+)
+
+
+def _silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trades = trades_from_events(load_table(spark, sf_dir, "events")).withColumnRenamed(
+        "timestamp", "ts_ms"
+    )
+    return to_silver(
+        trades.withColumnRenamed("ts_ms", "timestamp"),
+        tiebreaker_col="event_id",
+        now=F.lit(AS_OF).cast("timestamp"),
+    ).withColumnRenamed("timestamp", "ts_ms")
+
+
+def _gold_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = ohlcv(_silver(spark, sf_dir), "5 minutes")
+    return bars.withColumn("vwap", F.round("vwap", 6))
+
+
+# ---------------------------------------------------------------------------
+# market-data medallion + serving queries (SURVEY §2.6 Q1-Q8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "silver_trades",
+    oracle=f"""
+WITH {_TRADES_CTE}
+SELECT symbol, price, volume, ts_ms, event_time, trade_date, event_id, user_id
+FROM silver
+""",
+)
+def q_silver_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _silver(spark, sf_dir).select(
+        "symbol", "price", "volume", "ts_ms", "event_time", "trade_date", "event_id", "user_id"
+    )
+
+
+@query(
+    "validation_metrics",
+    oracle=f"""
+WITH {_TRADES_CTE}
+SELECT count(*) AS total,
+       sum(CASE WHEN price > 0 AND price <= 1000000 AND volume > 0
+                 AND event_time <= TIMESTAMP '{AS_OF}' + INTERVAL 5 MINUTE
+            THEN 1 ELSE 0 END) AS valid,
+       sum(CASE WHEN NOT (price > 0 AND price <= 1000000 AND volume > 0
+                 AND event_time <= TIMESTAMP '{AS_OF}' + INTERVAL 5 MINUTE)
+            THEN 1 ELSE 0 END) AS invalid,
+       sum(CASE WHEN price IS NULL OR volume IS NULL OR event_time IS NULL THEN 1 ELSE 0 END) AS missing_field,
+       sum(CASE WHEN price <= 0 THEN 1 ELSE 0 END) AS negative_price,
+       sum(CASE WHEN price > 1000000 THEN 1 ELSE 0 END) AS price_too_high,
+       sum(CASE WHEN volume < 0 THEN 1 ELSE 0 END) AS negative_volume,
+       sum(CASE WHEN volume = 0 THEN 1 ELSE 0 END) AS volume_zero,
+       sum(CASE WHEN event_time > TIMESTAMP '{AS_OF}' + INTERVAL 5 MINUTE THEN 1 ELSE 0 END) AS future_timestamp
+FROM trades
+""",
+)
+def q_validation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trades = trades_from_events(load_table(spark, sf_dir, "events"))
+    checked = with_validation_errors(trades, now=F.lit(AS_OF).cast("timestamp"))
+    return validation_metrics(checked)
+
+
+@query(
+    "dead_letters",
+    oracle=f"""
+WITH {_TRADES_CTE}
+SELECT event_id, symbol, price, volume,
+       concat_ws(',',
+         CASE WHEN price IS NULL OR volume IS NULL OR event_time IS NULL THEN 'missing_field' END,
+         CASE WHEN price <= 0 THEN 'negative_price' END,
+         CASE WHEN price > 1000000 THEN 'price_too_high' END,
+         CASE WHEN volume < 0 THEN 'negative_volume' END,
+         CASE WHEN volume = 0 THEN 'volume_zero' END,
+         CASE WHEN event_time > TIMESTAMP '{AS_OF}' + INTERVAL 5 MINUTE THEN 'future_timestamp' END
+       ) AS errors_csv
+FROM trades
+WHERE NOT (price > 0 AND price <= 1000000 AND volume > 0
+           AND event_time <= TIMESTAMP '{AS_OF}' + INTERVAL 5 MINUTE)
+   OR price IS NULL OR volume IS NULL OR event_time IS NULL
+""",
+)
+def q_dead_letters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trades = trades_from_events(load_table(spark, sf_dir, "events"))
+    checked = with_validation_errors(trades, now=F.lit(AS_OF).cast("timestamp"))
+    return checked.filter(F.size("errors") > 0).select(
+        "event_id", "symbol", "price", "volume", F.concat_ws(",", "errors").alias("errors_csv")
+    )
+
+
+@query(
+    "ohlcv_5m",
+    oracle=f"""
+WITH {_OHLCV_5M_CTE}
+SELECT * FROM gold_5m
+""",
+)
+def q_ohlcv_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _gold_5m(spark, sf_dir)
+
+
+@query(
+    "ohlcv_1h",
+    oracle=f"""
+WITH {_TRADES_CTE}
+SELECT symbol,
+       time_bucket(INTERVAL '1 hour', event_time) AS window_start,
+       time_bucket(INTERVAL '1 hour', event_time) + INTERVAL '1 hour' AS window_end,
+       arg_min(price, event_time) AS open,
+       max(price) AS high,
+       min(price) AS low,
+       arg_max(price, event_time) AS close,
+       sum(volume) AS volume,
+       count(*) AS trade_count,
+       round(sum(price * volume) / sum(volume), 6) AS vwap
+FROM silver
+GROUP BY symbol, time_bucket(INTERVAL '1 hour', event_time)
+""",
+)
+def q_ohlcv_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = ohlcv(_silver(spark, sf_dir), "1 hour")
+    return bars.withColumn("vwap", F.round("vwap", 6))
+
+
+@query(
+    "latest_prices",
+    oracle=f"""
+WITH {_TRADES_CTE}
+SELECT symbol,
+       price AS last_price,
+       volume AS last_volume,
+       event_time AS last_trade_time,
+       round(price - lead(price) OVER w, 6) AS price_change,
+       round(100.0 * (price - lead(price) OVER w) / lead(price) OVER w, 6) AS price_change_pct
+FROM silver
+WINDOW w AS (PARTITION BY symbol ORDER BY event_time DESC, event_id DESC)
+QUALIFY row_number() OVER w = 1
+""",
+)
+def q_latest_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lp = latest_prices(_silver(spark, sf_dir), tiebreaker_col="event_id")
+    return lp.withColumn("price_change", F.round("price_change", 6)).withColumn(
+        "price_change_pct", F.round("price_change_pct", 6)
+    )
+
+
+@query(
+    "trades_count_on_date",
+    oracle=f"""
+WITH {_TRADES_CTE}
+SELECT count(*) AS n_trades FROM silver WHERE trade_date = DATE '{REF_DATE}'
+""",
+)
+def q_trades_count_on_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _silver(spark, sf_dir)
+        .filter(F.col("trade_date") == F.lit(REF_DATE).cast("date"))
+        .agg(F.count(F.lit(1)).alias("n_trades"))
+    )
+
+
+@query(
+    "volume_by_symbol_on_date",
+    oracle=f"""
+WITH {_OHLCV_5M_CTE}
+SELECT symbol, sum(volume) AS total_volume, sum(trade_count) AS total_trades
+FROM gold_5m
+WHERE CAST(window_start AS DATE) = DATE '{REF_DATE}'
+GROUP BY symbol
+""",
+)
+def q_volume_by_symbol_on_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _gold_5m(spark, sf_dir)
+        .filter(F.to_date("window_start") == F.lit(REF_DATE).cast("date"))
+        .groupBy("symbol")
+        .agg(
+            F.sum("volume").alias("total_volume"),
+            F.sum("trade_count").alias("total_trades"),
+        )
+    )
+
+
+@query(
+    "data_freshness",
+    oracle=f"""
+WITH {_OHLCV_5M_CTE}
+SELECT max(window_start) AS last_window, count(*) AS n_bars FROM gold_5m
+""",
+)
+def q_data_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _gold_5m(spark, sf_dir).agg(
+        F.max("window_start").alias("last_window"), F.count(F.lit(1)).alias("n_bars")
+    )
+
+
+@query(
+    "latest_bars_per_symbol",
+    oracle=f"""
+WITH {_OHLCV_5M_CTE}
+SELECT symbol, window_start, open, high, low, close, volume
+FROM gold_5m
+QUALIFY row_number() OVER (PARTITION BY symbol ORDER BY window_start DESC) <= 50
+""",
+)
+def q_latest_bars_per_symbol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _gold_5m(spark, sf_dir)
+    return top_k_per_group(
+        bars, ["symbol"], [F.col("window_start").desc()], 50
+    ).select("symbol", "window_start", "open", "high", "low", "close", "volume")
+
+
+@query(
+    "avg_ingest_latency",
+    oracle=f"""
+WITH {_TRADES_CTE}
+SELECT symbol, round(avg(epoch_ms(event_time) - ts_ms) / 1000.0, 6) AS avg_latency_s
+FROM silver GROUP BY symbol
+""",
+)
+def q_avg_ingest_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The testdata has no separate processed_at; the latency query shape is
+    # avg(delta between two timestamp columns) grouped by symbol (alert A6).
+    s = _silver(spark, sf_dir)
+    return s.groupBy("symbol").agg(
+        F.round(F.avg(F.unix_millis("event_time") - F.col("ts_ms")) / 1000.0, 6).alias(
+            "avg_latency_s"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational core over TPC-H-ish tables (joins / aggs / windows)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+SELECT l_returnflag,
+       l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "top_revenue_orders",
+    oracle="""
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+""",
+)
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "nation_revenue",
+    oracle="""
+SELECT n_name, r_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
+""",
+)
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "customers_without_orders",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""",
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "priority_count_returned",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+)
+GROUP BY o_orderpriority
+""",
+)
+def q_priority_count_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "top_customers_per_nation",
+    oracle="""
+SELECT n_name, c_custkey, c_name, c_acctbal, rn
+FROM (
+  SELECT n_name, c_custkey, c_name, c_acctbal,
+         row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+WHERE rn <= 3
+""",
+)
+def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    return top_k_per_group(
+        joined,
+        ["n_name"],
+        [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
+        3,
+        keep_rank=True,
+    ).select("n_name", "c_custkey", "c_name", "c_acctbal", "rn")
+
+
+@query(
+    "supplier_part_stats",
+    oracle="""
+SELECT p_brand, p_type,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       round(sum(l_quantity), 4) AS total_qty,
+       round(avg(p_retailprice), 6) AS avg_retail
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand, p_type
+""",
+)
+def q_supplier_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.round(F.sum("l_quantity"), 4).alias("total_qty"),
+            F.round(F.avg("p_retailprice"), 6).alias("avg_retail"),
+        )
+    )
+
+
+@query(
+    "asof_purchase_view",
+    oracle="""
+WITH purchases AS (
+  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+),
+views AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+)
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       v.value AS view_value, v.ts AS view_ts
+FROM purchases p
+ASOF LEFT JOIN views v ON p.user_id = v.user_id AND v.ts <= p.ts
+""",
+)
+def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("event_time"), "event_id", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("event_time"), F.col("value").alias("view_value")
+    )
+    joined = asof_join(purchases, views, on=["user_id"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("event_time").alias("ts"),
+        "value",
+        "view_value",
+        F.col("asof_time").alias("view_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators: text analysis / dedup / similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_stats",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, n_chars,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+  FROM documents
+)
+SELECT doc_id, lang, n_chars,
+       len(tk) AS n_tokens,
+       md5(array_to_string(list_sort(list_distinct(tk)), ' ')) AS fingerprint
+FROM toks
+""",
+)
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+@query(
+    "doc_quality",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+  FROM documents
+), feat AS (
+  SELECT doc_id,
+         len(tk) AS n_tok,
+         CASE WHEN len(tk) > 0
+              THEN CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE) / len(tk)
+              ELSE 0.0 END AS mwl,
+         CASE WHEN len(tk) > 0
+              THEN CAST(len(list_filter(tk, t -> list_contains(['the','a','an','of','and','to','in','is','it','that'], t))) AS DOUBLE) / len(tk)
+              ELSE 0.0 END AS swr,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / length(text)
+              ELSE 0.0 END AS pr
+  FROM toks
+)
+SELECT doc_id,
+       CAST(round((CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 0.3 ELSE 0.0 END)
+           + (CASE WHEN swr >= 0.01 THEN 0.2 ELSE 0.0 END)
+           + (CASE WHEN pr > 0.2 THEN -0.2 ELSE 0.0 END)
+           + (CASE WHEN pr <= 0.2 THEN 0.1 ELSE 0.0 END), 4) AS DOUBLE) AS quality
+FROM feat
+""",
+)
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+@query("doc_langid")  # heuristic lang-ID; rows-only check (marker lists are engine-internal)
+def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", detect_lang(F.col("text")).alias("lang_guess"))
+
+
+@query(
+    "dedup_exact_docs",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))), ' ')) AS fingerprint
+  FROM documents
+)
+SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+FROM fp
+GROUP BY fingerprint
+HAVING count(*) > 1
+""",
+)
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_filter(
+           list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+                          i -> array_to_string(tk[i:i+2], ' ')),
+           g -> g <> '')) AS grams
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+    FROM documents
+    WHERE doc_id < 200
+  )
+  WHERE len(tk) > 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+           / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.2
+""",
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2)
+    return pairs.withColumn("jaccard", F.round("jaccard", 6))
+
+
+@query("minhash_near_dups")  # LSH is probabilistic-recall → rows-only check
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(docs, threshold=0.5).withColumn(
+        "jaccard", F.round("jaccard", 6)
+    )
+
+
+@query("simhash_near_dups")  # hash-function-specific → rows-only check
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return hamming_pairs(simhash_signatures(docs), max_distance=8)
+
+
+@query(
+    "knn_bruteforce",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+     c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+     scored AS (
+       SELECT query_id, neighbor_id,
+              list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS cos_raw
+       FROM c CROSS JOIN q
+     )
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 10
+""",
+)
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_knn(emb, queries, k=10)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@query("knn_lsh")  # approximate recall → rows-only check
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_bucketed_knn(emb, queries, dim=64, k=10)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )

@@ -1,0 +1,108 @@
+"""Unit tests for core operators on tiny in-memory frames (SURVEY §5
+testing blueprint: per-operator golden checks)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from real_time_financial_market_data_pipeline_spark.operators.asof import asof_join
+from real_time_financial_market_data_pipeline_spark.operators.dedup import exact_dedup
+from real_time_financial_market_data_pipeline_spark.operators.latest import latest_prices
+from real_time_financial_market_data_pipeline_spark.pipeline.validate import (
+    split_valid,
+    with_validation_errors,
+)
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_backward_with_tolerance(spark):
+    trades = spark.createDataFrame(
+        [
+            ("AAPL", ts("2024-01-01 10:00:05"), 150.0),
+            ("AAPL", ts("2024-01-01 10:00:30"), 151.0),
+            ("MSFT", ts("2024-01-01 10:00:10"), 380.0),
+        ],
+        "symbol string, event_time timestamp, price double",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("AAPL", ts("2024-01-01 10:00:00"), 149.9, 150.1),
+            ("AAPL", ts("2024-01-01 10:00:20"), 150.8, 151.2),
+            ("MSFT", ts("2024-01-01 09:00:00"), 379.0, 381.0),  # stale: >10s old
+        ],
+        "symbol string, event_time timestamp, bid double, ask double",
+    )
+    out = asof_join(trades, quotes, on=["symbol"], tolerance="10 SECONDS")
+    rows = {(r["symbol"], r["price"]): (r["bid"], r["ask"]) for r in out.collect()}
+    assert rows[("AAPL", 150.0)] == (149.9, 150.1)  # latest quote <= trade
+    assert rows[("AAPL", 151.0)] == (150.8, 151.2)
+    assert rows[("MSFT", 380.0)] == (None, None)  # out of tolerance → nulled
+
+    # without tolerance the stale quote matches
+    out2 = asof_join(trades, quotes, on=["symbol"])
+    rows2 = {(r["symbol"], r["price"]): r["bid"] for r in out2.collect()}
+    assert rows2[("MSFT", 380.0)] == 379.0
+
+
+def test_asof_join_same_timestamp_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), "L")], "k int, event_time timestamp, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), "R")], "k int, event_time timestamp, rv string"
+    )
+    out = asof_join(left, right, on=["k"]).collect()
+    assert out[0]["rv"] == "R"  # right row at exactly t matches (<=)
+
+
+def test_exact_dedup_deterministic_survivor(spark):
+    df = spark.createDataFrame(
+        [("A", 1, 10.0, 100), ("A", 1, 99.0, 5), ("B", 2, 20.0, 7)],
+        "symbol string, timestamp long, price double, event_id long",
+    )
+    out = exact_dedup(df, ["symbol", "timestamp"], tiebreaker_col="event_id")
+    rows = {(r["symbol"], r["timestamp"]): r["price"] for r in out.collect()}
+    assert rows[("A", 1)] == 99.0  # survivor = min event_id (5)
+    assert rows[("B", 2)] == 20.0
+
+
+def test_latest_prices_change_vs_previous(spark):
+    df = spark.createDataFrame(
+        [
+            ("AAPL", 100.0, 10, ts("2024-01-01 10:00:00"), 1),
+            ("AAPL", 110.0, 20, ts("2024-01-01 11:00:00"), 2),
+            ("MSFT", 50.0, 5, ts("2024-01-01 10:30:00"), 3),
+        ],
+        "symbol string, price double, volume long, event_time timestamp, event_id long",
+    )
+    out = {r["symbol"]: r for r in latest_prices(df, tiebreaker_col="event_id").collect()}
+    assert out["AAPL"]["last_price"] == 110.0
+    assert out["AAPL"]["price_change"] == 10.0
+    assert abs(out["AAPL"]["price_change_pct"] - 10.0) < 1e-9
+    assert out["MSFT"]["price_change"] is None  # no previous trade
+
+
+def test_validation_split(spark):
+    df = spark.createDataFrame(
+        [
+            ("ok", 10.0, 5, ts("2024-01-01 00:00:00")),
+            ("zero_vol", 10.0, 0, ts("2024-01-01 00:00:00")),
+            ("neg_price", -1.0, 5, ts("2024-01-01 00:00:00")),
+            ("future", 10.0, 5, ts("2031-01-01 00:00:00")),
+            ("null_price", None, 5, ts("2024-01-01 00:00:00")),
+        ],
+        "symbol string, price double, volume long, event_time timestamp",
+    )
+    checked = with_validation_errors(df, now=F.lit("2030-01-01").cast("timestamp"))
+    valid, dead = split_valid(checked)
+    assert {r["symbol"] for r in valid.collect()} == {"ok"}
+    errs = {r["symbol"]: set(r["errors"]) for r in dead.collect()}
+    assert errs["zero_vol"] == {"volume_zero"}
+    assert errs["neg_price"] == {"negative_price"}
+    assert errs["future"] == {"future_timestamp"}
+    assert errs["null_price"] == {"missing_field"}

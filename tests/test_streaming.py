@@ -1,0 +1,120 @@
+"""Streaming medallion tests: file-fed trade stream → bronze/silver/gold
+parquet, golden OHLCV values (FIXTURES.md §4), exact-dup collapse, and
+late-data drop past the watermark."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_financial_market_data_pipeline_spark.sources.streaming import read_trade_stream
+from real_time_financial_market_data_pipeline_spark.streaming.jobs import MedallionStreamJob
+from real_time_financial_market_data_pipeline_spark.streaming.sinks import latest_state_on_read
+
+T0 = 1_700_000_100_000  # fixed epoch ms (2023-11-14 22:15:00 UTC)
+
+
+def write_feed(dirpath: str, batches: list[list[dict]]) -> None:
+    os.makedirs(dirpath, exist_ok=True)
+    for i, batch in enumerate(batches):
+        with open(os.path.join(dirpath, f"batch_{i}.json"), "w") as f:
+            for rec in batch:
+                f.write(json.dumps(rec) + "\n")
+
+
+@pytest.fixture()
+def feed_and_out(tmp_path):
+    return str(tmp_path / "feed"), str(tmp_path / "out")
+
+
+def run_job(spark, feed_dir, out_dir, watermark="10 minutes"):
+    trades = read_trade_stream(spark, feed_dir)
+    job = MedallionStreamJob(out_dir=out_dir, watermark=watermark)
+    mgr = job.start(trades)
+    assert mgr.await_all(timeout_s=120)
+    status = mgr.status()
+    assert set(status) == {"bronze", "silver", "gold_5m"}
+    return job
+
+
+def test_golden_ohlcv_and_dedup(spark, feed_and_out):
+    feed_dir, out_dir = feed_and_out
+    # FIXTURES.md §4 golden window: AAPL (150.25,100,T0) (150.30,50,T0+100)
+    # (150.10,25,T0+200) → open=150.25 high=150.30 low=150.10 close=150.10
+    # volume=175 trade_count=3 vwap≈150.242857
+    write_feed(
+        feed_dir,
+        [
+            [
+                {"s": "AAPL", "p": 150.25, "v": 100, "t": T0, "c": ["1", "12"]},
+                {"s": "AAPL", "p": 150.30, "v": 50, "t": T0 + 100, "c": ["1"]},
+                {"s": "AAPL", "p": 150.10, "v": 25, "t": T0 + 200, "c": []},
+                # exact duplicate (same symbol+timestamp) → must collapse
+                {"s": "AAPL", "p": 150.10, "v": 25, "t": T0 + 200, "c": []},
+                # invalid rows → silver-filtered
+                {"s": "AAPL", "p": 0.0, "v": 10, "t": T0 + 300},
+                {"s": "AAPL", "p": 150.0, "v": 0, "t": T0 + 400},
+                # seconds-unit timestamp → normalized to ms (same instant
+                # as T0+... integer seconds)
+                {"s": "MSFT", "p": 380.0, "v": 200, "t": (T0 // 1000)},
+            ]
+        ],
+    )
+    run_job(spark, feed_dir, out_dir)
+
+    bronze = spark.read.parquet(os.path.join(out_dir, "bronze"))
+    assert bronze.count() == 7  # raw keeps everything
+    assert {"processed_at", "processing_date", "source"} <= set(bronze.columns)
+
+    silver = spark.read.parquet(os.path.join(out_dir, "silver"))
+    rows = {(r["symbol"], r["timestamp"]) for r in silver.collect()}
+    assert len(rows) == 4  # 3 AAPL distinct + 1 MSFT; dup + invalid gone
+    msft = silver.filter(F.col("symbol") == "MSFT").collect()[0]
+    assert msft["timestamp"] == (T0 // 1000) * 1000  # seconds→ms normalized
+
+    gold_raw = spark.read.parquet(os.path.join(out_dir, "gold_5m"))
+    gold = latest_state_on_read(gold_raw, ["symbol", "window_start"])
+    aapl = {r["symbol"]: r for r in gold.collect()}["AAPL"]
+    assert aapl["open"] == 150.25
+    assert aapl["high"] == 150.30
+    assert aapl["low"] == 150.10
+    assert aapl["close"] == 150.10
+    assert aapl["volume"] == 175
+    assert aapl["trade_count"] == 3
+    assert abs(aapl["vwap"] - (150.25 * 100 + 150.30 * 50 + 150.10 * 25) / 175) < 1e-9
+
+
+def test_late_data_dropped_past_watermark(spark, feed_and_out):
+    feed_dir, out_dir = feed_and_out
+    # batch 0 advances the watermark to T0+30min-10min = T0+20min;
+    # batch 1's row at T0 (30 min late) must be dropped from gold
+    write_feed(
+        feed_dir,
+        [
+            [{"s": "AAPL", "p": 150.0, "v": 100, "t": T0 + 30 * 60 * 1000}],
+        ],
+    )
+    trades = read_trade_stream(spark, feed_dir, max_files_per_trigger=1)
+    job = MedallionStreamJob(out_dir=out_dir, watermark="10 minutes",
+                             trigger={"availableNow": True})
+    mgr = job.start(trades)
+    assert mgr.await_all(timeout_s=120)
+
+    # second run: append a late file and restart from checkpoints —
+    # watermark state persists across restarts
+    write_feed(feed_dir, [[], [{"s": "AAPL", "p": 1.0, "v": 1, "t": T0}]])
+    mgr2 = job.start(read_trade_stream(spark, feed_dir, max_files_per_trigger=1))
+    assert mgr2.await_all(timeout_s=120)
+
+    gold_raw = spark.read.parquet(os.path.join(out_dir, "gold_5m"))
+    gold = latest_state_on_read(gold_raw, ["symbol", "window_start"])
+    prices = {r["open"] for r in gold.collect()}
+    assert 150.0 in prices
+    assert 1.0 not in prices  # late row never produced a bar
+
+    # ...but the late row still landed in bronze (raw layer keeps all)
+    bronze = spark.read.parquet(os.path.join(out_dir, "bronze"))
+    assert bronze.filter(F.col("price") == 1.0).count() == 1

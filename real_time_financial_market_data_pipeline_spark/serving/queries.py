@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from real_time_financial_market_data_pipeline_spark.functions.text import (
@@ -743,6 +743,351 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         F.round("cosine", 6).alias("cosine"),
         F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sessionization + analytic windows + multidimensional aggregates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+marked AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM ordered
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM marked
+GROUP BY user_id, session_no
+""",
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window: events within 30 min of each other merge into one
+    session; window end = last event + gap (Spark session_window
+    semantics, mirrored by the gaps-and-islands oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "ohlcv_5m_sliding",
+    oracle=f"""
+WITH {_TRADES_CTE},
+win AS (
+  SELECT s.*, time_bucket(INTERVAL '1 minute', event_time) - k * INTERVAL '1 minute' AS window_start
+  FROM silver s CROSS JOIN (SELECT unnest(range(0, 5)) AS k)
+)
+SELECT symbol, window_start,
+       arg_min(price, event_time) AS open,
+       max(price) AS high,
+       min(price) AS low,
+       arg_max(price, event_time) AS close,
+       sum(volume) AS volume,
+       count(*) AS trade_count
+FROM win
+GROUP BY symbol, window_start
+""",
+)
+def q_ohlcv_5m_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding OHLCV (5-minute window, 1-minute slide) — reference ST3,
+    configured but never wired in the reference."""
+    bars = ohlcv(_silver(spark, sf_dir), "5 minutes", slide="1 minute")
+    return bars.select(
+        "symbol", "window_start", "open", "high", "low", "close", "volume", "trade_count"
+    )
+
+
+@query(
+    "cube_returns",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q_cube_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "rollup_order_priority",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus,
+       round(sum(o_totalprice), 4) AS total_price,
+       count(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+""",
+)
+def q_rollup_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    return od.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+SELECT o_orderpriority,
+       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS F,
+       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS O,
+       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4) AS P
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    piv = (
+        od.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 4))
+    )
+    return piv
+
+
+@query(
+    "running_revenue_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
+FROM orders
+""",
+)
+def q_running_revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("running_total"),
+    )
+
+
+@query(
+    "day_over_day_volume",
+    oracle=f"""
+WITH {_TRADES_CTE},
+daily AS (
+  SELECT symbol, trade_date, sum(volume) AS day_volume
+  FROM silver GROUP BY symbol, trade_date
+)
+SELECT symbol, trade_date, day_volume,
+       lag(day_volume) OVER (PARTITION BY symbol ORDER BY trade_date) AS prev_volume,
+       round(100.0 * (day_volume - lag(day_volume) OVER (PARTITION BY symbol ORDER BY trade_date))
+             / lag(day_volume) OVER (PARTITION BY symbol ORDER BY trade_date), 6) AS pct_change
+FROM daily
+""",
+)
+def q_day_over_day_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _silver(spark, sf_dir)
+        .groupBy("symbol", "trade_date")
+        .agg(F.sum("volume").alias("day_volume"))
+    )
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    prev = F.lag("day_volume").over(w)
+    return daily.select(
+        "symbol",
+        "trade_date",
+        "day_volume",
+        prev.alias("prev_volume"),
+        F.round(100.0 * (F.col("day_volume") - prev) / prev, 6).alias("pct_change"),
+    )
+
+
+@query(
+    "moving_avg_price",
+    oracle=f"""
+WITH {_TRADES_CTE}
+SELECT symbol, event_time, price,
+       round(avg(price) OVER (PARTITION BY symbol ORDER BY event_time, event_id
+                              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS ma10
+FROM silver
+""",
+)
+def q_moving_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("event_time", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    return _silver(spark, sf_dir).select(
+        "symbol",
+        "event_time",
+        "price",
+        F.round(F.avg("price").over(w), 6).alias("ma10"),
+    )
+
+
+@query(
+    "price_percentiles",
+    oracle=f"""
+WITH {_TRADES_CTE}
+SELECT symbol,
+       round(quantile_cont(price, 0.5), 6) AS p50,
+       round(quantile_cont(price, 0.95), 6) AS p95,
+       round(quantile_cont(price, 0.99), 6) AS p99
+FROM silver GROUP BY symbol
+""",
+)
+def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _silver(spark, sf_dir)
+    return s.groupBy("symbol").agg(
+        F.round(F.expr("percentile(price, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(price, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(price, 0.99)"), 6).alias("p99"),
+    )
+
+
+@query(
+    "active_buyer_segments",
+    oracle="""
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT c_custkey FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+UNION
+(SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+ EXCEPT
+ SELECT o_custkey FROM orders)
+""",
+)
+def q_active_buyer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation coverage: INTERSECT / UNION (distinct) / EXCEPT."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    buyers = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    auto = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    return building.intersect(buyers).union(auto.exceptAll(buyers).distinct()).distinct()
+
+
+@query(
+    "distinct_users_by_type",
+    oracle="""
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+""",
+)
+def q_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query("approx_distinct_users")  # sketch-based → rows-only (engine-specific estimates)
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.expr("approx_percentile(value, 0.5)").alias("approx_median_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal columns (binary payload + Pandas-UDF decode plumbing)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "media_metadata",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       octet_length(encode(text)) AS n_bytes,
+       CAST(octet_length(encode(text)) % 1920 + 1 AS INTEGER) AS width,
+       CAST(octet_length(encode(text)) % 1080 + 1 AS INTEGER) AS height,
+       CAST(octet_length(encode(text)) * 10 AS BIGINT) AS duration_ms
+FROM documents
+""",
+)
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_financial_market_data_pipeline_spark.operators.multimodal import synthesize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs, "doc_id", "text")
+    return media.select(
+        "media_id",
+        F.length("payload").cast("long").alias("n_bytes"),
+        "width",
+        "height",
+        "duration_ms",
+    )
+
+
+@query(
+    "media_frame_counts",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(ceil(octet_length(encode(text)) * 10 / 1000.0) AS BIGINT) AS n_frames
+FROM documents
+WHERE octet_length(encode(text)) > 0
+""",
+)
+def q_media_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling fan-out (mapInPandas) checked against the
+    arithmetic oracle: one frame per started second of duration."""
+    from real_time_financial_market_data_pipeline_spark.operators.multimodal import sample_frames, synthesize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs, "doc_id", "text")
+    frames = sample_frames(media, every_ms=1000)
+    return frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
+
+
+@query("media_decode_features")  # sha256-expansion decode → rows-only
+def q_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_financial_market_data_pipeline_spark.operators.multimodal import decode_media, synthesize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs, "doc_id", "text")
+    decoded = decode_media(media)
+    return decoded.select(
+        "media_id", "n_bytes", F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias("feature_sum")
     )
 
 

@@ -60,8 +60,9 @@ def compare(spark_df, con, sql: str) -> list[str]:
 
     # reorder oracle columns into spark's column order
     idx = [o_cols.index(next(c for c in o_cols if c.lower() == sc.lower())) for sc in s_cols]
-    o_sorted = sorted(tuple(_norm(r[i]) for i in idx) for r in o_rows)
-    s_sorted = sorted(tuple(_norm(v) for v in r) for r in s_rows)
+    # sort by repr: rows may mix None with values (cube/rollup null keys)
+    o_sorted = sorted((tuple(_norm(r[i]) for i in idx) for r in o_rows), key=repr)
+    s_sorted = sorted((tuple(_norm(v) for v in r) for r in s_rows), key=repr)
     if o_sorted != s_sorted:
         diffs = [
             (a, b) for a, b in zip(s_sorted, o_sorted) if a != b

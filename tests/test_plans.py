@@ -1,0 +1,83 @@
+"""Plan-quality assertions: the scale posture, machine-checked.
+
+Every headline operator must (a) push its filters into the parquet
+scan, (b) prune the read schema to referenced columns, (c) broadcast
+genuinely small dimensions, (d) not shuffle more than the algorithm
+requires."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_financial_market_data_pipeline_spark.operators.asof import asof_join
+from real_time_financial_market_data_pipeline_spark.operators.ohlcv import ohlcv
+from real_time_financial_market_data_pipeline_spark.plans.inspect import (
+    count_shuffles,
+    has_broadcast_hash_join,
+    pushed_filters,
+    scan_read_schemas,
+)
+from real_time_financial_market_data_pipeline_spark.serving.queries import QUERIES
+from real_time_financial_market_data_pipeline_spark.tables import load_table, trades_from_events
+from tests.conftest import SF_DIR
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    q = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")).select(
+        "l_orderkey", "l_quantity"
+    )
+    pushed = " ".join(pushed_filters(q))
+    assert "l_shipdate" in pushed, f"shipdate filter not pushed: {pushed}"
+
+
+def test_column_pruning_reaches_scan(spark):
+    q = QUERIES["pricing_summary"](spark, SF_DIR)
+    schemas = scan_read_schemas(q)
+    assert schemas, "no scan found"
+    # 16-col lineitem pruned to the 7 referenced columns
+    assert all(s.count(",") <= 7 for s in schemas), schemas
+    assert all("l_orderkey" not in s for s in schemas), "unreferenced col read"
+
+
+def test_small_dims_broadcast(spark):
+    q = QUERIES["nation_revenue"](spark, SF_DIR)
+    assert has_broadcast_hash_join(q)
+
+
+def test_ohlcv_is_single_shuffle(spark):
+    trades = trades_from_events(load_table(spark, SF_DIR, "events"))
+    bars = ohlcv(trades, "5 minutes")
+    # one hash aggregate = one exchange on (symbol, window)
+    assert count_shuffles(bars) == 1
+
+
+def test_asof_join_is_single_shuffle(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("event_time"), "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("event_time"), F.col("value").alias("view_value")
+    )
+    out = asof_join(purchases, views, on=["user_id"])
+    # union + one window over user_id: exactly one exchange, NO range/cross join
+    assert count_shuffles(out) == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_topk_uses_window_group_limit(spark):
+    q = QUERIES["latest_bars_per_symbol"](spark, SF_DIR)
+    from real_time_financial_market_data_pipeline_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(q, "simple")
+    # rank pushdown: per-partition top-k before the final window sort
+    assert "WindowGroupLimit" in plan
+
+
+def test_metadata_query_prunes_props(spark):
+    # distinct_users_by_type never reads props/value → scan shouldn't either
+    q = QUERIES["distinct_users_by_type"](spark, SF_DIR)
+    schemas = " ".join(scan_read_schemas(q))
+    assert "props" not in schemas

@@ -35,6 +35,43 @@ HEADLINE = [
 ]
 
 
+def bench_streaming_medallion(spark, sf_dir: str) -> tuple[float, int]:
+    """End-to-end streaming envelope (BASELINE.md protocol): the events
+    table replayed as a JSON trade feed through parse → validate → dedup
+    → OHLCV 5m → parquet sinks in 10 micro-batches. Returns (drain
+    seconds, silver rows) — the comparable number for the reference's
+    'sustain a 10s trigger with <10s end-to-end latency'."""
+    import shutil
+    import tempfile
+
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_trade_stream
+    from real_time_financial_market_data_pipeline_spark.streaming.jobs import MedallionStreamJob
+    from real_time_financial_market_data_pipeline_spark.tables import load_table, trades_from_events
+
+    work = tempfile.mkdtemp(prefix="bench_stream_")
+    feed = os.path.join(work, "feed")
+    out = os.path.join(work, "out")
+    try:
+        # feed prep (not timed): wire-format JSON in 10 files = 10 batches
+        trades = trades_from_events(load_table(spark, sf_dir, "events"))
+        (
+            trades.selectExpr(
+                "symbol AS s", "price AS p", "volume AS v", "timestamp AS t"
+            )
+            .repartition(10)
+            .write.json(feed)
+        )
+        t0 = time.perf_counter()
+        job = MedallionStreamJob(out_dir=out, trigger={"availableNow": True})
+        mgr = job.start(read_trade_stream(spark, feed, max_files_per_trigger=1))
+        mgr.await_all(timeout_s=600)
+        drain = time.perf_counter() - t0
+        n_silver = spark.read.parquet(os.path.join(out, "silver")).count()
+        return round(drain, 3), n_silver
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -53,6 +90,9 @@ def main() -> None:
             QUERIES[name](spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+
+    stream_s, n_silver = bench_streaming_medallion(spark, sf_dir)
+    timings["streaming_medallion_10batches"] = stream_s
 
     total = round(sum(timings.values()), 3)
     print(

@@ -62,11 +62,18 @@ def shingles_of(tokens_col: Column, n: int = 3) -> Column:
 
 
 def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(_id, _sh) with tokens materialized in their own projection stage."""
+    """(_id, _sh) with tokens materialized in their own projection stage.
+
+    The emptiness guard filters on the TOKEN array, not the shingle
+    array: a predicate on _sh would be pushed below the projection and
+    re-inline the whole shingle build into a per-row filter (seen: 3×
+    recompute, quadratic tokenization). size(_tk)>0 ⇒ size(_sh)>0, and
+    its pushed form costs one split per row.
+    """
     return (
         df.select(F.col(id_col).alias("_id"), _tokens(F.col(text_col)).alias("_tk"))
+        .filter(F.size("_tk") > 0)
         .select("_id", shingles_of(F.col("_tk"), n).alias("_sh"))
-        .filter(F.size("_sh") > 0)
     )
 
 
@@ -117,7 +124,9 @@ def minhash_near_dup_pairs(
     exact Jaccard verify on the candidates only.
     """
     rows_per_band = num_hashes // bands
-    base = _shingled(df, id_col, text_col, shingle_n)
+    # the shingle base feeds three plan branches (signatures + both verify
+    # sides) — persist so the tokenize/shingle pass runs once
+    base = _shingled(df, id_col, text_col, shingle_n).persist()
     sig = base.select("_id", base_hashes(F.col("_sh")).alias("_hx")).select(
         "_id", minhash_signature(F.col("_hx"), num_hashes).alias("_sig")
     )
@@ -138,7 +147,7 @@ def minhash_near_dup_pairs(
                 ]
             )
         ).alias("_band"),
-    ).select("_id", "_band.band", "_band.bhash")
+    ).select("_id", "_band.band", "_band.bhash").persist()  # both sides of the self-join
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -177,7 +186,7 @@ def ngram_jaccard_pairs(
     approximate dedup operators). Shuffles as a cross-range self-join on
     id ordering; use only on small or pre-blocked inputs.
     """
-    base = _shingled(df, id_col, text_col, n)
+    base = _shingled(df, id_col, text_col, n).persist()
     a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")

@@ -19,6 +19,11 @@ from pyspark.sql import functions as F
 from real_time_financial_market_data_pipeline_spark.functions.timeutils import epoch_ms_to_timestamp, normalize_epoch_ms
 from real_time_financial_market_data_pipeline_spark.schemas import TRADE_WIRE_SCHEMA
 
+QUOTE_WIRE_DDL = (
+    "symbol string, bid_price double, bid_size long, "
+    "ask_price double, ask_size long, timestamp long"
+)
+
 
 def _normalize_wire(parsed: DataFrame) -> DataFrame:
     """Wire record → normalized trade columns (symbol/price/volume/
@@ -47,6 +52,28 @@ def read_trade_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return _normalize_wire(reader.load(path))
+
+
+def read_quote_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-based quote stream (bid/ask wire format, FIXTURES.md §3)."""
+    reader = spark.readStream.schema(QUOTE_WIRE_DDL).format("json")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(path)
+    t_ms = normalize_epoch_ms(F.col("timestamp"))
+    return raw.select(
+        "symbol",
+        "bid_price",
+        "bid_size",
+        "ask_price",
+        "ask_size",
+        t_ms.alias("timestamp"),
+        epoch_ms_to_timestamp(t_ms).alias("event_time"),
+    )
 
 
 def kafka_trade_stream(

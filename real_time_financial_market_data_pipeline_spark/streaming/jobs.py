@@ -43,11 +43,29 @@ class MedallionStreamJob:
     watermark: str = "10 minutes"
     gold_window: str = "5 minutes"
     trigger: dict = field(default_factory=lambda: {"availableNow": True})
+    # Streaming state partition count, pinned into the checkpoint at first
+    # start. Per-partition state-store maintenance is paid EVERY micro-batch
+    # (measured here: 32 partitions ≈ 3.3s/batch vs 8 ≈ 0.9s/batch on
+    # identical data), so size to expected KEY cardinality — symbols are
+    # few; a deployment with millions of keys should raise this.
+    shuffle_partitions: int | None = 8
 
     def checkpoints(self) -> str:
         return os.path.join(self.out_dir, "_checkpoints")
 
     def start(self, trades: DataFrame) -> SinkManager:
+        spark = trades.sparkSession
+        old_parts = None
+        if self.shuffle_partitions is not None:
+            old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", str(self.shuffle_partitions))
+        try:
+            return self._start(trades)
+        finally:
+            if old_parts is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    def _start(self, trades: DataFrame) -> SinkManager:
         marked = trades.withWatermark("event_time", self.watermark)
 
         bronze = to_bronze(marked)

@@ -746,6 +746,152 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "clean_trades",
+    oracle=f"""
+WITH {_TRADES_CTE}
+SELECT event_id, symbol, round(price, 4) AS price, abs(volume) AS volume
+FROM trades
+""",
+)
+def q_clean_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 normalization pass (reference clean_trades: round price,
+    abs volume — defined there but never wired; wired here)."""
+    from real_time_financial_market_data_pipeline_spark.pipeline.medallion import clean_trades
+
+    trades = trades_from_events(load_table(spark, sf_dir, "events"))
+    return clean_trades(trades).select("event_id", "symbol", "price", "volume")
+
+
+@query(
+    "monthly_order_stats",
+    oracle="""
+SELECT date_trunc('month', o_orderdate) AS month,
+       o_orderstatus,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS revenue,
+       round(min(o_totalprice), 4) AS min_price,
+       round(max(o_totalprice), 4) AS max_price
+FROM orders
+GROUP BY date_trunc('month', o_orderdate), o_orderstatus
+""",
+)
+def q_monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        od.groupBy(
+            F.to_date(F.date_trunc("month", "o_orderdate")).alias("month"),
+            F.col("o_orderstatus"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.round(F.min("o_totalprice"), 4).alias("min_price"),
+            F.round(F.max("o_totalprice"), 4).alias("max_price"),
+        )
+    )
+
+
+@query(
+    "orders_vs_avg",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+""",
+)
+def q_orders_vs_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery shape: Catalyst evaluates the subquery once and
+    broadcasts the scalar into the filter."""
+    od = load_table(spark, sf_dir, "orders")
+    od.createOrReplaceTempView("_orders_sq")
+    return spark.sql(
+        "SELECT o_orderkey, o_totalprice FROM _orders_sq "
+        "WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM _orders_sq)"
+    )
+
+
+@query(
+    "supplier_customer_balance",
+    oracle="""
+SELECT n_name,
+       round(sum(s_acctbal), 4) AS supplier_bal,
+       round(sum(c_acctbal), 4) AS customer_bal
+FROM (
+  SELECT n_nationkey, n_name FROM nation
+) n
+LEFT JOIN (SELECT s_nationkey, sum(s_acctbal) AS s_acctbal FROM supplier GROUP BY s_nationkey) s
+       ON s.s_nationkey = n.n_nationkey
+FULL OUTER JOIN (SELECT c_nationkey, sum(c_acctbal) AS c_acctbal FROM customer GROUP BY c_nationkey) c
+       ON c.c_nationkey = n.n_nationkey
+GROUP BY n_name
+""",
+)
+def q_supplier_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left + full-outer join coverage with pre-aggregated sides."""
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.sum("s_acctbal").alias("s_acctbal"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.sum("c_acctbal").alias("c_acctbal"))
+    )
+    joined = nation.join(
+        supp, nation.n_nationkey == supp.s_nationkey, "left"
+    ).join(cust, nation.n_nationkey == cust.c_nationkey, "full_outer")
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum("s_acctbal"), 4).alias("supplier_bal"),
+        F.round(F.sum("c_acctbal"), 4).alias("customer_bal"),
+    )
+
+
+@query(
+    "props_json_extract",
+    oracle="""
+SELECT event_type,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS total_k,
+       count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0 THEN 1 END) AS n_even_k
+FROM events
+GROUP BY event_type
+""",
+)
+def q_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction (get_json_object — JVM-side, no UDF)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("total_k"),
+        F.count(F.when(k % 2 == 0, 1)).alias("n_even_k"),
+    )
+
+
+@query(
+    "part_name_analysis",
+    oracle="""
+SELECT p_brand,
+       count(CASE WHEN regexp_matches(p_name, '^[aeiou]') THEN 1 END) AS vowel_start,
+       round(avg(length(p_name)), 6) AS avg_name_len,
+       count(DISTINCT list_extract(string_split(p_type, ' '), 1)) AS n_type_heads,
+       max(upper(substring(p_name, 1, 3))) AS max_prefix
+FROM part
+GROUP BY p_brand
+""",
+)
+def q_part_name_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/regexp/array function coverage pinned against the oracle."""
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.count(F.when(F.col("p_name").rlike("^[aeiou]"), 1)).alias("vowel_start"),
+        F.round(F.avg(F.length("p_name")), 6).alias("avg_name_len"),
+        F.countDistinct(F.split("p_type", " ").getItem(0)).alias("n_type_heads"),
+        F.max(F.upper(F.substring("p_name", 1, 3))).alias("max_prefix"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # sessionization + analytic windows + multidimensional aggregates
 # ---------------------------------------------------------------------------

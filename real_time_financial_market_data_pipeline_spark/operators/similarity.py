@@ -80,6 +80,82 @@ def lsh_bucket(vec_col, planes: list[list[float]]):
     return bucket
 
 
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 0,
+    n_tables: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine >= t).
+
+    n_planes=0 → exact all-pairs (the oracle-checkable ground truth;
+    quadratic — small/blocked inputs only).
+
+    n_planes>0 → multi-table sign-LSH (the 100 TB path): n_tables
+    independent plane sets, candidates = union of same-bucket pairs
+    across tables (OR-amplification), cosine verified on candidates
+    only. Collision prob per table is (1-θ/π)^k, so recall =
+    1-(1-p^k)^L — tune k (precision) against L (recall). Equi-join on
+    (table, bucket); candidate count ∝ Σ bucket sizes², never all-pairs.
+    """
+    c = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if n_planes == 0:
+        a, b = c.alias("a"), c.alias("b")
+        return (
+            a.join(b, F.col("a._id") < F.col("b._id"))
+            .select(
+                F.col("a._id").alias("id_a"),
+                F.col("b._id").alias("id_b"),
+                cosine_similarity(F.col("a._v"), F.col("b._v")).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
+
+    if dim is None:
+        raise ValueError("dim is required when n_planes > 0")
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                lsh_bucket(F.col("_v"), _hyperplanes(dim, n_planes, seed + t)).alias(
+                    "bucket"
+                ),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    hashed = c.select("_id", F.explode(buckets).alias("_b")).select(
+        "_id", "_b.table", "_b.bucket"
+    )
+    a, b = hashed.alias("a"), hashed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = c.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = c.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine_similarity(F.col("_va"), F.col("_vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_bucketed_knn(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1237,6 +1237,65 @@ def q_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_near_dups",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+""",
+)
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs — exact all-pairs form (ground
+    truth; the LSH-bucketed form below is the scale path)."""
+    from real_time_financial_market_data_pipeline_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.3)
+    return pairs.withColumn("cosine", F.round("cosine", 6))
+
+
+@query("embedding_near_dups_lsh")  # bucketed recall < 1 → rows-only
+def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_financial_market_data_pipeline_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.3, n_planes=4, dim=64)
+    return pairs.withColumn("cosine", F.round("cosine", 6))
+
+
+@query(
+    "bpe_token_stats",
+    oracle="""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+       len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]'))) AS n_unique,
+       len(regexp_extract_all(text, '[0-9]{1,3}')) AS n_number_tokens
+FROM documents
+""",
+)
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (letters run | 1-3 digit chunks |
+    single punctuation) — the pre-tokenizer split used by GPT-style BPE
+    vocabularies, as a JVM-side regexp."""
+    docs = load_table(spark, sf_dir, "documents")
+    pat = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
+    toks = F.regexp_extract_all("text", F.lit(pat), F.lit(0))
+    return (
+        docs.select("doc_id", toks.alias("_t"))
+        .select(
+            "doc_id",
+            F.size("_t").alias("n_bpe_tokens"),
+            F.size(F.array_distinct("_t")).alias("n_unique"),
+            F.size(F.filter("_t", lambda t: t.rlike("^[0-9]{1,3}$"))).alias(
+                "n_number_tokens"
+            ),
+        )
+    )
+
+
 @query("knn_lsh")  # approximate recall → rows-only check
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

@@ -87,6 +87,28 @@ def test_latest_prices_change_vs_previous(spark):
     assert out["MSFT"]["price_change"] is None  # no previous trade
 
 
+def test_embedding_near_dup_lsh_subset_of_exact(spark):
+    from real_time_financial_market_data_pipeline_spark.operators.similarity import embedding_near_dup_pairs
+    from real_time_financial_market_data_pipeline_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(200)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.3).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.3, n_planes=4, n_tables=8, dim=64
+        ).collect()
+    }
+    assert lsh <= exact  # bucketing may lose pairs, never invent them
+    if exact:
+        # theory: p=1-θ/π≈0.60 at cos 0.3, recall=1-(1-p^4)^8≈0.67
+        assert len(lsh) / len(exact) > 0.5
+
+
 def test_validation_split(spark):
     df = spark.createDataFrame(
         [

@@ -1296,6 +1296,25 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("knn_ivf")  # approximate recall → rows-only check
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantized ANN: queries probe their n_probe nearest
+    inverted lists; exact cosine only within probed cells."""
+    from real_time_financial_market_data_pipeline_spark.operators.similarity import ivf_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_knn(emb, queries, k=10, n_lists=16, n_probe=8)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 @query("knn_lsh")  # approximate recall → rows-only check
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

@@ -1,0 +1,110 @@
+"""Scale-pattern tests: salted aggregation equivalence, bucketed
+co-located joins (shuffle-free), IVF recall."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_financial_market_data_pipeline_spark.operators.similarity import brute_force_knn, ivf_knn
+from real_time_financial_market_data_pipeline_spark.operators.skew import salted_agg
+from real_time_financial_market_data_pipeline_spark.plans.inspect import count_shuffles
+from real_time_financial_market_data_pipeline_spark.tables import load_table, trades_from_events
+from tests.conftest import SF_DIR
+
+
+def test_salted_agg_matches_plain(spark):
+    trades = trades_from_events(load_table(spark, SF_DIR, "events"))
+    plain = {
+        r["symbol"]: (r["volume"], r["high"], r["n"])
+        for r in trades.groupBy("symbol")
+        .agg(
+            F.sum("volume").alias("volume"),
+            F.max("price").alias("high"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    salted = {
+        r["symbol"]: (r["volume"], r["high"], r["n"])
+        for r in salted_agg(
+            trades,
+            ["symbol"],
+            {
+                "volume": (F.col("volume"), "sum"),
+                "high": (F.col("price"), "max"),
+                "n": (F.lit(1), "count"),
+            },
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Bucketing both sides on the join key co-locates matching rows:
+    the join plan has NO shuffle exchange — the layout answer to
+    fact-fact joins at 100 TB."""
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    od = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderpriority")
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS od_bucketed")
+    # a previously-failed run may leave orphan managed-table dirs behind
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("li_bucketed", "od_bucketed"):
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable(
+        "li_bucketed"
+    )
+    od.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable(
+        "od_bucketed"
+    )
+    # disable broadcast so the plan exercises the bucketed (sort-merge)
+    # path — at real fact-fact scale neither side broadcasts anyway
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("li_bucketed")
+            .join(
+                spark.table("od_bucketed"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("l_orderkey", "o_orderpriority")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        # bucket co-location: the join does NOT shuffle, and the aggregate
+        # (keyed by a superset of the bucket key) reuses the distribution
+        n = count_shuffles(joined)
+        assert n == 0, f"expected 0 shuffles on bucketed join+agg, got {n}"
+        expected = (
+            li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+            .select("l_orderkey", "o_orderpriority")
+            .distinct()
+            .count()
+        )
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS od_bucketed")
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_knn(emb, queries, k=10).collect()
+    }
+    approx_rows = ivf_knn(emb, queries, k=10, n_lists=16, n_probe=8).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+    # every query answered with k results, and reasonable overlap with exact
+    assert len(approx_rows) == 50
+    assert len(exact & approx) / len(exact) > 0.3

@@ -34,12 +34,19 @@ def ohlcv(
     volume_col: str = "volume",
     time_col: str = "event_time",
     tiebreaker_col: str | None = None,
+    vwap_price_scale: int | None = None,
 ) -> DataFrame:
     """Per-(symbol, time-window) OHLCV + vwap bars.
 
     `tiebreaker_col` resolves open/close when two trades share an exact
     event_time (a stable unique id); without it, ties fall back to
     event_time ordering alone.
+
+    `vwap_price_scale` (e.g. 100 for 2-decimal prices): accumulate
+    price*volume in exact scaled integers (decimal sum) instead of
+    floating point. Float sums are accumulation-order dependent — two
+    runs (or two engines) can disagree in the last ulp; decimal-cents
+    accumulation is the financial-grade deterministic form.
     """
     price = F.col(price_col)
     vol = F.col(volume_col)
@@ -54,6 +61,18 @@ def ohlcv(
         else F.window(time_col, window_duration)
     )
 
+    if vwap_price_scale is None:
+        vwap = F.sum(price * vol) / F.sum(vol)
+    else:
+        # exact integer accumulation + ONE IEEE-754 division → the result
+        # is bit-deterministic (identical on any engine/partitioning);
+        # avoid post-rounding, whose half-boundary behavior differs
+        # between engines
+        scaled = F.round(price * vwap_price_scale).cast("decimal(38,0)")
+        vwap = F.sum(scaled * vol).cast("double") / (
+            F.lit(vwap_price_scale).cast("long") * F.sum(vol)
+        ).cast("double")
+
     return (
         df.groupBy(F.col(symbol_col).alias("symbol"), win.alias("w"))
         .agg(
@@ -63,7 +82,7 @@ def ohlcv(
             F.max_by(price, order_key).alias("close"),
             F.sum(vol).alias("volume"),
             F.count(F.lit(1)).alias("trade_count"),
-            (F.sum(price * vol) / F.sum(vol)).alias("vwap"),
+            vwap.alias("vwap"),
         )
         .select(
             "symbol",

@@ -109,7 +109,7 @@ gold_5m AS (
            arg_max(price, event_time) AS close,
            sum(volume) AS volume,
            count(*) AS trade_count,
-           round(sum(price * volume) / sum(volume), 6) AS vwap
+           CAST(sum(CAST(round(price * 100) AS BIGINT) * volume) AS DOUBLE) / CAST(100 * sum(volume) AS DOUBLE) AS vwap
     FROM silver
     GROUP BY symbol, time_bucket(INTERVAL '5 minutes', event_time)
 )
@@ -129,8 +129,8 @@ def _silver(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _gold_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = ohlcv(_silver(spark, sf_dir), "5 minutes")
-    return bars.withColumn("vwap", F.round("vwap", 6))
+    # vwap_price_scale=100 → bit-deterministic vwap (no rounding needed)
+    return ohlcv(_silver(spark, sf_dir), "5 minutes", vwap_price_scale=100)
 
 
 # ---------------------------------------------------------------------------
@@ -229,14 +229,13 @@ SELECT symbol,
        arg_max(price, event_time) AS close,
        sum(volume) AS volume,
        count(*) AS trade_count,
-       round(sum(price * volume) / sum(volume), 6) AS vwap
+       CAST(sum(CAST(round(price * 100) AS BIGINT) * volume) AS DOUBLE) / CAST(100 * sum(volume) AS DOUBLE) AS vwap
 FROM silver
 GROUP BY symbol, time_bucket(INTERVAL '1 hour', event_time)
 """,
 )
 def q_ohlcv_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = ohlcv(_silver(spark, sf_dir), "1 hour")
-    return bars.withColumn("vwap", F.round("vwap", 6))
+    return ohlcv(_silver(spark, sf_dir), "1 hour", vwap_price_scale=100)
 
 
 @query(

@@ -639,8 +639,34 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
-@query("doc_langid")  # heuristic lang-ID; rows-only check (marker lists are engine-internal)
+@query(
+    "doc_langid",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+  FROM documents
+), scores AS (
+  SELECT doc_id, lang,
+         len(list_filter(tk, t -> list_contains(['the','a','of','and','to'], t))) AS en_c,
+         len(list_filter(tk, t -> list_contains(['el','la','de','y','que'], t))) AS es_c,
+         len(list_filter(tk, t -> list_contains(['der','die','das','und','nicht'], t))) AS de_c,
+         len(list_filter(tk, t -> list_contains(['le','la','et','les','des'], t))) AS fr_c
+  FROM toks
+)
+SELECT doc_id, lang,
+       CASE WHEN greatest(en_c, es_c, de_c, fr_c) = 0 THEN 'und'
+            WHEN en_c = greatest(en_c, es_c, de_c, fr_c) THEN 'en'
+            WHEN es_c = greatest(es_c, de_c, fr_c) THEN 'es'
+            WHEN de_c = greatest(de_c, fr_c) THEN 'de'
+            ELSE 'fr' END AS lang_guess
+FROM scores
+""",
+)
 def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID; winner = first language (en,es,de,fr
+    order) reaching the max marker count, 'und' when nothing hits —
+    the oracle mirrors the fold order exactly."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", "lang", detect_lang(F.col("text")).alias("lang_guess"))
 

@@ -42,6 +42,8 @@ class MedallionStreamJob:
     out_dir: str
     watermark: str = "10 minutes"
     gold_window: str = "5 minutes"
+    # second rollup granularity (reference gold_1h); None disables
+    gold_window_slow: str | None = "1 hour"
     trigger: dict = field(default_factory=lambda: {"availableNow": True})
     # Streaming state partition count, pinned into the checkpoint at first
     # start. Per-partition state-store maintenance is paid EVERY micro-batch
@@ -108,6 +110,19 @@ class MedallionStreamJob:
                 stamp_batch_id=True,
             )
         )
+        if self.gold_window_slow:
+            gold_slow = ohlcv(silver, self.gold_window_slow)
+            mgr.add(
+                parquet_sink(
+                    gold_slow,
+                    os.path.join(self.out_dir, "gold_1h"),
+                    self.checkpoints(),
+                    "gold_1h",
+                    output_mode="update",
+                    trigger=self.trigger,
+                    stamp_batch_id=True,
+                )
+            )
         return mgr
 
 

@@ -36,7 +36,7 @@ def run_job(spark, feed_dir, out_dir, watermark="10 minutes"):
     mgr = job.start(trades)
     assert mgr.await_all(timeout_s=120)
     status = mgr.status()
-    assert set(status) == {"bronze", "silver", "gold_5m"}
+    assert set(status) == {"bronze", "silver", "gold_5m", "gold_1h"}
     return job
 
 
@@ -85,6 +85,13 @@ def test_golden_ohlcv_and_dedup(spark, feed_and_out):
     assert aapl["volume"] == 175
     assert aapl["trade_count"] == 3
     assert abs(aapl["vwap"] - (150.25 * 100 + 150.30 * 50 + 150.10 * 25) / 175) < 1e-9
+
+    # the slow rollup aggregates the same rows at 1h granularity
+    gold_1h = latest_state_on_read(
+        spark.read.parquet(os.path.join(out_dir, "gold_1h")), ["symbol", "window_start"]
+    )
+    aapl_1h = {r["symbol"]: r for r in gold_1h.collect()}["AAPL"]
+    assert aapl_1h["volume"] == 175 and aapl_1h["trade_count"] == 3
 
 
 def test_late_data_dropped_past_watermark(spark, feed_and_out):

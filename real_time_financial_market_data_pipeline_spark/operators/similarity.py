@@ -236,27 +236,50 @@ def lsh_bucketed_knn(
     dim: int,
     k: int = 10,
     n_planes: int = 8,
+    n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket."""
-    planes = _hyperplanes(dim, n_planes, seed)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cvec"),
-        lsh_bucket(vec_col, planes).alias("_bucket"),
-    )
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).alias("_qvec"),
-        lsh_bucket(vec_col, planes).alias("_bucket"),
-    )
-    scored = c.join(F.broadcast(q), "_bucket").select(
-        "query_id",
+    """Approximate top-k: candidates = union over n_tables independent
+    sign-LSH bucketings (OR-amplified recall, same as
+    embedding_near_dup_pairs); exact cosine + rank within candidates."""
+
+    def bucketed(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    lsh_bucket(
+                        F.col(vec_alias), _hyperplanes(dim, n_planes, seed + t)
+                    ).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return df.select(id_alias, vec_alias, F.explode(buckets).alias("_b")).select(
+            id_alias, vec_alias, "_b.table", "_b.bucket"
+        )
+
+    c = bucketed(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")),
         "neighbor_id",
-        cosine_similarity(F.col("_qvec"), F.col("_cvec")).alias("cosine"),
+        "_cvec",
+    )
+    q = bucketed(
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")),
+        "query_id",
+        "_qvec",
+    )
+    scored = (
+        c.join(F.broadcast(q), ["table", "bucket"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("_qvec"), F.col("_cvec")).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     from pyspark.sql import Window
 

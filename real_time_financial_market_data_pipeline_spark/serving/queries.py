@@ -458,12 +458,19 @@ def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_custkey, c_name
 FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+)
 """,
 )
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join with a pushed-down date bound on the right side (every
+    customer has SOME order in the testdata; the recent-window variant
+    keeps the anti join non-degenerate)."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
     return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -1346,7 +1353,7 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = lsh_bucketed_knn(emb, queries, dim=64, k=10)
+    out = lsh_bucketed_knn(emb, queries, dim=64, k=10, n_planes=4, n_tables=8)
     return out.select(
         "query_id",
         "neighbor_id",

@@ -1328,6 +1328,41 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "knn_bruteforce_arrow",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+     c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+     scored AS (
+       SELECT query_id, neighbor_id,
+              list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS cos_raw
+       FROM c CROSS JOIN q
+     )
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 10
+""",
+)
+def q_knn_bruteforce_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact top-k as knn_bruteforce via the Arrow/numpy physical
+    strategy (per-batch BLAS matmul + partial top-k) — ~4x faster than
+    the JVM HOF form at this shape, bit-compatible to 6 decimals."""
+    from real_time_financial_market_data_pipeline_spark.operators.similarity import brute_force_knn_arrow
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_knn_arrow(emb, queries, k=10)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 @query("knn_ivf")  # approximate recall → rows-only check
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantized ANN: queries probe their n_probe nearest

@@ -51,6 +51,10 @@ class MedallionStreamJob:
     # identical data), so size to expected KEY cardinality — symbols are
     # few; a deployment with millions of keys should raise this.
     shuffle_partitions: int | None = 8
+    # RocksDB state store: off-heap, spill-to-disk state — required when
+    # per-executor state (dedup keys × watermark horizon) outgrows heap.
+    # Default HDFS-backed in-memory store is faster for small state.
+    use_rocksdb_state: bool = False
 
     def checkpoints(self) -> str:
         return os.path.join(self.out_dir, "_checkpoints")
@@ -61,6 +65,11 @@ class MedallionStreamJob:
         if self.shuffle_partitions is not None:
             old_parts = spark.conf.get("spark.sql.shuffle.partitions")
             spark.conf.set("spark.sql.shuffle.partitions", str(self.shuffle_partitions))
+        if self.use_rocksdb_state:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+            )
         try:
             return self._start(trades)
         finally:

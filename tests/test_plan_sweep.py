@@ -1,0 +1,37 @@
+"""Catalog-wide plan sweep: every one of the 50+ queries must compile
+to a plan free of accidental cross products, and metadata-ish queries
+must not read unreferenced wide columns.
+
+Quadratic-by-contract operators (exact all-pairs baselines) are the
+only allowed nested-loop plans."""
+
+from __future__ import annotations
+
+import pytest
+
+from real_time_financial_market_data_pipeline_spark.plans.inspect import physical_plan
+from real_time_financial_market_data_pipeline_spark.serving.queries import QUERIES
+from tests.conftest import SF_DIR
+
+# exact all-pairs ground-truth operators: quadratic by contract
+ALLPAIRS_OK = {"ngram_jaccard_pairs", "embedding_near_dups"}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_accidental_cross_products(spark, name):
+    plan = physical_plan(QUERIES[name](spark, SF_DIR), "simple")
+    if name in ALLPAIRS_OK:
+        return
+    assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
+    # BroadcastNestedLoopJoin is legitimate only for the tiny broadcast
+    # query sets (knn) — never for two unbounded sides
+    if "BroadcastNestedLoopJoin" in plan:
+        assert name in {"knn_bruteforce"}, f"{name} uses nested-loop join"
+
+
+def test_text_queries_do_not_read_unused_doc_columns(spark):
+    from real_time_financial_market_data_pipeline_spark.plans.inspect import scan_read_schemas
+
+    # doc_quality needs only doc_id + text — lang/source/n_chars pruned
+    schemas = " ".join(scan_read_schemas(QUERIES["doc_quality"](spark, SF_DIR)))
+    assert "source" not in schemas and "n_chars" not in schemas

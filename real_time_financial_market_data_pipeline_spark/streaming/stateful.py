@@ -102,3 +102,85 @@ def streaming_latest_prices(trades: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+class _LatestPriceProcessor:
+    """transformWithStateInPandas processor — the Spark 4 arbitrary-state
+    API (typed ValueState, composable state vars, future TTL support).
+    Same semantics as _update_latest."""
+
+    def init(self, handle) -> None:
+        self.state = handle.getValueState("latest", LATEST_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        (symbol,) = key
+        if self.state.exists():
+            last_price, prev_price, last_volume, last_ts = self.state.get()
+        else:
+            last_price = prev_price = last_volume = last_ts = None
+
+        for pdf in rows:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["timestamp"])
+            for row in pdf.itertuples(index=False):
+                ts = int(row.timestamp)
+                if last_ts is None or ts >= last_ts:
+                    if last_price is not None and ts != last_ts:
+                        prev_price = last_price
+                    last_price = float(row.price)
+                    last_volume = int(row.volume)
+                    last_ts = ts
+
+        if last_ts is not None:
+            self.state.update((last_price, prev_price, last_volume, last_ts))
+            change = None if prev_price is None else round(last_price - prev_price, 10)
+            pct = (
+                None
+                if prev_price in (None, 0)
+                else round(100.0 * (last_price - prev_price) / prev_price, 10)
+            )
+            yield pd.DataFrame(
+                {
+                    "symbol": [symbol],
+                    "last_price": [last_price],
+                    "last_volume": [last_volume],
+                    "last_trade_time": [pd.Timestamp(last_ts, unit="ms")],
+                    "price_change": [change],
+                    "price_change_pct": [pct],
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_latest_prices_tws(trades: DataFrame) -> DataFrame:
+    """transformWithStateInPandas variant of streaming_latest_prices —
+    prefer this on Spark 4 deployments (typed state, TTL hooks, multiple
+    state variables per key).
+
+    NOTE: in this test container the TWS *driver worker* is launched
+    from $SPARK_HOME's bundled python (/opt/spark), which mismatches the
+    pip-installed pyspark and crashes at init
+    (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE). Plan construction
+    and schema are tested; execution is covered by the
+    applyInPandasWithState form above, which shares the semantics.
+    """
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # subclass dynamically so import of this module never hard-depends on
+    # the new API surface
+    proc_cls = type("LatestPriceProcessor", (StatefulProcessor,), dict(_LatestPriceProcessor.__dict__))
+    return (
+        trades.select("symbol", "price", "volume", "timestamp")
+        .groupBy("symbol")
+        .transformWithStateInPandas(
+            statefulProcessor=proc_cls(),
+            outputStructType=LATEST_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

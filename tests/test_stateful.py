@@ -14,6 +14,30 @@ from real_time_financial_market_data_pipeline_spark.streaming.stateful import st
 T0 = 1_700_000_100_000
 
 
+def test_tws_variant_builds_plan(spark, tmp_path):
+    """transformWithStateInPandas variant: plan construction + schema
+    (execution requires a matching $SPARK_HOME python — see docstring)."""
+    import json
+    import os
+
+    from real_time_financial_market_data_pipeline_spark.streaming.stateful import streaming_latest_prices_tws
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    with open(os.path.join(feed, "a.json"), "w") as f:
+        f.write(json.dumps({"s": "A", "p": 1.0, "v": 1, "t": T0}) + "\n")
+    out = streaming_latest_prices_tws(read_trade_stream(spark, feed))
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == [
+        "symbol",
+        "last_price",
+        "last_volume",
+        "last_trade_time",
+        "price_change",
+        "price_change_pct",
+    ]
+
+
 def test_latest_prices_state_across_batches(spark, tmp_path):
     feed = str(tmp_path / "feed")
     out = str(tmp_path / "out")

@@ -1270,6 +1270,50 @@ def q_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dataset_split",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, lang,
+         (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000) AS bucket
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN bucket < 1000 THEN 'test'
+            WHEN bucket < 2000 THEN 'val'
+            ELSE 'train' END AS split
+FROM b
+""",
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (engine/partitioning/rerun-stable) train/val/test
+    assignment via md5-prefix bucketing — reproducible dataset membership
+    is what seed-based sample()/randomSplit() cannot give."""
+    from real_time_financial_market_data_pipeline_spark.operators.sampling import train_val_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_val_test_split(docs, "doc_id", val_frac=0.1, test_frac=0.1).select(
+        "doc_id", "lang", "split"
+    )
+
+
+@query(
+    "deterministic_sample",
+    oracle="""
+SELECT doc_id, n_chars
+FROM documents
+WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000) < 500
+""",
+)
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% hash-stable sample of the corpus (membership is a pure function
+    of the key, identical on any engine)."""
+    from real_time_financial_market_data_pipeline_spark.operators.sampling import deterministic_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_sample(docs, "doc_id", rate=0.05).select("doc_id", "n_chars")
+
+
+@query(
     "embedding_near_dups",
     oracle="""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

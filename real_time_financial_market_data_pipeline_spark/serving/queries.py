@@ -924,6 +924,87 @@ def q_part_name_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "signup_purchase_funnel",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS signed_up,
+       sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup THEN 1 ELSE 0 END) AS viewed_after_signup,
+       sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup AND t_purchase > t_view
+            THEN 1 ELSE 0 END) AS purchased_after_view
+FROM firsts
+""",
+)
+def q_signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup → view → purchase by first-occurrence
+    times): one hash aggregate per user then global counts — no
+    self-joins, the scalable funnel formulation."""
+    ev = load_table(spark, sf_dir, "events")
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))
+    firsts = ev.groupBy("user_id").agg(
+        first("signup").alias("t_signup"),
+        first("view").alias("t_view"),
+        first("purchase").alias("t_purchase"),
+    )
+    stage1 = F.col("t_signup").isNotNull()
+    stage2 = stage1 & (F.col("t_view") > F.col("t_signup"))
+    stage3 = stage2 & (F.col("t_purchase") > F.col("t_view"))
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(stage1.cast("int")).alias("signed_up"),
+        F.sum(stage2.cast("int")).alias("viewed_after_signup"),
+        F.sum(stage3.cast("int")).alias("purchased_after_view"),
+    )
+
+
+@query(
+    "weekly_cohort_retention",
+    oracle="""
+WITH cohorts AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, c.cohort_week,
+         CAST(floor(date_diff('day', c.cohort_week, CAST(e.ts AS DATE)) / 7) AS BIGINT) AS week_no
+  FROM events e JOIN cohorts c ON e.user_id = c.user_id
+)
+SELECT cohort_week, week_no, count(*) AS active_users
+FROM activity
+GROUP BY cohort_week, week_no
+""",
+)
+def q_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, counted
+    in each subsequent activity week. Two hash aggregates + one
+    broadcast-able cohort join."""
+    ev = load_table(spark, sf_dir, "events")
+    cohorts = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    activity = (
+        ev.join(F.broadcast(cohorts), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(F.datediff(F.to_date("ts"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_no"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_no").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )
+
+
 # ---------------------------------------------------------------------------
 # sessionization + analytic windows + multidimensional aggregates
 # ---------------------------------------------------------------------------

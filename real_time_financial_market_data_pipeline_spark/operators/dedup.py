@@ -125,7 +125,10 @@ def minhash_near_dup_pairs(
     """
     rows_per_band = num_hashes // bands
     # the shingle base feeds three plan branches (signatures + both verify
-    # sides) — persist so the tokenize/shingle pass runs once
+    # sides) — persist so the tokenize/shingle pass runs once. Lifecycle
+    # note: the cache is left to Spark's LRU (unpersisting eagerly would
+    # force recompute of the still-lazy result); callers running this in a
+    # tight loop should clearCache() between rounds.
     base = _shingled(df, id_col, text_col, shingle_n).persist()
     sig = base.select("_id", base_hashes(F.col("_sh")).alias("_hx")).select(
         "_id", minhash_signature(F.col("_hx"), num_hashes).alias("_sig")
@@ -237,23 +240,30 @@ def simhash_signatures(
 def hamming_pairs(sig_df: DataFrame, max_distance: int = 3) -> DataFrame:
     """All pairs from simhash_signatures within a Hamming radius.
 
-    Block on the 4×16-bit segments (pigeonhole: distance<=3 ⇒ at least one
-    16-bit segment equal) so the join is an equi-join, not a cross join.
+    Pigeonhole blocking: the 64 bits are cut into max_distance+1
+    segments, so any pair within the radius must agree on at least one
+    whole segment — the candidate join is an equi-join on (segment index,
+    segment value), never a cross join, and completeness holds for ANY
+    radius (segment count scales with it).
     """
-    seg = sig_df.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("seg"),
-                        F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("segval"),
-                    )
-                    for i in range(4)
-                ]
+    n_seg = max_distance + 1
+    if n_seg > 64:
+        raise ValueError("max_distance must be < 64")
+    width = 64 // n_seg
+    segments = []
+    for i in range(n_seg):
+        start = i * width
+        # last segment absorbs the remainder bits
+        seg_width = 64 - start if i == n_seg - 1 else width
+        mask = (1 << seg_width) - 1 if seg_width < 64 else -1
+        segments.append(
+            F.struct(
+                F.lit(i).alias("seg"),
+                F.shiftrightunsigned("simhash", start).bitwiseAND(F.lit(mask)).alias("segval"),
             )
-        ).alias("s"),
+        )
+    seg = sig_df.select(
+        "id", "simhash", F.explode(F.array(*segments)).alias("s")
     ).select("id", "simhash", "s.seg", "s.segval")
     l, r = seg.alias("l"), seg.alias("r")
     return (

@@ -127,7 +127,8 @@ FRAMES_SCHEMA = "media_id long, frame_idx int, frame_ts_ms long, frame array<flo
 
 def sample_frames(df: DataFrame, every_ms: int = 1000, feature_dim: int = 16) -> DataFrame:
     """Frame sampling (video → one row per sampled frame): a fan-out
-    mapInPandas — each input row yields duration_ms/every_ms rows."""
+    mapInPandas — each input row yields ceil(duration_ms/every_ms) rows;
+    zero-duration media yields no frames."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -135,7 +136,7 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, feature_dim: int = 16) ->
             for _, row in pdf.iterrows():
                 dur = int(row["duration_ms"] or 0)
                 payload = row["payload"] or b""
-                for i, t in enumerate(range(0, max(dur, 1), every_ms)):
+                for i, t in enumerate(range(0, dur, every_ms)):
                     ids.append(row["media_id"])
                     idxs.append(i)
                     tss.append(t)

@@ -78,7 +78,15 @@ def brute_force_knn_arrow(
     import numpy as np
     from pyspark.sql import Window
 
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    out_schema = f"query_id {qid_type}, neighbor_id {id_type}, cosine double"
+
     q_rows = queries.select(query_id_col, vec_col).collect()
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], out_schema + ", rank int"
+        )
     q_ids = [r[0] for r in q_rows]
     qm = np.array([r[1] for r in q_rows], dtype=np.float64)
     qm_norm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
@@ -99,9 +107,7 @@ def brute_force_knn_arrow(
                 out_c.extend(sims[idx, j])
             yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_c})
 
-    partial = corpus.select(id_col, vec_col).mapInPandas(
-        batches, schema="query_id long, neighbor_id long, cosine double"
-    )
+    partial = corpus.select(id_col, vec_col).mapInPandas(batches, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )

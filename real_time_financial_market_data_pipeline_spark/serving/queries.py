@@ -118,11 +118,9 @@ gold_5m AS (
 
 
 def _silver(spark: SparkSession, sf_dir: str) -> DataFrame:
-    trades = trades_from_events(load_table(spark, sf_dir, "events")).withColumnRenamed(
-        "timestamp", "ts_ms"
-    )
+    trades = trades_from_events(load_table(spark, sf_dir, "events"))
     return to_silver(
-        trades.withColumnRenamed("ts_ms", "timestamp"),
+        trades,
         tiebreaker_col="event_id",
         now=F.lit(AS_OF).cast("timestamp"),
     ).withColumnRenamed("timestamp", "ts_ms")
@@ -990,7 +988,7 @@ def q_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
     )
     activity = (
-        ev.join(F.broadcast(cohorts), "user_id")
+        ev.join(cohorts, "user_id")  # per-user aggregate is unbounded — let AQE pick the strategy
         .select(
             "user_id",
             "cohort_week",

@@ -35,8 +35,9 @@ class MedallionStreamJob:
     out_dir/
       bronze/   raw + lineage (append, partitioned by trade_date)
       silver/   cleaned + deduped (append)
-      gold_5m/  OHLCV bars (update-mode emissions stamped with batch_id;
-                read back through sinks.latest_state_on_read)
+      gold_5m/  OHLCV bars (update-mode emissions, one batch_id=<n> dir
+                per micro-batch; read back through
+                sinks.latest_state_on_read)
     """
 
     out_dir: str
@@ -65,9 +66,15 @@ class MedallionStreamJob:
         if self.shuffle_partitions is not None:
             old_parts = spark.conf.get("spark.sql.shuffle.partitions")
             spark.conf.set("spark.sql.shuffle.partitions", str(self.shuffle_partitions))
+        provider_key = "spark.sql.streaming.stateStore.providerClass"
+        old_provider = None
         if self.use_rocksdb_state:
+            try:
+                old_provider = spark.conf.get(provider_key)
+            except Exception:
+                old_provider = None
             spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass",
+                provider_key,
                 "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
             )
         try:
@@ -75,6 +82,13 @@ class MedallionStreamJob:
         finally:
             if old_parts is not None:
                 spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+            if self.use_rocksdb_state:
+                # restore so other jobs on the shared session keep their
+                # own state-store choice
+                if old_provider:
+                    spark.conf.set(provider_key, old_provider)
+                else:
+                    spark.conf.unset(provider_key)
 
     def _start(self, trades: DataFrame) -> SinkManager:
         marked = trades.withWatermark("event_time", self.watermark)
@@ -116,7 +130,6 @@ class MedallionStreamJob:
                 "gold_5m",
                 output_mode="update",
                 trigger=self.trigger,
-                stamp_batch_id=True,
             )
         )
         if self.gold_window_slow:
@@ -129,7 +142,6 @@ class MedallionStreamJob:
                     "gold_1h",
                     output_mode="update",
                     trigger=self.trigger,
-                    stamp_batch_id=True,
                 )
             )
         return mgr

@@ -35,7 +35,11 @@ class GracefulRunner:
 
     def _stop_loop(self) -> None:
         self._shutdown.wait()
-        self.manager.stop_all()
+        # only stop queries for an actual signal — restore() also sets the
+        # event (to release this thread), and a run() that merely timed out
+        # must NOT kill still-running queries
+        if self.stopped_by_signal is not None:
+            self.manager.stop_all()
 
     def install(self) -> "GracefulRunner":
         for sig in (signal.SIGINT, signal.SIGTERM):

@@ -7,9 +7,11 @@ via to_json(struct(*))), S7 (SinkManager fan-out,
 src/consumer/sinks.py:209-245).
 
 Exactly-once story: checkpointed source offsets + idempotent batch
-writes. For the gold (update-mode aggregate) layer the writer stamps
-batch_id and dedups-on-read by the max batch_id per key — the parquet
-analogue of Cassandra's primary-key upsert the reference relied on
+writes (each micro-batch overwrites its own batch_id=<n> directory, so
+replays after a crash-before-checkpoint rewrite instead of duplicating).
+Update-mode aggregate layers additionally dedup-on-read by max batch_id
+per key (latest_state_on_read) — the parquet analogue of Cassandra's
+primary-key upsert the reference relied on
 (docs/research/CASSANDRA_MODELING.md:69-75).
 """
 
@@ -31,21 +33,24 @@ def parquet_sink(
     output_mode: str = "append",
     trigger: dict | None = None,
     partition_by: list[str] | None = None,
-    stamp_batch_id: bool = False,
 ) -> StreamingQuery:
-    """foreachBatch parquet writer: empty-batch early-exit, optional
-    batch_id stamping (for upsert-on-read), date partitioning."""
+    """foreachBatch parquet writer: empty-batch early-exit, date partitioning.
+
+    Idempotent under replay: each micro-batch lands in its own
+    `batch_id=<n>` directory with OVERWRITE mode, so a batch re-run
+    after a crash-before-checkpoint rewrites the same directory instead
+    of appending duplicates (deterministic-batch-id idempotence — the
+    lake equivalent of the reference's primary-key upserts). Readers of
+    `path` see `batch_id` as a discovered partition column.
+    """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        out = batch_df
-        if stamp_batch_id:
-            out = out.withColumn("batch_id", F.lit(batch_id))
-        writer = out.write.mode("append")
+        writer = batch_df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(path)
+        writer.parquet(os.path.join(path, f"batch_id={batch_id}"))
 
     stream = (
         df.writeStream.foreachBatch(write_batch)

@@ -56,7 +56,7 @@ def test_frame_sampling_fanout(media):
         .collect()
     )
     for r in joined:
-        expected = max(1, -(-r["duration_ms"] // 1000))  # ceil(dur/1s)
+        expected = -(-r["duration_ms"] // 1000)  # ceil(dur/1s); 0 frames for 0 duration
         assert r["count"] == expected
 
 

@@ -54,6 +54,31 @@ def test_processing_time_trigger_and_graceful_stop(spark, tmp_path):
     assert signal.getsignal(signal.SIGTERM) is not runner._handler
 
 
+def test_runner_timeout_without_signal_keeps_queries_alive(spark, tmp_path):
+    """run(timeout) expiring with NO signal must not stop the queries
+    (regression: restore() used to trip the stopper thread)."""
+    feed = str(tmp_path / "feed")
+    _write_feed(feed)
+    q = (
+        read_trade_stream(spark, feed)
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    mgr = SinkManager()
+    mgr.add(q)
+    runner = GracefulRunner(mgr).install()
+    done = runner.run(timeout_s=2)  # expires without any signal
+    time.sleep(1.0)  # give a (buggy) stopper thread time to act
+    try:
+        assert not done
+        assert runner.stopped_by_signal is None
+        assert q.isActive  # still running — timeout is not a shutdown
+    finally:
+        q.stop()
+
+
 def test_observe_metrics_surface_in_progress(spark, tmp_path):
     feed = str(tmp_path / "feed")
     os.makedirs(feed)

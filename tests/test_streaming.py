@@ -94,6 +94,35 @@ def test_golden_ohlcv_and_dedup(spark, feed_and_out):
     assert aapl_1h["volume"] == 175 and aapl_1h["trade_count"] == 3
 
 
+def test_crash_replay_is_idempotent(spark, feed_and_out):
+    """Simulated crash-before-checkpoint: after the job completes, delete
+    the newest commit marker from the silver checkpoint and restart —
+    Structured Streaming re-runs that micro-batch, and the per-batch
+    overwrite directory must absorb the replay without duplicating rows."""
+    feed_dir, out_dir = feed_and_out
+    write_feed(
+        feed_dir,
+        [[{"s": "AAPL", "p": 150.0, "v": 100, "t": T0 + i * 1000} for i in range(5)]],
+    )
+    run_job(spark, feed_dir, out_dir)
+    silver_path = os.path.join(out_dir, "silver")
+    before = spark.read.parquet(silver_path).count()
+    assert before == 5
+
+    commits_dir = os.path.join(out_dir, "_checkpoints", "silver", "commits")
+    commits = sorted(
+        f for f in os.listdir(commits_dir) if not f.startswith(".")
+    )
+    os.remove(os.path.join(commits_dir, commits[-1]))  # crash before commit
+    crc = os.path.join(commits_dir, f".{commits[-1]}.crc")
+    if os.path.exists(crc):  # local-FS checksum sidecar
+        os.remove(crc)
+
+    run_job(spark, feed_dir, out_dir)  # restart → replays the batch
+    after = spark.read.parquet(silver_path).count()
+    assert after == before, f"replay duplicated rows: {before} -> {after}"
+
+
 def test_late_data_dropped_past_watermark(spark, feed_and_out):
     feed_dir, out_dir = feed_and_out
     # batch 0 advances the watermark to T0+30min-10min = T0+20min;

@@ -831,13 +831,15 @@ WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
 """,
 )
 def q_orders_vs_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar-subquery shape: Catalyst evaluates the subquery once and
-    broadcasts the scalar into the filter."""
+    """Scalar-subquery shape: the aggregate evaluates once and broadcasts
+    into the filter (cross-join with a 1-row frame — no temp-view
+    registration, so concurrent query runs can't collide on a name)."""
     od = load_table(spark, sf_dir, "orders")
-    od.createOrReplaceTempView("_orders_sq")
-    return spark.sql(
-        "SELECT o_orderkey, o_totalprice FROM _orders_sq "
-        "WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM _orders_sq)"
+    avg_price = od.agg(F.avg("o_totalprice").alias("_avg"))
+    return (
+        od.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("_avg"))
+        .select("o_orderkey", "o_totalprice")
     )
 
 

@@ -23,10 +23,10 @@ def test_no_accidental_cross_products(spark, name):
     if name in ALLPAIRS_OK:
         return
     assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
-    # BroadcastNestedLoopJoin is legitimate only for the tiny broadcast
-    # query sets (knn) — never for two unbounded sides
+    # BroadcastNestedLoopJoin is legitimate only when the broadcast side is
+    # bounded-tiny: the knn query-vector set, or a 1-row scalar aggregate
     if "BroadcastNestedLoopJoin" in plan:
-        assert name in {"knn_bruteforce"}, f"{name} uses nested-loop join"
+        assert name in {"knn_bruteforce", "orders_vs_avg"}, f"{name} uses nested-loop join"
 
 
 def test_text_queries_do_not_read_unused_doc_columns(spark):

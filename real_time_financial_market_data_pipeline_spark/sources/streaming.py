@@ -101,6 +101,19 @@ def kafka_trade_stream(
     return _normalize_wire(parsed)
 
 
+def union_trade_streams(*streams: DataFrame) -> DataFrame:
+    """Merge multiple normalized trade feeds (e.g. equities + crypto —
+    the reference's trades_raw + crypto_raw topics) into one stream.
+    unionByName keeps it schema-safe; downstream medallion code is
+    source-count agnostic."""
+    if not streams:
+        raise ValueError("at least one stream required")
+    out = streams[0]
+    for s in streams[1:]:
+        out = out.unionByName(s)
+    return out
+
+
 def rate_trade_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     """Synthetic trade stream off the built-in rate source (load/perf
     testing without external systems)."""

@@ -137,6 +137,32 @@ def test_session_window_on_stream(spark, tmp_path):
     assert [r["n"] for r in rows] == [3, 1]
 
 
+def test_union_trade_streams(spark, tmp_path):
+    """Multi-feed merge (the reference's trades_raw + crypto_raw): two
+    file feeds union into one stream feeding the same pipeline."""
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import union_trade_streams
+
+    f1, f2 = str(tmp_path / "equities"), str(tmp_path / "crypto")
+    for d, sym in [(f1, "AAPL"), (f2, "BTCUSD")]:
+        os.makedirs(d)
+        with open(os.path.join(d, "a.json"), "w") as f:
+            f.write(json.dumps({"s": sym, "p": 5.0, "v": 1, "t": T0}) + "\n")
+    merged = union_trade_streams(
+        read_trade_stream(spark, f1), read_trade_stream(spark, f2)
+    )
+    q = (
+        merged.writeStream.format("memory")
+        .queryName("merged_mem")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    syms = {r["symbol"] for r in spark.sql("SELECT * FROM merged_mem").collect()}
+    assert syms == {"AAPL", "BTCUSD"}
+
+
 def test_kafka_wire_roundtrip_shape(spark):
     """The Kafka egress selectExpr (key = symbol, value = to_json(struct(*)))
     parsed back through the ingress from_json path — byte-level contract

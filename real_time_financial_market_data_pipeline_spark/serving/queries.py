@@ -1005,6 +1005,57 @@ def q_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rolling_10min_volume",
+    oracle=f"""
+WITH {_TRADES_CTE}
+SELECT symbol, event_time, volume,
+       sum(volume) OVER (PARTITION BY symbol ORDER BY event_time
+                         RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW) AS vol_10min
+FROM silver
+""",
+)
+def q_rolling_10min_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per-symbol rolling 10-minute volume
+    — event-time semantics (all rows within the interval, however many),
+    unlike the row-count frames elsewhere in the catalog."""
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy(F.unix_micros("event_time"))
+        .rangeBetween(-10 * 60 * 1_000_000, 0)
+    )
+    return _silver(spark, sf_dir).select(
+        "symbol",
+        "event_time",
+        "volume",
+        F.sum("volume").over(w).alias("vol_10min"),
+    )
+
+
+@query(
+    "fuzzy_name_pairs",
+    oracle="""
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       levenshtein(a.p_name, b.p_name) AS edit_distance
+FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+""",
+)
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching (edit distance <= 2) over part names — the
+    all-pairs form on a small dimension; at scale, block first (length
+    or prefix buckets) like the other dedup operators."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    a = part.select(F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"))
+    b = part.select(F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"))
+    return (
+        a.join(b, F.col("key_a") < F.col("key_b"))
+        .withColumn("edit_distance", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_distance") <= 2)
+        .select("key_a", "key_b", "edit_distance")
+    )
+
+
 # ---------------------------------------------------------------------------
 # sessionization + analytic windows + multidimensional aggregates
 # ---------------------------------------------------------------------------

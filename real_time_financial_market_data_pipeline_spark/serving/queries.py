@@ -1056,6 +1056,38 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "daily_price_path",
+    oracle=f"""
+WITH {_TRADES_CTE}
+SELECT symbol, trade_date,
+       array_to_string(list(price ORDER BY event_time, event_id), ',') AS path_csv,
+       count(*) AS n_ticks
+FROM silver
+GROUP BY symbol, trade_date
+""",
+)
+def q_daily_price_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation: the per-(symbol, day) tick-price path
+    in event-time order (emitted CSV-joined so the differential check is
+    representation-stable). sort_array over (time, id, price) structs
+    gives a deterministic order-by inside a hash aggregate — no window
+    sort needed."""
+    s = _silver(spark, sf_dir)
+    packed = F.sort_array(
+        F.collect_list(F.struct(F.col("event_time"), F.col("event_id"), F.col("price")))
+    )
+    return (
+        s.groupBy("symbol", "trade_date")
+        .agg(
+            F.concat_ws(",", F.transform(packed, lambda x: x["price"].cast("string"))).alias(
+                "path_csv"
+            ),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # sessionization + analytic windows + multidimensional aggregates
 # ---------------------------------------------------------------------------

@@ -51,6 +51,33 @@ def test_ohlcv_invariants(spark, rows):
 
 
 @given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["A", "B", "C"]), st.integers(0, 5), st.integers(0, 1000)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_settings
+def test_exact_dedup_idempotent_and_complete(spark, rows):
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(s, t, v) for s, t, v in rows], "symbol string, timestamp long, event_id long"
+    )
+    once = exact_dedup(df, ["symbol", "timestamp"], tiebreaker_col="event_id")
+    twice = exact_dedup(once, ["symbol", "timestamp"], tiebreaker_col="event_id")
+    got = sorted(map(tuple, once.collect()))
+    assert got == sorted(map(tuple, twice.collect()))  # idempotent
+    keys = {(s, t) for s, t, _ in rows}
+    assert {(r[0], r[1]) for r in got} == keys  # every key survives once
+    # survivor is always the minimum tiebreaker for its key
+    expect = {}
+    for s, t, v in rows:
+        expect[(s, t)] = min(v, expect.get((s, t), v))
+    assert {(r[0], r[1]): r[2] for r in got} == expect
+
+
+@given(
     left_offs=st.lists(st.integers(min_value=0, max_value=600), min_size=1, max_size=15),
     right_offs=st.lists(st.integers(min_value=0, max_value=600), min_size=0, max_size=15),
 )

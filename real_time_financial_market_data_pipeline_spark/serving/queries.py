@@ -107,7 +107,7 @@ gold_5m AS (
            max(price) AS high,
            min(price) AS low,
            arg_max(price, event_time) AS close,
-           sum(volume) AS volume,
+           CAST(sum(volume) AS BIGINT) AS volume,
            count(*) AS trade_count,
            CAST(sum(CAST(round(price * 100) AS BIGINT) * volume) AS DOUBLE) / CAST(100 * sum(volume) AS DOUBLE) AS vwap
     FROM silver
@@ -155,18 +155,18 @@ def q_silver_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {_TRADES_CTE}
 SELECT count(*) AS total,
-       sum(CASE WHEN price > 0 AND price <= 1000000 AND volume > 0
+       CAST(sum(CASE WHEN price > 0 AND price <= 1000000 AND volume > 0
                  AND event_time <= TIMESTAMP '{AS_OF}' + INTERVAL 5 MINUTE
-            THEN 1 ELSE 0 END) AS valid,
-       sum(CASE WHEN NOT (price > 0 AND price <= 1000000 AND volume > 0
+            THEN 1 ELSE 0 END) AS BIGINT) AS valid,
+       CAST(sum(CASE WHEN NOT (price > 0 AND price <= 1000000 AND volume > 0
                  AND event_time <= TIMESTAMP '{AS_OF}' + INTERVAL 5 MINUTE)
-            THEN 1 ELSE 0 END) AS invalid,
-       sum(CASE WHEN price IS NULL OR volume IS NULL OR event_time IS NULL THEN 1 ELSE 0 END) AS missing_field,
-       sum(CASE WHEN price <= 0 THEN 1 ELSE 0 END) AS negative_price,
-       sum(CASE WHEN price > 1000000 THEN 1 ELSE 0 END) AS price_too_high,
-       sum(CASE WHEN volume < 0 THEN 1 ELSE 0 END) AS negative_volume,
-       sum(CASE WHEN volume = 0 THEN 1 ELSE 0 END) AS volume_zero,
-       sum(CASE WHEN event_time > TIMESTAMP '{AS_OF}' + INTERVAL 5 MINUTE THEN 1 ELSE 0 END) AS future_timestamp
+            THEN 1 ELSE 0 END) AS BIGINT) AS invalid,
+       CAST(sum(CASE WHEN price IS NULL OR volume IS NULL OR event_time IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_field,
+       CAST(sum(CASE WHEN price <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_price,
+       CAST(sum(CASE WHEN price > 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS price_too_high,
+       CAST(sum(CASE WHEN volume < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_volume,
+       CAST(sum(CASE WHEN volume = 0 THEN 1 ELSE 0 END) AS BIGINT) AS volume_zero,
+       CAST(sum(CASE WHEN event_time > TIMESTAMP '{AS_OF}' + INTERVAL 5 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS future_timestamp
 FROM trades
 """,
 )
@@ -225,7 +225,7 @@ SELECT symbol,
        max(price) AS high,
        min(price) AS low,
        arg_max(price, event_time) AS close,
-       sum(volume) AS volume,
+       CAST(sum(volume) AS BIGINT) AS volume,
        count(*) AS trade_count,
        CAST(sum(CAST(round(price * 100) AS BIGINT) * volume) AS DOUBLE) / CAST(100 * sum(volume) AS DOUBLE) AS vwap
 FROM silver
@@ -277,7 +277,7 @@ def q_trades_count_on_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     "volume_by_symbol_on_date",
     oracle=f"""
 WITH {_OHLCV_5M_CTE}
-SELECT symbol, sum(volume) AS total_volume, sum(trade_count) AS total_trades
+SELECT symbol, CAST(sum(volume) AS BIGINT) AS total_volume, CAST(sum(trade_count) AS BIGINT) AS total_trades
 FROM gold_5m
 WHERE CAST(window_start AS DATE) = DATE '{REF_DATE}'
 GROUP BY symbol
@@ -885,7 +885,7 @@ def q_supplier_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "props_json_extract",
     oracle="""
 SELECT event_type,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS total_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
        count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0 THEN 1 END) AS n_even_k
 FROM events
 GROUP BY event_type
@@ -935,10 +935,10 @@ WITH firsts AS (
   FROM events GROUP BY user_id
 )
 SELECT count(*) AS n_users,
-       sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS signed_up,
-       sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup THEN 1 ELSE 0 END) AS viewed_after_signup,
-       sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup AND t_purchase > t_view
-            THEN 1 ELSE 0 END) AS purchased_after_view
+       CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS signed_up,
+       CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup THEN 1 ELSE 0 END) AS BIGINT) AS viewed_after_signup,
+       CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup AND t_purchase > t_view
+            THEN 1 ELSE 0 END) AS BIGINT) AS purchased_after_view
 FROM firsts
 """,
 )
@@ -1010,8 +1010,8 @@ def q_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {_TRADES_CTE}
 SELECT symbol, event_time, volume,
-       sum(volume) OVER (PARTITION BY symbol ORDER BY event_time
-                         RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW) AS vol_10min
+       CAST(sum(volume) OVER (PARTITION BY symbol ORDER BY event_time
+                         RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW) AS BIGINT) AS vol_10min
 FROM silver
 """,
 )
@@ -1152,7 +1152,7 @@ SELECT symbol, window_start,
        max(price) AS high,
        min(price) AS low,
        arg_max(price, event_time) AS close,
-       sum(volume) AS volume,
+       CAST(sum(volume) AS BIGINT) AS volume,
        count(*) AS trade_count
 FROM win
 GROUP BY symbol, window_start
@@ -1252,7 +1252,7 @@ def q_running_revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFram
     oracle=f"""
 WITH {_TRADES_CTE},
 daily AS (
-  SELECT symbol, trade_date, sum(volume) AS day_volume
+  SELECT symbol, trade_date, CAST(sum(volume) AS BIGINT) AS day_volume
   FROM silver GROUP BY symbol, trade_date
 )
 SELECT symbol, trade_date, day_volume,

@@ -1,6 +1,18 @@
 """Mini replica of the driver's duckdb differential check: run a Spark
 query and its oracle SQL on the same parquet tables, compare row count,
-column names, and (order-insensitively) values with float tolerance.
+column names, and values **typed and exact** (order-insensitive).
+
+Driver parity notes (learned from CORRECTNESS_r01 + VERDICT round 1):
+- the driver's value hash is TYPED — DuckDB widening ``sum(BIGINT)`` to
+  HUGEINT hashes differently from Spark's BIGINT even when every value
+  is numerically equal.  To reproduce that here, the oracle result is
+  fetched through Arrow (HUGEINT surfaces as decimal128, not int64) and
+  values are compared together with their Python type class.
+- no float tolerance: both sides are expected to round in the query
+  itself (``round(x, n)`` in BOTH the Spark code and the oracle SQL),
+  which yields bit-identical doubles.  An earlier version of this
+  harness rounded to 9 digits here, which masked the HUGEINT artifact
+  and let 10 driver-red queries pass locally — never again.
 """
 
 from __future__ import annotations
@@ -23,32 +35,47 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _norm(v):
+def _norm(v, *, typed: bool = True):
+    """Canonical (type_tag, value) pair.  Type tags keep int / float /
+    Decimal distinct — exactly the distinction the driver's typed hash
+    makes (Spark BIGINT vs DuckDB HUGEINT/decimal128)."""
     if v is None:
-        return None
+        return ("null", None)
     if isinstance(v, bool):
-        return bool(v)
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("int", v)
     if isinstance(v, Decimal):
-        v = float(v)
+        return ("decimal", str(v))
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
-        return round(v, 9)
+            return ("float", "nan")
+        return ("float", v.hex())
     if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
+        return ("ts", v.replace(tzinfo=None).isoformat())
     if isinstance(v, date):
-        return v.isoformat()
+        return ("date", v.isoformat())
     if isinstance(v, (list, tuple)):
-        return tuple(_norm(x) for x in v)
-    return v
+        return ("list", tuple(_norm(x) for x in v))
+    if isinstance(v, bytes):
+        return ("bytes", v)
+    return (type(v).__name__, v)
+
+
+def _oracle_rows(con, sql: str) -> tuple[list[str], list[tuple]]:
+    """Fetch through Arrow so DuckDB's widened integer types (HUGEINT →
+    decimal128) keep a distinct Python type instead of collapsing to
+    int via fetchall()."""
+    tbl = con.execute(sql).arrow()
+    cols = tbl.column_names
+    rows = [tuple(d[c] for c in cols) for d in tbl.to_pylist()]
+    return cols, rows
 
 
 def compare(spark_df, con, sql: str) -> list[str]:
     """Return a list of mismatch descriptions (empty = pass)."""
     problems: list[str] = []
-    oracle = con.execute(sql)
-    o_cols = [d[0] for d in oracle.description]
-    o_rows = oracle.fetchall()
+    o_cols, o_rows = _oracle_rows(con, sql)
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
 

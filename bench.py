@@ -28,7 +28,7 @@ HEADLINE = [
     "nation_revenue",
     "priority_count_returned",
     "asof_purchase_view",
-    "doc_stats",
+    "doc_profile",  # superset of round-1's doc_stats (adds quality + langid columns)
     "dedup_exact_docs",
     "minhash_near_dups",
     "knn_bruteforce",

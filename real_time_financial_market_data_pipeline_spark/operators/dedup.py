@@ -123,6 +123,12 @@ def minhash_near_dup_pairs(
     self-equi-join on (band_idx, band_hash) → distinct candidate pairs →
     exact Jaccard verify on the candidates only.
     """
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_hashes evenly (num_hashes={num_hashes}, "
+            f"bands={bands}) — a remainder would silently drop trailing "
+            "signature entries, and bands > num_hashes would produce empty bands"
+        )
     rows_per_band = num_hashes // bands
     # the shingle base feeds three plan branches (signatures + both verify
     # sides) — persist so the tokenize/shingle pass runs once. Lifecycle
@@ -237,40 +243,68 @@ def simhash_signatures(
     return hashed.select("id", sig.alias("simhash"))
 
 
-def hamming_pairs(sig_df: DataFrame, max_distance: int = 3) -> DataFrame:
-    """All pairs from simhash_signatures within a Hamming radius.
-
-    Pigeonhole blocking: the 64 bits are cut into max_distance+1
-    segments, so any pair within the radius must agree on at least one
-    whole segment — the candidate join is an equi-join on (segment index,
-    segment value), never a cross join, and completeness holds for ANY
-    radius (segment count scales with it).
-    """
-    n_seg = max_distance + 1
-    if n_seg > 64:
-        raise ValueError("max_distance must be < 64")
+def _segment_values(n_seg: int) -> list[Column]:
+    """Cut the 64-bit simhash into n_seg contiguous segments (the last
+    absorbs remainder bits); returns one unsigned value column each."""
     width = 64 // n_seg
-    segments = []
+    vals = []
     for i in range(n_seg):
         start = i * width
-        # last segment absorbs the remainder bits
         seg_width = 64 - start if i == n_seg - 1 else width
         mask = (1 << seg_width) - 1 if seg_width < 64 else -1
-        segments.append(
-            F.struct(
-                F.lit(i).alias("seg"),
-                F.shiftrightunsigned("simhash", start).bitwiseAND(F.lit(mask)).alias("segval"),
-            )
+        vals.append(
+            F.shiftrightunsigned("simhash", start).bitwiseAND(F.lit(mask))
         )
+    return vals
+
+
+def hamming_pairs(
+    sig_df: DataFrame, max_distance: int = 3, min_agree: int = 1
+) -> DataFrame:
+    """All pairs from simhash_signatures within a Hamming radius.
+
+    Generalized pigeonhole blocking: the 64 bits are cut into
+    `max_distance + min_agree` segments; at most max_distance of them can
+    differ for an in-radius pair, so at least min_agree whole segments
+    agree — the candidate join is an equi-join on one specific
+    combination of min_agree segment values (all C(n_seg, min_agree)
+    combinations are emitted), never a cross join, and completeness
+    holds exactly for any radius.
+
+    min_agree tunes bucket occupancy at scale: with min_agree=1 and
+    radius 3 the join key is one 16-bit segment (65,536 buckets — hot
+    buckets go quadratic at billion-doc corpora); with min_agree=2 the
+    key is a PAIR of ~12.8-bit segments (≈2^25 buckets, each ~512x
+    sparser) at the cost of C(5,2)=10 exploded keys per row instead
+    of 4. Same result set, provably (tests.test_properties).
+    """
+    from itertools import combinations
+
+    if min_agree < 1:
+        raise ValueError("min_agree must be >= 1")
+    n_seg = max_distance + min_agree
+    if n_seg > 64:
+        raise ValueError("max_distance + min_agree must be <= 64")
+    vals = _segment_values(n_seg)
+    combo_keys = [
+        F.struct(
+            F.lit(ci).alias("combo"),
+            # pack the combination's segment values into one scalar join
+            # key (a hash collision can only ADD candidates — the exact
+            # hamming filter below removes them — never lose a pair)
+            F.xxhash64(*[vals[s] for s in combo]).alias("bkey"),
+        )
+        for ci, combo in enumerate(combinations(range(n_seg), min_agree))
+    ]
     seg = sig_df.select(
-        "id", "simhash", F.explode(F.array(*segments)).alias("s")
-    ).select("id", "simhash", "s.seg", "s.segval")
+        "id", "simhash", F.explode(F.array(*combo_keys)).alias("s")
+    ).select("id", "simhash", "s.combo", "s.bkey")
     l, r = seg.alias("l"), seg.alias("r")
     return (
         l.join(
             r,
-            (F.col("l.seg") == F.col("r.seg"))
-            & (F.col("l.segval") == F.col("r.segval"))
+            (F.col("l.combo") == F.col("r.combo"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
             & (F.col("l.id") < F.col("r.id")),
         )
         .select(

@@ -25,6 +25,10 @@ from pyspark.sql import functions as F
 
 from real_time_financial_market_data_pipeline_spark.operators.ohlcv import ohlcv
 from real_time_financial_market_data_pipeline_spark.pipeline.medallion import silver_filter, to_bronze
+from real_time_financial_market_data_pipeline_spark.pipeline.validate import (
+    dead_letter_records,
+    with_validation_errors,
+)
 from real_time_financial_market_data_pipeline_spark.streaming.sinks import SinkManager, parquet_sink
 
 
@@ -33,11 +37,21 @@ class MedallionStreamJob:
     """Wire a trade stream to bronze/silver/gold parquet tables.
 
     out_dir/
-      bronze/   raw + lineage (append, partitioned by trade_date)
-      silver/   cleaned + deduped (append)
-      gold_5m/  OHLCV bars (update-mode emissions, one batch_id=<n> dir
-                per micro-batch; read back through
-                sinks.latest_state_on_read)
+      bronze/       raw + lineage (append, partitioned by trade_date)
+      silver/       cleaned + deduped (append)
+      gold_5m/      OHLCV bars (update-mode emissions, one batch_id=<n>
+                    dir per micro-batch; read back through
+                    sinks.latest_state_on_read)
+      dead_letters/ invalid rows as {original json, errors,
+                    dead_lettered_at} envelopes (append) — the streaming
+                    form of the reference's dead-letter topic
+                    (src/producer/pipeline.py:120-126,
+                    scripts/create_topics.sh:53-54)
+
+    Silver is built from the VALID branch of the validation split, so a
+    row routed to dead_letters can never also reach silver (validation
+    is a strict superset of the silver quality filter: it additionally
+    rejects price > 1e6 and null fields).
     """
 
     out_dir: str
@@ -56,11 +70,16 @@ class MedallionStreamJob:
     # per-executor state (dedup keys × watermark horizon) outgrows heap.
     # Default HDFS-backed in-memory store is faster for small state.
     use_rocksdb_state: bool = False
+    # Route invalid rows to a dead_letters layer (reference F4). Silver
+    # then only sees the valid branch.
+    dead_letters: bool = True
 
     def checkpoints(self) -> str:
         return os.path.join(self.out_dir, "_checkpoints")
 
-    def start(self, trades: DataFrame) -> SinkManager:
+    def start(self, trades: DataFrame, chained: bool = False, await_timeout_s: float = 600) -> SinkManager:
+        """Fan-out mode by default; `chained=True` switches to true
+        medallion chaining (see start_chained)."""
         spark = trades.sparkSession
         old_parts = None
         if self.shuffle_partitions is not None:
@@ -78,6 +97,8 @@ class MedallionStreamJob:
                 "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
             )
         try:
+            if chained:
+                return self.start_chained(trades, await_timeout_s=await_timeout_s)
             return self._start(trades)
         finally:
             if old_parts is not None:
@@ -94,12 +115,26 @@ class MedallionStreamJob:
         marked = trades.withWatermark("event_time", self.watermark)
 
         bronze = to_bronze(marked)
-        silver = marked.filter(silver_filter()).dropDuplicatesWithinWatermark(
-            ["symbol", "timestamp"]
-        )
+        mgr = SinkManager()
+        if self.dead_letters:
+            checked = with_validation_errors(marked)
+            dead = dead_letter_records(checked.filter(F.size("errors") > 0))
+            valid = checked.filter(F.size("errors") == 0).drop("errors")
+            mgr.add(
+                parquet_sink(
+                    dead,
+                    os.path.join(self.out_dir, "dead_letters"),
+                    self.checkpoints(),
+                    "dead_letters",
+                    output_mode="append",
+                    trigger=self.trigger,
+                )
+            )
+        else:
+            valid = marked.filter(silver_filter())
+        silver = valid.dropDuplicatesWithinWatermark(["symbol", "timestamp"])
         gold = ohlcv(silver, self.gold_window)
 
-        mgr = SinkManager()
         mgr.add(
             parquet_sink(
                 bronze,
@@ -144,6 +179,120 @@ class MedallionStreamJob:
                     trigger=self.trigger,
                 )
             )
+        return mgr
+
+    def start_chained(self, trades: DataFrame, await_timeout_s: float = 600) -> SinkManager:
+        """True medallion chaining (SURVEY §7 risk 5): silver READS the
+        bronze table and gold READS silver, so the upstream source is
+        scanned exactly once instead of once per sink (the fan-out form
+        re-reads the source 4x — at 100 TB the difference is 3 extra
+        full passes over the ingest topic).
+
+        With an availableNow trigger the layers drain SEQUENTIALLY
+        (bronze fully lands, then silver streams bronze's files, then
+        gold) — the backfill/replay shape.  With a processingTime
+        trigger the three queries run concurrently and files flow down
+        the chain with one trigger of added latency per layer — the
+        continuous shape (pass await_timeout_s=0 to skip the drain wait
+        and manage the returned queries yourself).
+
+        Layer contracts match `_start` (same transformations, same
+        idempotent batch_id sinks); checkpoints live under
+        `_checkpoints/chained_*` so a job can switch modes without
+        colliding with fan-out state.
+        """
+        spark = trades.sparkSession
+        sequential = "availableNow" in self.trigger
+        mgr = SinkManager()
+
+        def _await_if_sequential(q):
+            if sequential and await_timeout_s:
+                q.awaitTermination(await_timeout_s)
+
+        bronze_dir = os.path.join(self.out_dir, "bronze")
+        silver_dir = os.path.join(self.out_dir, "silver")
+        # the file streaming source requires its input dir to exist at
+        # stream start (concurrent processingTime mode starts all layers
+        # at once, before bronze commits its first batch)
+        os.makedirs(bronze_dir, exist_ok=True)
+        os.makedirs(silver_dir, exist_ok=True)
+
+        marked = trades.withWatermark("event_time", self.watermark)
+        bronze = to_bronze(marked)
+        q_bronze = mgr.add(
+            parquet_sink(
+                bronze,
+                bronze_dir,
+                self.checkpoints(),
+                "chained_bronze",
+                output_mode="append",
+                trigger=self.trigger,
+                partition_by=["trade_date"],
+            )
+        )
+        _await_if_sequential(q_bronze)
+
+        # silver: stream the bronze TABLE (schema derived from the same
+        # transformation applied to an empty frame — single source of truth)
+        bronze_schema = to_bronze(spark.createDataFrame([], trades.schema)).schema
+        bronze_stream = (
+            spark.readStream.schema(bronze_schema)
+            .option("basePath", bronze_dir)
+            .parquet(bronze_dir)
+            .drop("batch_id")  # sink-internal partition column, not table data
+        )
+        checked = with_validation_errors(
+            bronze_stream.withWatermark("event_time", self.watermark)
+        )
+        if self.dead_letters:
+            dead = dead_letter_records(checked.filter(F.size("errors") > 0))
+            mgr.add(
+                parquet_sink(
+                    dead,
+                    os.path.join(self.out_dir, "dead_letters"),
+                    self.checkpoints(),
+                    "chained_dead_letters",
+                    output_mode="append",
+                    trigger=self.trigger,
+                )
+            )
+        valid = checked.filter(F.size("errors") == 0).drop("errors")
+        silver = valid.dropDuplicatesWithinWatermark(["symbol", "timestamp"])
+        q_silver = mgr.add(
+            parquet_sink(
+                silver,
+                silver_dir,
+                self.checkpoints(),
+                "chained_silver",
+                output_mode="append",
+                trigger=self.trigger,
+                partition_by=["trade_date"],
+            )
+        )
+        _await_if_sequential(q_silver)
+
+        # gold: stream the silver TABLE
+        silver_schema = silver.schema
+        silver_stream = (
+            spark.readStream.schema(silver_schema)
+            .option("basePath", silver_dir)
+            .parquet(silver_dir)
+            .drop("batch_id")
+        )
+        gold = ohlcv(
+            silver_stream.withWatermark("event_time", self.watermark), self.gold_window
+        )
+        q_gold = mgr.add(
+            parquet_sink(
+                gold,
+                os.path.join(self.out_dir, "gold_5m"),
+                self.checkpoints(),
+                "chained_gold_5m",
+                output_mode="update",
+                trigger=self.trigger,
+            )
+        )
+        _await_if_sequential(q_gold)
         return mgr
 
 

@@ -129,13 +129,26 @@ class SinkManager:
 
     def await_all(self, timeout_s: float | None = None) -> bool:
         """Wait until every query stops (availableNow completes) or the
-        per-query timeout elapses. Returns True if all stopped."""
+        overall deadline elapses. Returns True if all stopped.
+
+        `timeout_s` is one wall-clock budget for the whole fan-out, not
+        per query: a shrinking remainder is passed to each successive
+        awaitTermination, so N queries can never block N * timeout_s.
+        """
+        if timeout_s is None:
+            for q in self._queries.values():
+                q.awaitTermination()
+            return True
+        import time
+
+        deadline = time.monotonic() + timeout_s
         all_done = True
         for q in self._queries.values():
-            if timeout_s is None:
-                q.awaitTermination()
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                all_done = all_done and not q.isActive
             else:
-                all_done = q.awaitTermination(timeout_s) and all_done
+                all_done = q.awaitTermination(remaining) and all_done
         return all_done
 
     def status(self) -> dict[str, dict]:

@@ -61,7 +61,12 @@ def _update_latest(
         for row in pdf.itertuples(index=False):
             ts = int(row.timestamp)
             if last_ts is None or ts >= last_ts:
-                if last_price is not None and ts != last_ts:
+                # every accepted row is a distinct trade, equal-ms
+                # included (batch latest_prices parity: its event_id
+                # tiebreak treats the other equal-ts row as the
+                # previous trade). Exact-duplicate suppression is the
+                # upstream dedup's job, not this operator's.
+                if last_price is not None:
                     prev_price = last_price
                 last_price = float(row.price)
                 last_volume = int(row.volume)
@@ -128,7 +133,12 @@ class _LatestPriceProcessor:
             for row in pdf.itertuples(index=False):
                 ts = int(row.timestamp)
                 if last_ts is None or ts >= last_ts:
-                    if last_price is not None and ts != last_ts:
+                    # every accepted row is a distinct trade, equal-ms
+                    # included (batch latest_prices parity: its event_id
+                    # tiebreak treats the other equal-ts row as the
+                    # previous trade). Exact-duplicate suppression is the
+                    # upstream dedup's job, not this operator's.
+                    if last_price is not None:
                         prev_price = last_price
                     last_price = float(row.price)
                     last_volume = int(row.volume)

@@ -22,16 +22,17 @@ def test_no_accidental_cross_products(spark, name):
     plan = physical_plan(QUERIES[name](spark, SF_DIR), "simple")
     if name in ALLPAIRS_OK:
         return
-    assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
-    # BroadcastNestedLoopJoin is legitimate only when the broadcast side is
-    # bounded-tiny: the knn query-vector set, or a 1-row scalar aggregate
-    if "BroadcastNestedLoopJoin" in plan:
-        assert name in {"knn_bruteforce", "orders_vs_avg"}, f"{name} uses nested-loop join"
+    # CartesianProduct / BroadcastNestedLoopJoin are legitimate only when
+    # one side is bounded-tiny by construction: the knn query-vector set,
+    # or a 1-row scalar aggregate (orders_vs_avg, pipeline_status)
+    one_row_side_ok = {"knn_bruteforce", "orders_vs_avg", "pipeline_status"}
+    if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+        assert name in one_row_side_ok, f"{name} has an unbounded non-equi join"
 
 
 def test_text_queries_do_not_read_unused_doc_columns(spark):
     from real_time_financial_market_data_pipeline_spark.plans.inspect import scan_read_schemas
 
-    # doc_quality needs only doc_id + text — lang/source/n_chars pruned
-    schemas = " ".join(scan_read_schemas(QUERIES["doc_quality"](spark, SF_DIR)))
-    assert "source" not in schemas and "n_chars" not in schemas
+    # doc_profile needs doc_id/lang/n_chars/text — `source` pruned
+    schemas = " ".join(scan_read_schemas(QUERIES["doc_profile"](spark, SF_DIR)))
+    assert "source" not in schemas

@@ -106,3 +106,78 @@ def test_asof_join_invariants(spark, left_offs, right_offs):
         else:
             row_off = int((r["event_time"] - BASE).total_seconds())
             assert not [o for o in right_offs if o <= row_off]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    sigs=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=2,
+        max_size=24,
+        unique=True,
+    )
+)
+def test_hamming_pairs_multi_segment_equivalence(spark, sigs):
+    """Generalized pigeonhole blocking is exact: min_agree=2 (wide
+    segments, pair keys — the billion-doc bucket-occupancy fix) returns
+    IDENTICAL pairs to the classic min_agree=1 blocking at radius 3."""
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import hamming_pairs
+
+    # salt in some near-duplicates: flip 1-3 bits of the first signature
+    base = sigs[0]
+    salted = sigs + [base ^ 0b1, base ^ (1 << 20) ^ (1 << 45), base ^ 0b111]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(dict.fromkeys(salted))], "id long, simhash long"
+    )
+    classic = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_pairs(df, max_distance=3, min_agree=1).collect()
+    }
+    wide = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_pairs(df, max_distance=3, min_agree=2).collect()
+    }
+    assert classic == wide
+    # the salted 1-3 bit flips must all be found (completeness)
+    assert sum(1 for a, b, h in wide if a == 0 or b == 0) >= 3
+
+
+def test_minhash_rejects_bad_band_config(spark):
+    import pytest as _pytest
+
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import minhash_near_dup_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="bands"):
+        minhash_near_dup_pairs(df, num_hashes=16, bands=5)
+    with _pytest.raises(ValueError, match="bands"):
+        minhash_near_dup_pairs(df, num_hashes=16, bands=32)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=30), min_size=1, max_size=4),
+    cap=st.integers(min_value=1, max_value=12),
+)
+def test_bounded_ordered_path_cap(spark, sizes, cap):
+    """bounded_ordered_path == unbounded ordered path truncated to cap,
+    with the FULL group count preserved — for any group sizes and cap."""
+    from real_time_financial_market_data_pipeline_spark.operators.topk import bounded_ordered_path
+
+    rows = [
+        (g, i, float(g * 1000 + i))
+        for g, size in enumerate(sizes)
+        for i in range(size)
+    ]
+    df = spark.createDataFrame(rows, "grp int, seq int, val double")
+    out = {
+        r["grp"]: r
+        for r in bounded_ordered_path(
+            df, ["grp"], ["seq"], "val", cap=cap, path_col="path", count_col="n"
+        ).collect()
+    }
+    for g, size in enumerate(sizes):
+        expect_path = [float(g * 1000 + i) for i in range(min(size, cap))]
+        assert out[g]["path"] == expect_path, (g, cap)
+        assert out[g]["n"] == size
+        assert len(out[g]["path"]) <= cap

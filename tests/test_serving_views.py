@@ -66,3 +66,56 @@ def test_market_hours_predicate(spark):
     )
     got = [r["open"] for r in df.select(is_regular_market_hours(F.col("ts")).alias("open")).collect()]
     assert got == [e for _, e in rows]
+
+
+def test_market_calendar_reference_parity(spark):
+    """Holiday calendar + extended sessions vs the reference's
+    MarketHours semantics (reference src/utils/time_utils.py:23-60):
+    every probe is (utc_ts, expected_session)."""
+    from real_time_financial_market_data_pipeline_spark.functions.timeutils import (
+        MARKET_HOLIDAYS_2024_2025,
+        is_extended_market_hours,
+        is_market_holiday,
+        is_market_open,
+        market_session,
+    )
+
+    assert len(MARKET_HOLIDAYS_2024_2025) == 20  # 10 per year, 2024 + 2025
+
+    probes = [
+        # MLK Day 2024 (Mon Jan 15): holiday — closed even at 10:00 ET
+        ("2024-01-15 15:00:00", "closed"),
+        # New Year's Day 2024: holiday
+        ("2024-01-01 15:00:00", "closed"),
+        # Tue Jan 16 2024, 10:00 ET: regular
+        ("2024-01-16 15:00:00", "regular"),
+        # Tue Jan 16 2024, 08:00 ET: pre-market
+        ("2024-01-16 13:00:00", "pre_market"),
+        # Tue Jan 16 2024, 03:59 ET: before pre-market -> closed
+        ("2024-01-16 08:59:00", "closed"),
+        # Tue Jan 16 2024, 16:30 ET: after-hours
+        ("2024-01-16 21:30:00", "after_hours"),
+        # Tue Jan 16 2024, 20:00 ET: after-hours closed (half-open)
+        ("2024-01-17 01:00:00", "closed"),
+        # Saturday
+        ("2024-01-13 15:00:00", "closed"),
+        # July 4 2025 (Fri): holiday, and DST (EDT = UTC-4): 14:00 UTC = 10:00 ET
+        ("2025-07-04 14:00:00", "closed"),
+        # Thu July 3 2025, 10:00 ET during DST: regular
+        ("2025-07-03 14:00:00", "regular"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in probes], "ts_str string").select(
+        F.col("ts_str").cast("timestamp").alias("ts")
+    )
+    got = df.select(
+        market_session(F.col("ts")).alias("session"),
+        is_market_holiday(F.col("ts")).alias("holiday"),
+        is_extended_market_hours(F.col("ts")).alias("ext"),
+        is_market_open(F.col("ts"), include_extended=True).alias("open_ext"),
+    ).collect()
+    for (ts, want), row in zip(probes, got):
+        assert row["session"] == want, f"{ts}: got {row['session']}, want {want}"
+        assert row["ext"] == (want in ("pre_market", "after_hours")), ts
+        assert row["open_ext"] == (want != "closed"), ts
+    # holiday flag specifically
+    assert got[0]["holiday"] and got[1]["holiday"] and not got[2]["holiday"]

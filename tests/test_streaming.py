@@ -36,7 +36,7 @@ def run_job(spark, feed_dir, out_dir, watermark="10 minutes"):
     mgr = job.start(trades)
     assert mgr.await_all(timeout_s=120)
     status = mgr.status()
-    assert set(status) == {"bronze", "silver", "gold_5m", "gold_1h"}
+    assert set(status) == {"bronze", "silver", "gold_5m", "gold_1h", "dead_letters"}
     return job
 
 
@@ -154,3 +154,80 @@ def test_late_data_dropped_past_watermark(spark, feed_and_out):
     # ...but the late row still landed in bronze (raw layer keeps all)
     bronze = spark.read.parquet(os.path.join(out_dir, "bronze"))
     assert bronze.filter(F.col("price") == 1.0).count() == 1
+
+
+def test_dead_letters_routed_not_silvered(spark, feed_and_out):
+    """Invalid rows land in dead_letters with error labels and are
+    absent from silver (streaming F4 — the reference's dead-letter topic
+    fan-out, src/producer/pipeline.py:120-126)."""
+    feed_dir, out_dir = feed_and_out
+    write_feed(
+        feed_dir,
+        [
+            [
+                {"s": "AAPL", "p": 150.25, "v": 100, "t": T0},
+                {"s": "AAPL", "p": 0.0, "v": 10, "t": T0 + 300},      # negative_price
+                {"s": "MSFT", "p": 310.0, "v": 0, "t": T0 + 400},     # volume_zero
+                {"s": "MSFT", "p": 311.0, "v": 20, "t": T0 + 500},
+            ]
+        ],
+    )
+    trades = read_trade_stream(spark, feed_dir)
+    job = MedallionStreamJob(out_dir=out_dir)
+    mgr = job.start(trades)
+    assert mgr.await_all(timeout_s=120)
+
+    dead = spark.read.parquet(os.path.join(out_dir, "dead_letters"))
+    assert dead.count() == 2
+    errs = {e for r in dead.select("errors").collect() for e in r["errors"]}
+    assert errs == {"negative_price", "volume_zero"}
+    # envelope carries the original row as JSON
+    originals = [json.loads(r["original"]) for r in dead.select("original").collect()]
+    assert {o["symbol"] for o in originals} == {"AAPL", "MSFT"}
+
+    silver = spark.read.parquet(os.path.join(out_dir, "silver"))
+    assert silver.count() == 2  # only the two valid trades
+    assert silver.filter((F.col("price") <= 0) | (F.col("volume") <= 0)).count() == 0
+
+
+def test_chained_medallion_single_source_read(spark, feed_and_out):
+    """start_chained: silver reads the bronze TABLE and gold reads
+    silver (one source scan total); layer contents match the fan-out
+    contract — valid deduped silver, golden OHLCV bar values."""
+    feed_dir, out_dir = feed_and_out
+    write_feed(
+        feed_dir,
+        [
+            [
+                {"s": "AAPL", "p": 150.25, "v": 100, "t": T0},
+                {"s": "AAPL", "p": 150.30, "v": 50, "t": T0 + 100},
+                {"s": "AAPL", "p": 150.10, "v": 25, "t": T0 + 200},
+                {"s": "AAPL", "p": 150.10, "v": 25, "t": T0 + 200},  # dup
+                {"s": "AAPL", "p": 0.0, "v": 10, "t": T0 + 300},     # invalid
+            ]
+        ],
+    )
+    trades = read_trade_stream(spark, feed_dir)
+    job = MedallionStreamJob(out_dir=out_dir)
+    mgr = job.start(trades, chained=True)
+    assert mgr.await_all(timeout_s=120)
+    assert set(mgr.status()) == {
+        "chained_bronze",
+        "chained_silver",
+        "chained_gold_5m",
+        "chained_dead_letters",
+    }
+
+    assert spark.read.parquet(os.path.join(out_dir, "bronze")).count() == 5
+    silver = spark.read.parquet(os.path.join(out_dir, "silver"))
+    assert silver.count() == 3  # dup collapsed, invalid dead-lettered
+    assert spark.read.parquet(os.path.join(out_dir, "dead_letters")).count() == 1
+
+    gold = latest_state_on_read(
+        spark.read.parquet(os.path.join(out_dir, "gold_5m")),
+        ["symbol", "window_start"],
+    )
+    bar = gold.filter(F.col("symbol") == "AAPL").collect()[0]
+    assert bar["open"] == 150.25 and bar["close"] == 150.10
+    assert bar["high"] == 150.30 and bar["low"] == 150.10
+    assert bar["volume"] == 175 and bar["trade_count"] == 3

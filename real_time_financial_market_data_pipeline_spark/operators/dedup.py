@@ -315,3 +315,52 @@ def hamming_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_distance)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Cluster near-duplicate PAIRS into components: (node, cluster_id)
+    where cluster_id = the minimum id reachable from the node — the
+    step that turns pairwise dedup output into "keep one doc per
+    cluster" (keeper = the node whose id equals its cluster_id).
+
+    Min-label propagation: each iteration joins labels across edges and
+    takes the per-node minimum — one shuffle join + one hash aggregate
+    per round, all distributed (the driver loop only runs a cheap
+    convergence probe).  Converges in <= component-diameter iterations;
+    near-dup clusters are shallow (a doc family resembling each other),
+    so this is 2-4 rounds in practice.  A corpus with adversarially long
+    chains would want the alternating large-star/small-star variant
+    (O(log n) rounds) — same join/agg building blocks.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iters):
+        nbr = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), "label"
+        )
+        new_labels = (
+            labels.unionByName(nbr).groupBy("node").agg(F.min("label").alias("label")).persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))

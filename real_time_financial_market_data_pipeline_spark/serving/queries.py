@@ -753,6 +753,66 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.withColumn("jaccard", F.round("jaccard", 6))
 
 
+@query(
+    "near_dup_clusters",
+    oracle="""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct(list_filter(
+           list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+                          i -> array_to_string(tk[i:i+2], ' ')),
+           g -> g <> '')) AS grams
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+    FROM documents
+    WHERE doc_id < 200
+  )
+  WHERE len(tk) > 0
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.2
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+)
+SELECT a AS doc_id,
+       least(a, min(b)) AS cluster_id,
+       a = least(a, min(b)) AS is_keeper
+FROM reach
+GROUP BY a
+""",
+)
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS folded into CLUSTERS via distributed min-label
+    propagation (operators.dedup.connected_components) — the step that
+    turns pairwise similarity output into "keep one document per
+    duplicate family" (keeper = the minimum doc_id of its component).
+    The oracle computes the same components with a recursive
+    transitive-closure CTE — an iterative Spark algorithm checked
+    against declarative recursive SQL."""
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2)
+    comps = connected_components(pairs)
+    return comps.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
 @query("minhash_near_dups")  # LSH is probabilistic-recall → rows-only check
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -1264,38 +1324,45 @@ def q_ohlcv_5m_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "cube_returns",
+    "multidim_aggregates",
     oracle="""
-SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 4) AS sum_qty,
-       count(*) AS n
+SELECT 'cube' AS shape, l_returnflag AS dim1, l_linestatus AS dim2,
+       round(sum(l_quantity), 4) AS metric, count(*) AS n
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
-""",
-)
-def q_cube_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 4).alias("sum_qty"), F.count(F.lit(1)).alias("n")
-    )
-
-
-@query(
-    "rollup_order_priority",
-    oracle="""
-SELECT o_orderpriority, o_orderstatus,
-       round(sum(o_totalprice), 4) AS total_price,
-       count(*) AS n_orders
+UNION ALL
+SELECT 'rollup', o_orderpriority, o_orderstatus,
+       round(sum(o_totalprice), 4), count(*)
 FROM orders
 GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """,
 )
-def q_rollup_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_multidim_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE and ROLLUP grouping-set coverage in one driver slot (merged
+    from the former cube_returns + rollup_order_priority queries),
+    labeled by shape and unioned over generic dimension columns."""
+    li = load_table(spark, sf_dir, "lineitem")
     od = load_table(spark, sf_dir, "orders")
-    return od.rollup("o_orderpriority", "o_orderstatus").agg(
-        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
-        F.count(F.lit(1)).alias("n_orders"),
+    cube = li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("metric"), F.count(F.lit(1)).alias("n")
+    ).select(
+        F.lit("cube").alias("shape"),
+        F.col("l_returnflag").alias("dim1"),
+        F.col("l_linestatus").alias("dim2"),
+        "metric",
+        "n",
     )
+    rollup = od.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.round(F.sum("o_totalprice"), 4).alias("metric"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        F.lit("rollup").alias("shape"),
+        F.col("o_orderpriority").alias("dim1"),
+        F.col("o_orderstatus").alias("dim2"),
+        "metric",
+        "n",
+    )
+    return cube.unionAll(rollup)
 
 
 @query(

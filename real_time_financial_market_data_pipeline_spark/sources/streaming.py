@@ -101,6 +101,32 @@ def kafka_trade_stream(
     return _normalize_wire(parsed)
 
 
+def socket_trade_stream(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """TCP socket source: one JSON wire record per line — the closest
+    built-in stand-in for the reference's WebSocket feed (S2,
+    src/producer/finnhub_client.py): a push-based line protocol carrying
+    the same {"s","p","v","t","c"} records.  The WS-specific concerns
+    (auth, subscribe messages, exponential-backoff reconnect,
+    finnhub_client.py:121-133) are client-process duties outside the
+    engine; anything that can speak line-JSON over TCP (e.g. a 10-line
+    websocket->socket bridge) feeds this source.
+
+    The socket source is not replayable and keeps no offsets — dev/test
+    only (same caveat Spark's docs attach); production ingest is the
+    Kafka source (S1).
+    """
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    parsed = raw.select(
+        F.from_json(F.col("value"), TRADE_WIRE_SCHEMA).alias("trade")
+    ).select("trade.*")
+    return _normalize_wire(parsed)
+
+
 def union_trade_streams(*streams: DataFrame) -> DataFrame:
     """Merge multiple normalized trade feeds (e.g. equities + crypto —
     the reference's trades_raw + crypto_raw topics) into one stream.

@@ -14,7 +14,14 @@ from real_time_financial_market_data_pipeline_spark.serving.queries import QUERI
 from tests.conftest import SF_DIR
 
 # exact all-pairs ground-truth operators: quadratic by contract
-ALLPAIRS_OK = {"ngram_jaccard_pairs", "embedding_near_dups", "fuzzy_name_pairs"}
+# (near_dup_clusters inherits the cross join from its ngram-pairs input —
+# the clustering itself is equi-join + hash-agg rounds)
+ALLPAIRS_OK = {
+    "ngram_jaccard_pairs",
+    "embedding_near_dups",
+    "fuzzy_name_pairs",
+    "near_dup_clusters",
+}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

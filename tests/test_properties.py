@@ -181,3 +181,43 @@ def test_bounded_ordered_path_cap(spark, sizes, cap):
         assert out[g]["path"] == expect_path, (g, cap)
         assert out[g]["n"] == size
         assert len(out[g]["path"]) <= cap
+
+
+@settings(max_examples=3, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed min-label propagation == textbook union-find on any
+    random small graph (including chains longer than one hop)."""
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {
+        r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+    assert got == want

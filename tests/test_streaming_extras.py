@@ -186,3 +186,114 @@ def test_kafka_wire_roundtrip_shape(spark):
         T0,
         ["1", "12"],
     )
+
+
+def test_socket_trade_stream_live(spark, tmp_path):
+    """Drive the socket source (S2 stand-in for the WebSocket feed) with
+    a real TCP server pushing line-JSON trades; rows must arrive parsed
+    and normalized in the memory sink."""
+    import socket
+    import threading
+
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import socket_trade_stream
+
+    records = [
+        {"s": "AAPL", "p": 150.25, "v": 100, "t": T0, "c": ["1"]},
+        {"s": "MSFT", "p": 380.0, "v": 200, "t": T0 // 1000},  # seconds → ms
+    ]
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            payload = "".join(json.dumps(r) + "\n" for r in records)
+            conn.sendall(payload.encode())
+            time.sleep(8)  # keep the connection up while the stream polls
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    try:
+        trades = socket_trade_stream(spark, "127.0.0.1", port)
+        q = (
+            trades.writeStream.format("memory")
+            .queryName("socket_trades")
+            .outputMode("append")
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.monotonic() + 30
+            while time.monotonic() < deadline:
+                if spark.sql("SELECT count(*) n FROM socket_trades").collect()[0]["n"] >= 2:
+                    break
+                time.sleep(0.5)
+            rows = {r["symbol"]: r for r in spark.sql("SELECT * FROM socket_trades").collect()}
+            assert set(rows) == {"AAPL", "MSFT"}
+            assert rows["AAPL"]["price"] == 150.25 and rows["AAPL"]["conditions"] == ["1"]
+            assert rows["MSFT"]["timestamp"] == (T0 // 1000) * 1000  # normalized
+        finally:
+            q.stop()
+    finally:
+        srv.close()
+
+
+def test_avro_governance_and_gated_wire():
+    """Avro module: schema constants mirror the reference's avsc files;
+    BACKWARD compatibility rules enforced in pure Python; the wire half
+    raises a clear error when spark-avro is absent (this container)."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from real_time_financial_market_data_pipeline_spark.functions.avro import (
+        QUOTE_AVRO_SCHEMA,
+        TRADE_AVRO_SCHEMA,
+        backward_incompatibilities,
+        is_backward_compatible,
+    )
+
+    trade = _json.loads(TRADE_AVRO_SCHEMA)
+    assert [f["name"] for f in trade["fields"]] == [
+        "symbol", "price", "volume", "timestamp", "conditions", "ingestion_time",
+    ]
+    assert _json.loads(QUOTE_AVRO_SCHEMA)["fields"][1]["name"] == "bid_price"
+
+    # adding a defaulted field is BACKWARD compatible…
+    evolved = dict(trade)
+    evolved["fields"] = trade["fields"] + [
+        {"name": "venue", "type": "string", "default": "UNKNOWN"}
+    ]
+    assert is_backward_compatible(trade, evolved)
+    # …adding one WITHOUT a default is not
+    bad = dict(trade)
+    bad["fields"] = trade["fields"] + [{"name": "venue", "type": "string"}]
+    assert not is_backward_compatible(trade, bad)
+    # …and narrowing a type (long -> int) is not, while widening is
+    narrowed = _json.loads(TRADE_AVRO_SCHEMA)
+    narrowed["fields"][2]["type"] = "int"  # volume long -> int
+    assert "volume" in backward_incompatibilities(trade, narrowed)[0]
+    widened = _json.loads(TRADE_AVRO_SCHEMA)
+    widened["fields"][1]["type"] = "double"  # price double -> double (noop ok)
+    assert is_backward_compatible(trade, widened)
+
+
+def test_avro_wire_raises_without_package(spark):
+    import pytest as _pytest
+
+    from real_time_financial_market_data_pipeline_spark.functions.avro import avro_available, trades_to_avro
+
+    df = spark.createDataFrame(
+        [("AAPL", 1.0, 1, T0, [], T0)],
+        "symbol string, price double, volume long, timestamp long, "
+        "conditions array<string>, ingestion_time long",
+    )
+    if avro_available(spark):
+        out = df.select(trades_to_avro(df))
+        assert out.schema[0].dataType.typeName() == "binary"
+    else:
+        with _pytest.raises(ModuleNotFoundError, match="spark-avro"):
+            trades_to_avro(df)

@@ -166,3 +166,57 @@ class SinkManager:
         for q in self._queries.values():
             if q.isActive:
                 q.stop()
+
+
+def compact_latest_state(spark, path: str, key_cols: list[str]) -> int:
+    """Fold an update-mode sink's accumulated `batch_id=<n>` emission
+    directories into ONE resolved snapshot directory (per-key latest by
+    batch_id — same semantics readers get from latest_state_on_read).
+
+    Why: every micro-batch adds a directory; after a week at a 10 s
+    trigger that is ~60k directories and file listing dominates read
+    cost.  Compaction restores O(1) listing while keeping the
+    resolve-on-read contract intact (the snapshot lands as the highest
+    seen batch_id, so later stream restarts append above it and
+    latest_state_on_read keeps working unchanged).
+
+    Crash-safe two-phase protocol (run with the stream STOPPED, like any
+    table OPTIMIZE):
+      1. stage: write the resolved snapshot to `_compact_inprogress`,
+         then atomically rename it to `_compact_staged_<maxid>` —
+         underscore-prefixed dirs are invisible to parquet readers, and
+         the rename is the completeness marker;
+      2. publish: delete the old batch_id dirs, rename the staged dir to
+         `batch_id=<maxid>`.
+    A crash in phase 1 leaves the table untouched (partial staging is
+    never marked complete); a re-run after a crash in phase 2 detects
+    the staged marker, skips recompute, and finishes the deletes+rename.
+
+    Returns the number of batch directories folded.
+    """
+    import re
+    import shutil
+
+    staged = [d for d in os.listdir(path) if d.startswith("_compact_staged_")]
+    if staged:  # crashed mid-publish: finish from the completed stage
+        max_id = int(staged[0].rsplit("_", 1)[-1])
+        staged_dir = os.path.join(path, staged[0])
+    else:
+        batch_dirs = [d for d in os.listdir(path) if re.fullmatch(r"batch_id=\d+", d)]
+        if len(batch_dirs) <= 1:
+            return 0
+        max_id = max(int(d.split("=")[1]) for d in batch_dirs)
+        inprog = os.path.join(path, "_compact_inprogress")
+        shutil.rmtree(inprog, ignore_errors=True)
+        resolved = latest_state_on_read(spark.read.parquet(path), key_cols)
+        resolved.write.mode("overwrite").parquet(inprog)
+        staged_dir = os.path.join(path, f"_compact_staged_{max_id}")
+        os.rename(inprog, staged_dir)  # atomic completeness marker
+
+    folded = 0
+    for d in os.listdir(path):
+        if re.fullmatch(r"batch_id=\d+", d):
+            shutil.rmtree(os.path.join(path, d))
+            folded += 1
+    os.rename(staged_dir, os.path.join(path, f"batch_id={max_id}"))
+    return folded

@@ -81,3 +81,26 @@ def test_metadata_query_prunes_props(spark):
     q = QUERIES["distinct_users_by_type"](spark, SF_DIR)
     schemas = " ".join(scan_read_schemas(q))
     assert "props" not in schemas
+
+
+def test_interval_join_is_equi_join_not_nested_loop(spark):
+    """Without ANY equality key, a raw time-range join can only run as
+    nested-loop; the bucketized interval join must plan as a hash/merge
+    EQUI-join on the bucket key."""
+    from datetime import datetime, timedelta
+
+    from real_time_financial_market_data_pipeline_spark.operators.rangejoin import interval_join
+    from real_time_financial_market_data_pipeline_spark.plans.inspect import physical_plan
+
+    t0 = datetime(2024, 1, 15, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(i, t0 + timedelta(seconds=i * 10)) for i in range(100)],
+        "lid int, event_time timestamp",
+    )
+    right = spark.createDataFrame(
+        [(i, t0 + timedelta(seconds=i * 7)) for i in range(100)],
+        "rid int, event_time timestamp",
+    )
+    plan = physical_plan(interval_join(left, right, max_gap_seconds=60), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan  # it IS a join — an equi hash/sort-merge one

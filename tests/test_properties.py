@@ -221,3 +221,39 @@ def test_connected_components_matches_union_find(spark, edges):
         union(a, b)
     want = {n: find(n) for n in parent}
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    l_offs=st.lists(st.integers(0, 3600), min_size=1, max_size=15),
+    r_offs=st.lists(st.integers(0, 3600), min_size=1, max_size=15),
+    gap=st.sampled_from([30, 120, 600]),
+)
+def test_interval_join_matches_naive(spark, l_offs, r_offs, gap):
+    """Bucketized interval join returns EXACTLY the naive theta join's
+    pairs for any inputs/gap (no dup from the 2-bucket explode, no miss
+    at bucket boundaries)."""
+    from datetime import datetime, timedelta
+
+    from real_time_financial_market_data_pipeline_spark.operators.rangejoin import interval_join
+
+    t0 = datetime(2024, 1, 15, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(i, t0 + timedelta(seconds=o)) for i, o in enumerate(l_offs)],
+        "lid int, event_time timestamp",
+    )
+    right = spark.createDataFrame(
+        [(i, t0 + timedelta(seconds=o)) for i, o in enumerate(r_offs)],
+        "rid int, event_time timestamp",
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_join(left, right, max_gap_seconds=gap).collect()
+    }
+    want = {
+        (i, j)
+        for i, lo in enumerate(l_offs)
+        for j, ro in enumerate(r_offs)
+        if lo - gap < ro <= lo
+    }
+    assert got == want

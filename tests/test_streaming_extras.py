@@ -297,3 +297,77 @@ def test_avro_wire_raises_without_package(spark):
     else:
         with _pytest.raises(ModuleNotFoundError, match="spark-avro"):
             trades_to_avro(df)
+
+
+def test_compact_latest_state(spark, tmp_path):
+    """Compaction folds N batch_id dirs into one snapshot with identical
+    resolve-on-read results, and resumes correctly after a simulated
+    crash between staging and publish."""
+    import shutil
+
+    from real_time_financial_market_data_pipeline_spark.streaming.sinks import (
+        compact_latest_state,
+        latest_state_on_read,
+    )
+
+    path = str(tmp_path / "gold")
+    # 4 micro-batch emissions: AAPL updated every batch, MSFT in 0 and 2
+    emissions = {
+        0: [("AAPL", 100.0), ("MSFT", 300.0)],
+        1: [("AAPL", 101.0)],
+        2: [("AAPL", 102.0), ("MSFT", 302.0)],
+        3: [("AAPL", 103.0)],
+    }
+    for bid, rows in emissions.items():
+        spark.createDataFrame(rows, "symbol string, price double").write.parquet(
+            os.path.join(path, f"batch_id={bid}")
+        )
+
+    before = {
+        r["symbol"]: r["price"]
+        for r in latest_state_on_read(spark.read.parquet(path), ["symbol"]).collect()
+    }
+    assert before == {"AAPL": 103.0, "MSFT": 302.0}
+
+    folded = compact_latest_state(spark, path, ["symbol"])
+    assert folded == 4
+    dirs = [d for d in os.listdir(path) if d.startswith("batch_id=")]
+    assert dirs == ["batch_id=3"]
+    after = {
+        r["symbol"]: r["price"]
+        for r in latest_state_on_read(spark.read.parquet(path), ["symbol"]).collect()
+    }
+    assert after == before
+
+    # a later micro-batch still wins over the snapshot
+    spark.createDataFrame([("AAPL", 104.0)], "symbol string, price double").write.parquet(
+        os.path.join(path, "batch_id=4")
+    )
+    assert (
+        latest_state_on_read(spark.read.parquet(path), ["symbol"])
+        .filter(F.col("symbol") == "AAPL")
+        .collect()[0]["price"]
+        == 104.0
+    )
+
+    # crash between staging and publish: stage dir exists, batch dirs too
+    path2 = str(tmp_path / "gold2")
+    for bid, rows in emissions.items():
+        spark.createDataFrame(rows, "symbol string, price double").write.parquet(
+            os.path.join(path2, f"batch_id={bid}")
+        )
+    resolved = latest_state_on_read(spark.read.parquet(path2), ["symbol"])
+    resolved.write.parquet(os.path.join(path2, "_compact_inprogress"))
+    os.rename(
+        os.path.join(path2, "_compact_inprogress"),
+        os.path.join(path2, "_compact_staged_3"),
+    )
+    shutil.rmtree(os.path.join(path2, "batch_id=0"))  # crash mid-delete
+    folded2 = compact_latest_state(spark, path2, ["symbol"])  # resume
+    assert folded2 == 3
+    assert [d for d in os.listdir(path2) if d.startswith("batch_id=")] == ["batch_id=3"]
+    resumed = {
+        r["symbol"]: r["price"]
+        for r in latest_state_on_read(spark.read.parquet(path2), ["symbol"]).collect()
+    }
+    assert resumed == {"AAPL": 103.0, "MSFT": 302.0}

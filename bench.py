@@ -35,6 +35,37 @@ HEADLINE = [
 ]
 
 
+def bench_streaming_chained(spark, sf_dir: str) -> float:
+    """Single-source-scan medallion (start_chained): bronze drains from
+    the feed, then silver streams the bronze TABLE, then gold streams
+    silver — the one-scan shape that matters when the source is a
+    100 TB topic.  Timed as a full sequential drain."""
+    import shutil
+    import tempfile
+
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_trade_stream
+    from real_time_financial_market_data_pipeline_spark.streaming.jobs import MedallionStreamJob
+    from real_time_financial_market_data_pipeline_spark.tables import load_table, trades_from_events
+
+    work = tempfile.mkdtemp(prefix="bench_chained_")
+    feed = os.path.join(work, "feed")
+    out = os.path.join(work, "out")
+    try:
+        trades = trades_from_events(load_table(spark, sf_dir, "events"))
+        (
+            trades.selectExpr("symbol AS s", "price AS p", "volume AS v", "timestamp AS t")
+            .repartition(10)
+            .write.json(feed)
+        )
+        t0 = time.perf_counter()
+        job = MedallionStreamJob(out_dir=out, trigger={"availableNow": True})
+        mgr = job.start(read_trade_stream(spark, feed), chained=True)
+        mgr.await_all(timeout_s=600)
+        return round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def bench_streaming_medallion(spark, sf_dir: str) -> tuple[float, int]:
     """End-to-end streaming envelope (BASELINE.md protocol): the events
     table replayed as a JSON trade feed through parse → validate → dedup
@@ -95,6 +126,9 @@ def main() -> None:
     # co-tenant load on this host can inflate a single drain 2-3x
     stream_s = min(bench_streaming_medallion(spark, sf_dir)[0] for _ in range(2))
     timings["streaming_medallion_10batches"] = stream_s
+    timings["streaming_medallion_chained"] = min(
+        bench_streaming_chained(spark, sf_dir) for _ in range(2)
+    )
 
     total = round(sum(timings.values()), 3)
     print(

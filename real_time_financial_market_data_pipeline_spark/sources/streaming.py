@@ -158,3 +158,20 @@ def rate_trade_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFr
         F.col("timestamp").alias("event_time"),
         F.to_date("timestamp").alias("trade_date"),
     )
+
+
+DOC_WIRE_DDL = "doc_id long, text string, lang string, source string"
+
+
+def read_doc_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-based streaming source over JSON-lines document records —
+    the ingest feed of the training-data pipeline (same schema-on-read
+    discipline as the trade feed)."""
+    reader = spark.readStream.schema(DOC_WIRE_DDL).format("json")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)

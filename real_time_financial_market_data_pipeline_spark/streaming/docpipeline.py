@@ -1,0 +1,91 @@
+"""Streaming training-data curation: the LLM-pipeline operator family
+(text metrics → exact dedup → quality gate → dataset split) run as ONE
+Structured Streaming job over a document feed.
+
+This is the streaming form of the batch doc_profile / dedup_exact_docs /
+dataset_split queries — same column expressions (unified DataFrame API),
+so batch and streaming curation can never drift.  State: the dedup
+keeps one fingerprint per watermark horizon (bounded by ingest rate x
+watermark, not corpus size); everything else is stateless projection.
+
+Layout: raw/ keeps every arriving doc (audit); curated/ holds deduped,
+quality-gated docs partitioned by split — the directory layout a
+training job consumes (train/ val/ test/ prefixes prune at the scan).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from real_time_financial_market_data_pipeline_spark.functions.text import (
+    detect_lang,
+    doc_fingerprint,
+    quality_score,
+    token_count,
+)
+from real_time_financial_market_data_pipeline_spark.operators.sampling import train_val_test_split
+from real_time_financial_market_data_pipeline_spark.streaming.sinks import SinkManager, parquet_sink
+
+
+@dataclass
+class DocStreamJob:
+    """Wire a document stream to raw + curated parquet tables."""
+
+    out_dir: str
+    watermark: str = "10 minutes"
+    quality_min: float = 0.5
+    val_frac: float = 0.1
+    test_frac: float = 0.1
+    trigger: dict = field(default_factory=lambda: {"availableNow": True})
+
+    def checkpoints(self) -> str:
+        return os.path.join(self.out_dir, "_checkpoints")
+
+    def start(self, docs: DataFrame) -> SinkManager:
+        marked = docs.withColumn("ingest_time", F.current_timestamp()).withWatermark(
+            "ingest_time", self.watermark
+        )
+        enriched = marked.select(
+            "*",
+            token_count(F.col("text")).cast("long").alias("n_tokens"),
+            quality_score(F.col("text")).alias("quality"),
+            detect_lang(F.col("text")).alias("lang_guess"),
+            doc_fingerprint(F.col("text")).alias("fingerprint"),
+        )
+        # exact streaming dedup on content fingerprint: the FIRST arrival
+        # survives; state bounded by the watermark horizon
+        deduped = enriched.dropDuplicatesWithinWatermark(["fingerprint"])
+        curated = train_val_test_split(
+            deduped.filter(F.col("quality") >= self.quality_min),
+            "doc_id",
+            val_frac=self.val_frac,
+            test_frac=self.test_frac,
+        )
+
+        mgr = SinkManager()
+        mgr.add(
+            parquet_sink(
+                enriched,
+                os.path.join(self.out_dir, "raw"),
+                self.checkpoints(),
+                "docs_raw",
+                output_mode="append",
+                trigger=self.trigger,
+            )
+        )
+        mgr.add(
+            parquet_sink(
+                curated,
+                os.path.join(self.out_dir, "curated"),
+                self.checkpoints(),
+                "docs_curated",
+                output_mode="append",
+                trigger=self.trigger,
+                partition_by=["split"],
+            )
+        )
+        return mgr

@@ -371,3 +371,50 @@ def test_compact_latest_state(spark, tmp_path):
         for r in latest_state_on_read(spark.read.parquet(path2), ["symbol"]).collect()
     }
     assert resumed == {"AAPL": 103.0, "MSFT": 302.0}
+
+
+def test_doc_stream_curation(spark, tmp_path):
+    """Streaming training-data curation: duplicate docs collapse (first
+    arrival wins), low-quality docs are gated out, survivors carry
+    metrics + a stable split, and curated/ is partitioned by split."""
+    from real_time_financial_market_data_pipeline_spark.streaming.docpipeline import DocStreamJob
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then it runs off "
+        "to the hills where it finds a quiet place to rest for a while"
+    )
+    feed = str(tmp_path / "feed")
+    out = str(tmp_path / "out")
+    os.makedirs(feed)
+    docs = [
+        {"doc_id": 1, "text": good, "lang": "en", "source": "a"},
+        {"doc_id": 2, "text": good, "lang": "en", "source": "b"},      # exact dup of 1
+        {"doc_id": 3, "text": "!!! ??? !!!", "lang": "en", "source": "a"},  # junk
+        {"doc_id": 4, "text": good + " truly unique tail content here okay", "lang": "en", "source": "a"},
+    ]
+    with open(os.path.join(feed, "f.json"), "w") as f:
+        for d in docs:
+            f.write(json.dumps(d) + "\n")
+
+    job = DocStreamJob(out_dir=out, quality_min=0.5)
+    mgr = job.start(read_doc_stream(spark, feed))
+    assert mgr.await_all(timeout_s=120)
+
+    raw = spark.read.parquet(os.path.join(out, "raw"))
+    assert raw.count() == 4  # audit layer keeps everything
+    assert {"n_tokens", "quality", "lang_guess", "fingerprint"} <= set(raw.columns)
+
+    curated = spark.read.parquet(os.path.join(out, "curated"))
+    ids = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    assert 3 not in ids                      # junk gated by quality
+    assert len(ids & {1, 2}) == 1            # dup family collapsed to one
+    assert 4 in ids
+    # split is present, valued, and derived from doc_id (stable)
+    splits = {r["doc_id"]: r["split"] for r in curated.select("doc_id", "split").collect()}
+    assert set(splits.values()) <= {"train", "val", "test"}
+    # partition layout: split=<val> directories under some batch dir
+    batch_dirs = [d for d in os.listdir(os.path.join(out, "curated")) if d.startswith("batch_id=")]
+    assert batch_dirs
+    sub = os.listdir(os.path.join(out, "curated", batch_dirs[0]))
+    assert any(s.startswith("split=") for s in sub)

@@ -128,3 +128,36 @@ def test_validation_split(spark):
     assert errs["neg_price"] == {"negative_price"}
     assert errs["future"] == {"future_timestamp"}
     assert errs["null_price"] == {"missing_field"}
+
+
+def test_new_operators_empty_and_degenerate_inputs(spark):
+    """Empty/degenerate inputs: no crashes, empty (or identity) outputs."""
+    from datetime import datetime
+
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import connected_components
+    from real_time_financial_market_data_pipeline_spark.operators.rangejoin import interval_join
+    from real_time_financial_market_data_pipeline_spark.operators.topk import bounded_ordered_path
+
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty_pairs).count() == 0
+
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 15, 12, 0, 0))], "lid int, event_time timestamp"
+    )
+    empty_right = spark.createDataFrame([], "rid int, event_time timestamp")
+    assert interval_join(left, empty_right, max_gap_seconds=60).count() == 0
+
+    empty_df = spark.createDataFrame([], "grp int, seq int, val double")
+    assert bounded_ordered_path(empty_df, ["grp"], ["seq"], "val", cap=5).count() == 0
+
+    # self-pair edge (a,a) must not corrupt clustering
+    loops = spark.createDataFrame([(7, 7), (7, 8)], "id_a long, id_b long")
+    got = {r["node"]: r["cluster_id"] for r in connected_components(loops).collect()}
+    assert got == {7: 7, 8: 7}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        interval_join(left, empty_right, max_gap_seconds=0)
+    with _pytest.raises(ValueError):
+        bounded_ordered_path(empty_df, ["grp"], ["seq"], "val", cap=0)

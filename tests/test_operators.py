@@ -161,3 +161,34 @@ def test_new_operators_empty_and_degenerate_inputs(spark):
         interval_join(left, empty_right, max_gap_seconds=0)
     with _pytest.raises(ValueError):
         bounded_ordered_path(empty_df, ["grp"], ["seq"], "val", cap=0)
+
+
+def test_approx_sketches_within_error_bounds(spark):
+    """The rows-only sketch query family still has testable accuracy:
+    HLL++ within its configured relative error, approx_percentile within
+    rank tolerance of the exact percentile — checked on real testdata."""
+    from tests.conftest import SF_DIR
+
+    from real_time_financial_market_data_pipeline_spark.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    approx = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.05).alias("n"))
+        .collect()
+    }
+    for k, n_exact in exact.items():
+        assert abs(approx[k] - n_exact) <= max(3, 0.15 * n_exact), (k, n_exact, approx[k])
+
+    med_exact = ev.agg(F.expr("percentile(value, 0.5)").alias("m")).collect()[0]["m"]
+    med_approx = ev.agg(F.expr("approx_percentile(value, 0.5, 1000)").alias("m")).collect()[0]["m"]
+    # rank tolerance: the approx median must sit between p45 and p55
+    lo, hi = ev.agg(
+        F.expr("percentile(value, 0.45)").alias("lo"), F.expr("percentile(value, 0.55)").alias("hi")
+    ).collect()[0]
+    assert lo <= med_approx <= hi, (med_exact, med_approx, lo, hi)

@@ -418,3 +418,30 @@ def test_doc_stream_curation(spark, tmp_path):
     assert batch_dirs
     sub = os.listdir(os.path.join(out, "curated", batch_dirs[0]))
     assert any(s.startswith("split=") for s in sub)
+
+
+def test_rocksdb_state_store_executes(spark, tmp_path):
+    """use_rocksdb_state=True must actually run (rocksdbjni ships with
+    Spark 4) and produce the same silver/dedup results as the default
+    HDFS-backed store."""
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_trade_stream
+    from real_time_financial_market_data_pipeline_spark.streaming.jobs import MedallionStreamJob
+
+    feed = str(tmp_path / "feed")
+    out = str(tmp_path / "out")
+    os.makedirs(feed)
+    with open(os.path.join(feed, "f.json"), "w") as f:
+        for i in range(6):
+            f.write(json.dumps({"s": "AAPL", "p": 100.0 + i, "v": 10, "t": T0 + (i % 3) * 1000}) + "\n")
+
+    job = MedallionStreamJob(out_dir=out, use_rocksdb_state=True)
+    mgr = job.start(read_trade_stream(spark, feed))
+    assert mgr.await_all(timeout_s=120)
+    silver = spark.read.parquet(os.path.join(out, "silver"))
+    # 6 rows over 3 distinct (symbol, timestamp) keys -> dedup keeps 3
+    assert silver.count() == 3
+    # provider restored on the shared session after the job
+    assert "RocksDB" not in spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )

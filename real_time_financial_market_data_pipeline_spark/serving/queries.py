@@ -1106,29 +1106,41 @@ def q_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "rolling_10min_volume",
+    "rolling_features",
     oracle=f"""
 WITH {_TRADES_CTE}
-SELECT symbol, event_time, volume,
+SELECT symbol, event_time, price, volume,
        CAST(sum(volume) OVER (PARTITION BY symbol ORDER BY event_time
-                         RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW) AS BIGINT) AS vol_10min
+                         RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW) AS BIGINT) AS vol_10min,
+       round(avg(price) OVER (PARTITION BY symbol ORDER BY event_time, event_id
+                              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS ma10
 FROM silver
 """,
 )
-def q_rolling_10min_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-based RANGE window frame: per-symbol rolling 10-minute volume
-    — event-time semantics (all rows within the interval, however many),
-    unlike the row-count frames elsewhere in the catalog."""
-    w = (
+def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both analytic window-frame families in one slot (merged from the
+    former rolling_10min_volume + moving_avg_price queries): a
+    time-based RANGE frame (all rows in the trailing 10 minutes,
+    however many — event-time semantics) and a row-count ROWS frame
+    (exactly the trailing 10 ticks).  One window shuffle serves both
+    frames — same partition key."""
+    w_range = (
         Window.partitionBy("symbol")
         .orderBy(F.unix_micros("event_time"))
         .rangeBetween(-10 * 60 * 1_000_000, 0)
     )
+    w_rows = (
+        Window.partitionBy("symbol")
+        .orderBy("event_time", "event_id")
+        .rowsBetween(-9, 0)
+    )
     return _silver(spark, sf_dir).select(
         "symbol",
         "event_time",
+        "price",
         "volume",
-        F.sum("volume").over(w).alias("vol_10min"),
+        F.sum("volume").over(w_range).alias("vol_10min"),
+        F.round(F.avg("price").over(w_rows), 6).alias("ma10"),
     )
 
 
@@ -1222,8 +1234,8 @@ def q_daily_price_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     <= cap elements however hot the group (an unbounded collect_list
     OOMs an executor on one hot symbol-day at 100x scale).  The window
     and the aggregate hash-partition on the same keys, so the rank pass
-    adds no extra exchange.  At sf0.01 every group exceeds the cap, so
-    the truncation path itself is driver-verified."""
+    adds no extra exchange.  At sf0.01 the typical group (~66 ticks)
+    exceeds the cap, so the truncation path itself is driver-verified."""
     from real_time_financial_market_data_pipeline_spark.operators.topk import bounded_ordered_path
 
     s = _silver(spark, sf_dir)
@@ -1241,6 +1253,89 @@ def q_daily_price_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trade_date",
         F.concat_ws(",", F.transform("_path", lambda x: x.cast("string"))).alias("path_csv"),
         "n_ticks",
+    )
+
+
+@query(
+    "price_path_correlation",
+    oracle=f"""
+WITH {_TRADES_CTE},
+hourly AS (
+  SELECT symbol, trade_date, hour(event_time) AS hr,
+         CAST(sum(CAST(round(price * 100) AS BIGINT)) AS DOUBLE) / (100 * count(*)) AS p
+  FROM silver
+  GROUP BY symbol, trade_date, hour(event_time)
+)
+SELECT a.symbol AS symbol_a, a.trade_date AS date_a,
+       b.symbol AS symbol_b, b.trade_date AS date_b,
+       round(corr(a.p, b.p), 4) + 0.0 AS correlation,
+       count(*) AS n_hours
+FROM hourly a JOIN hourly b
+  ON a.hr = b.hr AND (a.symbol, a.trade_date) < (b.symbol, b.trade_date)
+GROUP BY a.symbol, a.trade_date, b.symbol, b.trade_date
+HAVING count(*) >= 4 AND min(a.p) < max(a.p) AND min(b.p) < max(b.p)
+""",
+)
+def q_price_path_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search over price paths (the retrieved
+    EDBT'19 streaming-similarity / EDBT'20 top-k-similarity line of
+    work): each (symbol, day) becomes an hourly mean-price series, and
+    pairs are scored by Pearson correlation over their common hours.
+
+    Determinism: hourly means use the vwap-style exact decimal-cents
+    accumulation (bit-identical on any engine); degenerate pairs
+    (fewer than 4 common hours, or a constant series, where corr is
+    NULL/NaN and engines disagree on which) are excluded by exact
+    guards, and the correlation itself is rounded on both sides.
+
+    Scale: this is the exact all-pairs-per-hour baseline (quadratic in
+    symbol-days — fine for a dimension, documented).  The scale path
+    reuses this repo's blocking toolbox: PAA/sign-of-diff signatures
+    over the hourly series fed through hamming_pairs, exactly like the
+    simhash family."""
+    s = _silver(spark, sf_dir)
+    cents = F.round(F.col("price") * 100).cast("long")
+    hourly = (
+        s.groupBy("symbol", "trade_date", F.hour("event_time").alias("hr"))
+        .agg(
+            (F.sum(cents).cast("double") / (100 * F.count(F.lit(1)))).alias("p")
+        )
+    )
+    a = hourly.select(
+        F.col("symbol").alias("symbol_a"),
+        F.col("trade_date").alias("date_a"),
+        "hr",
+        F.col("p").alias("p_a"),
+    )
+    b = hourly.select(
+        F.col("symbol").alias("symbol_b"),
+        F.col("trade_date").alias("date_b"),
+        "hr",
+        F.col("p").alias("p_b"),
+    )
+    key_a = F.struct(F.col("symbol_a"), F.col("date_a"))
+    key_b = F.struct(F.col("symbol_b"), F.col("date_b"))
+    return (
+        a.join(b, ["hr"])
+        .filter(key_a < key_b)
+        .groupBy("symbol_a", "date_a", "symbol_b", "date_b")
+        .agg(
+            # + 0.0 canonicalizes IEEE negative zero (round can emit -0.0
+            # for a tiny negative correlation; engines disagree on which
+            # zero, and the driver's typed hash tells them apart)
+            (F.round(F.corr("p_a", "p_b"), 4) + 0.0).alias("correlation"),
+            F.count(F.lit(1)).alias("n_hours"),
+            F.min("p_a").alias("_mina"),
+            F.max("p_a").alias("_maxa"),
+            F.min("p_b").alias("_minb"),
+            F.max("p_b").alias("_maxb"),
+        )
+        .filter(
+            (F.col("n_hours") >= 4)
+            & (F.col("_mina") < F.col("_maxa"))
+            & (F.col("_minb") < F.col("_maxb"))
+        )
+        .select("symbol_a", "date_a", "symbol_b", "date_b", "correlation", "n_hours")
     )
 
 
@@ -1439,30 +1534,6 @@ def q_day_over_day_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_volume",
         prev.alias("prev_volume"),
         F.round(100.0 * (F.col("day_volume") - prev) / prev, 6).alias("pct_change"),
-    )
-
-
-@query(
-    "moving_avg_price",
-    oracle=f"""
-WITH {_TRADES_CTE}
-SELECT symbol, event_time, price,
-       round(avg(price) OVER (PARTITION BY symbol ORDER BY event_time, event_id
-                              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS ma10
-FROM silver
-""",
-)
-def q_moving_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = (
-        Window.partitionBy("symbol")
-        .orderBy("event_time", "event_id")
-        .rowsBetween(-9, 0)
-    )
-    return _silver(spark, sf_dir).select(
-        "symbol",
-        "event_time",
-        "price",
-        F.round(F.avg("price").over(w), 6).alias("ma10"),
     )
 
 

@@ -1289,10 +1289,11 @@ def q_price_path_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     guards, and the correlation itself is rounded on both sides.
 
     Scale: this is the exact all-pairs-per-hour baseline (quadratic in
-    symbol-days — fine for a dimension, documented).  The scale path
-    reuses this repo's blocking toolbox: PAA/sign-of-diff signatures
-    over the hourly series fed through hamming_pairs, exactly like the
-    simhash family."""
+    symbol-days — fine for a dimension, documented).  The scale path is
+    price_path_correlation_blocked: correlation == cosine of the
+    mean-centered series, so the embedding sign-LSH machinery blocks
+    candidates and exact correlation verifies them
+    (operators/timeseries.py)."""
     s = _silver(spark, sf_dir)
     cents = F.round(F.col("price") * 100).cast("long")
     hourly = (
@@ -1336,6 +1337,22 @@ def q_price_path_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("_minb") < F.col("_maxb"))
         )
         .select("symbol_a", "date_a", "symbol_b", "date_b", "correlation", "n_hours")
+    )
+
+
+@query("price_path_correlation_blocked")  # heuristic-recall blocking → rows-only
+def q_price_path_correlation_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for price_path_correlation: correlation == cosine of
+    the mean-centered hourly series, so candidates come from the
+    multi-table sign-LSH (equi-join on (table, bucket), never
+    all-pairs) and exact Pearson over common hours verifies them,
+    thresholded at 0.8.  Recall theory 1-(1-p^k)^L; measured operating
+    points pinned in tests; precision exact by construction."""
+    from real_time_financial_market_data_pipeline_spark.operators.timeseries import correlated_series_pairs
+
+    s = _silver(spark, sf_dir)
+    return correlated_series_pairs(
+        s, ["symbol", "trade_date"], "event_time", "price", min_corr=0.8
     )
 
 

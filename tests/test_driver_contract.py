@@ -41,6 +41,7 @@ def test_rows_only_tail_is_documented_families():
         "embedding_near_dups_lsh",
         "knn_ivf",
         "knn_lsh",
+        "price_path_correlation_blocked",
     )
     stray = [n for n in rows_only if not n.startswith(allowed_prefixes)]
     assert not stray, f"rows-only queries outside the documented families: {stray}"

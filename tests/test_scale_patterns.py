@@ -108,3 +108,40 @@ def test_ivf_recall_vs_bruteforce(spark):
     # every query answered with k results, and reasonable overlap with exact
     assert len(approx_rows) == 50
     assert len(exact & approx) / len(exact) > 0.3
+
+
+def test_correlated_series_blocking_recall(spark):
+    """Sign-LSH blocked correlation search vs the exact all-pairs query:
+    precision is exact by construction (candidates re-scored with true
+    correlation), and recall matches the documented operating points —
+    defaults on sparse sf0.001 series >= 0.6, and the sparse-tuned
+    k=2 config >= 0.9."""
+    from real_time_financial_market_data_pipeline_spark.operators.timeseries import correlated_series_pairs
+    from real_time_financial_market_data_pipeline_spark.serving.queries import QUERIES, _silver
+    from tests.conftest import SF_DIR
+
+    exact_rows = QUERIES["price_path_correlation"](spark, SF_DIR).collect()
+    high = {
+        tuple(sorted((f"{r['symbol_a']}|{r['date_a']}", f"{r['symbol_b']}|{r['date_b']}")))
+        for r in exact_rows
+        if r["correlation"] >= 0.8
+    }
+    assert high  # testdata must actually contain high-corr pairs
+
+    s = _silver(spark, SF_DIR)
+
+    def run(**kw):
+        return {
+            tuple(sorted((r["id_a"], r["id_b"])))
+            for r in correlated_series_pairs(
+                s, ["symbol", "trade_date"], "event_time", "price", min_corr=0.8, **kw
+            ).collect()
+        }
+
+    default = run()
+    assert not (default - high)  # exact-verify => zero spurious pairs
+    assert len(default & high) / len(high) >= 0.6
+
+    sparse_tuned = run(n_planes=2, n_tables=8)
+    assert not (sparse_tuned - high)
+    assert len(sparse_tuned & high) / len(high) >= 0.9

@@ -144,13 +144,27 @@ def _gold_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     "silver_trades",
     oracle=f"""
 WITH {_TRADES_CTE}
-SELECT symbol, price, volume, ts_ms, event_time, trade_date, event_id, user_id
+SELECT symbol, price, volume, ts_ms, event_time, trade_date, event_id, user_id,
+       round(price, 4) AS price_clean, abs(volume) AS volume_clean
 FROM silver
 """,
 )
 def q_silver_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silver pipeline output plus the reference's P5 normalization
+    expressions (clean_trades round/abs — defined there but never
+    wired; merged from the former clean_trades query so both behaviors
+    share one driver slot)."""
     return _silver(spark, sf_dir).select(
-        "symbol", "price", "volume", "ts_ms", "event_time", "trade_date", "event_id", "user_id"
+        "symbol",
+        "price",
+        "volume",
+        "ts_ms",
+        "event_time",
+        "trade_date",
+        "event_id",
+        "user_id",
+        F.round("price", 4).alias("price_clean"),
+        F.abs("volume").alias("volume_clean"),
     )
 
 
@@ -813,6 +827,33 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_chunks",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+  FROM documents
+),
+nonempty AS (SELECT * FROM toks WHERE len(tk) > 0)
+SELECT doc_id,
+       CAST(floor(u.s / 48) AS BIGINT) AS chunk_idx,
+       array_to_string(tk[u.s + 1 : u.s + 64], ' ') AS chunk_text,
+       CAST(len(tk[u.s + 1 : u.s + 64]) AS BIGINT) AS n_tokens
+FROM nonempty, unnest(range(0, len(tk), 48)) AS u(s)
+""",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking for training sequences: 64-token windows
+    every 48 tokens (16-token overlap), final partial window kept —
+    the map-side fan-out every pretraining data pipeline runs between
+    curation and tokenization (operators/chunking.py)."""
+    from real_time_financial_market_data_pipeline_spark.operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, stride=48)
+
+
 @query("minhash_near_dups")  # LSH is probabilistic-recall → rows-only check
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -874,23 +915,6 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _shape(brute_force_knn(emb, queries, k=10), "jvm").unionAll(
         _shape(brute_force_knn_arrow(emb, queries, k=10), "arrow")
     )
-
-
-@query(
-    "clean_trades",
-    oracle=f"""
-WITH {_TRADES_CTE}
-SELECT event_id, symbol, round(price, 4) AS price, abs(volume) AS volume
-FROM trades
-""",
-)
-def q_clean_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P5 normalization pass (reference clean_trades: round price,
-    abs volume — defined there but never wired; wired here)."""
-    from real_time_financial_market_data_pipeline_spark.pipeline.medallion import clean_trades
-
-    trades = trades_from_events(load_table(spark, sf_dir, "events"))
-    return clean_trades(trades).select("event_id", "symbol", "price", "volume")
 
 
 @query(

@@ -257,3 +257,39 @@ def test_interval_join_matches_naive(spark, l_offs, r_offs, gap):
         if lo - gap < ro <= lo
     }
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n_tokens=st.integers(min_value=0, max_value=200),
+    chunk=st.integers(min_value=2, max_value=32),
+    stride_frac=st.floats(min_value=0.3, max_value=1.0),
+)
+def test_chunking_invariants(spark, n_tokens, chunk, stride_frac):
+    """Every token lands in at least one chunk, chunks match the exact
+    expected windows, and non-final chunks are full-size — for any
+    document length, window, and stride <= window."""
+    from real_time_financial_market_data_pipeline_spark.operators.chunking import chunk_documents
+
+    stride = max(1, int(chunk * stride_frac))
+    words = [f"w{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=chunk, stride=stride).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    if n_tokens == 0:
+        assert rows == []
+        return
+    expected = [
+        words[s : s + chunk] for s in range(0, n_tokens, stride)
+    ]
+    assert len(rows) == len(expected)
+    for r, exp in zip(rows, expected):
+        assert r["chunk_text"].split() == exp
+        assert r["n_tokens"] == len(exp)
+    # coverage: every token index appears in some chunk
+    covered = set()
+    for i, exp in enumerate(expected):
+        covered.update(range(i * stride, i * stride + len(exp)))
+    assert covered == set(range(n_tokens))

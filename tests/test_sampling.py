@@ -32,3 +32,67 @@ def test_split_disjoint_and_stable_under_append(spark):
     full_map = {r["doc_id"]: r["split"] for r in full.collect()}
     for r in half.collect():
         assert full_map[r["doc_id"]] == r["split"]
+
+
+def test_stratified_sample_rates_and_nesting(spark):
+    docs = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "code").when(F.col("id") % 3 == 1, "web").otherwise("forum").alias("src"),
+    )
+    from real_time_financial_market_data_pipeline_spark.operators.sampling import stratified_sample
+
+    out = stratified_sample(docs, "doc_id", "src", {"code": 1.0, "web": 0.2})
+    by_src = {r["src"]: r["n"] for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert by_src.get("forum") is None                  # default_frac=0 drops
+    assert by_src["code"] == 1334                       # 100% of code kept
+    assert abs(by_src["web"] / 1333 - 0.2) < 0.06       # ~20% of web
+
+    # determinism under repartition + monotone nesting of rates
+    again = stratified_sample(docs.repartition(13), "doc_id", "src", {"code": 1.0, "web": 0.2})
+    assert {r["doc_id"] for r in out.collect()} == {r["doc_id"] for r in again.collect()}
+    small = {r["doc_id"] for r in stratified_sample(docs, "doc_id", "src", {"web": 0.1}).collect()}
+    large = {r["doc_id"] for r in stratified_sample(docs, "doc_id", "src", {"web": 0.3}).collect()}
+    assert small <= large
+
+
+def test_token_budget_sample_exact_and_scalable_phases(spark):
+    from real_time_financial_market_data_pipeline_spark.operators.sampling import token_budget_sample
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97 + 10).alias("n_tokens")
+    )
+    total = docs.agg(F.sum("n_tokens")).collect()[0][0]
+
+    budget = 5000
+    kept = token_budget_sample(docs, "doc_id", "n_tokens", budget, n_buckets=16)
+    rows = kept.collect()
+    kept_tokens = sum(r["n_tokens"] for r in rows)
+    assert kept_tokens >= budget  # budget met, not undershot
+
+    # exactness: equals a Python reimplementation of the operator's own
+    # deterministic order — (bucket, md5(key), key) — cumsum to budget
+    import hashlib
+
+    def order_key(did):
+        h = hashlib.md5(str(did).encode()).hexdigest()
+        return (int(h[:8], 16) % 16, h, did)
+
+    ordered = sorted(
+        [(r["doc_id"], r["n_tokens"]) for r in docs.collect()],
+        key=lambda x: order_key(x[0]),
+    )
+    want, acc = set(), 0
+    for did, nt in ordered:
+        if acc >= budget:
+            break
+        want.add(did)
+        acc += nt
+    assert {r["doc_id"] for r in rows} == want
+    assert kept_tokens == acc  # minimal overshoot: stop at first crossing
+    # determinism under repartition (same ids exactly)
+    again = token_budget_sample(docs.repartition(7), "doc_id", "n_tokens", budget, n_buckets=16)
+    assert {r["doc_id"] for r in rows} == {r["doc_id"] for r in again.collect()}
+
+    # budget >= corpus keeps everything
+    all_kept = token_budget_sample(docs, "doc_id", "n_tokens", total + 1, n_buckets=16)
+    assert all_kept.count() == 500

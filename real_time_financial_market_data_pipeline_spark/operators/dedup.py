@@ -341,7 +341,7 @@ def connected_components(
     edges = (
         edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
@@ -350,8 +350,12 @@ def connected_components(
         nbr = edges.join(labels, edges.src == labels.node).select(
             F.col("dst").alias("node"), "label"
         )
+        # lineage truncation per round (see connected_components_star)
         new_labels = (
-            labels.unionByName(nbr).groupBy("node").agg(F.min("label").alias("label")).persist()
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -364,3 +368,93 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def _symmetrized(edges: DataFrame) -> DataFrame:
+    return (
+        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _star_round(sym: DataFrame, phase: str) -> DataFrame:
+    """One star operation over a symmetrized edge set.
+
+    m(u) = min of u's closed neighborhood.  Large-star hangs every
+    neighbor v > u off m(u); small-star hangs every neighbor v <= u off
+    m(u) and links u itself to m(u).  No per-node adjacency arrays are
+    materialized — m(u) is an aggregate joined back, so a hot node costs
+    a big group in a hash-agg, never an unbounded collect.
+    """
+    m = sym.groupBy("u").agg(F.min("v").alias("_mn")).select(
+        "u", F.least(F.col("_mn"), F.col("u")).alias("m")
+    )
+    with_m = sym.join(m, "u")
+    if phase == "large":
+        out = with_m.filter(F.col("v") > F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+    else:
+        hang = with_m.filter(F.col("v") <= F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        self_link = m.select("u", F.col("m").alias("v"))
+        out = hang.union(self_link)
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — O(log n) rounds regardless of component DIAMETER, the
+    scale path when clusters can be long chains (min-label propagation
+    in `connected_components` needs one round per hop and is simpler /
+    faster for the shallow clusters dedup typically produces).
+
+    Each round is two aggregate+join passes over the edge set; edges
+    contract monotonically toward stars rooted at each component's
+    minimum id.  Returns (node, cluster_id), same contract as
+    `connected_components` (property-tested equal).
+    """
+    edges = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    nodes = (
+        edges.select("u").union(edges.select(F.col("v").alias("u"))).distinct()
+    )
+    # localCheckpoint per round truncates lineage — without it every
+    # round's plan nests the previous rounds' joins and planning time
+    # grows superlinearly (measured: minutes by round ~10).  At cluster
+    # scale use a reliable checkpoint dir instead of local.
+    e = _symmetrized(edges).localCheckpoint()
+    prev_sig = None
+    for _ in range(max_iters):
+        e = _star_round(_symmetrized(e), "large")
+        e = _star_round(_symmetrized(e), "small").localCheckpoint()
+        # checksum of the edge set; per-row hash bounded < 2^31 so the
+        # sum can never overflow long under ANSI mode
+        sig = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1 << 31))).alias("h"),
+        ).collect()[0]
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # stars: every node's minimum closed neighbor is its component root
+    sym = _symmetrized(e)
+    labels = sym.groupBy("u").agg(F.min("v").alias("_mn")).select(
+        "u", F.least(F.col("_mn"), F.col("u")).alias("cluster_id")
+    )
+    # isolated-after-contraction roots keep themselves
+    return (
+        nodes.join(labels, "u", "left")
+        .select(
+            F.col("u").alias("node"),
+            F.coalesce("cluster_id", F.col("u")).alias("cluster_id"),
+        )
+    )

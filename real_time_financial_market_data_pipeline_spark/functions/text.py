@@ -94,3 +94,36 @@ def doc_fingerprint(text_col: Column) -> Column:
     exact duplicates. md5 (not xxhash64) so any ANSI engine reproduces it.
     """
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text_col)))))
+
+
+# PII scrubbing — training-data hygiene before anything is tokenized.
+# Deliberately conservative patterns (emails, URLs, long digit runs that
+# look like phone/account numbers); all JVM-side regexp_replace chains.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"(?i)\bhttps?://[^\s]+"
+_PHONEISH_RE = r"(?<!\d)(?:\+?\d[\d\s().-]{7,}\d)(?!\d)"
+
+
+def redact_pii(
+    text_col: Column,
+    email_token: str = "<EMAIL>",
+    url_token: str = "<URL>",
+    number_token: str = "<PHONE>",
+) -> Column:
+    """Mask emails, URLs, and phone-like digit runs with stable
+    placeholder tokens.  Order matters: URLs first (they may contain
+    @ and digits), then emails, then bare digit runs."""
+    out = F.regexp_replace(text_col, _URL_RE, url_token)
+    out = F.regexp_replace(out, _EMAIL_RE, email_token)
+    out = F.regexp_replace(out, _PHONEISH_RE, number_token)
+    return out
+
+
+def pii_counts(text_col: Column) -> Column:
+    """struct(n_emails, n_urls, n_phoneish) — audit columns for
+    redaction coverage reports."""
+    return F.struct(
+        F.size(F.regexp_extract_all(text_col, F.lit(_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(text_col, F.lit(_URL_RE), F.lit(0))).alias("n_urls"),
+        F.size(F.regexp_extract_all(text_col, F.lit(_PHONEISH_RE), F.lit(0))).alias("n_phoneish"),
+    )

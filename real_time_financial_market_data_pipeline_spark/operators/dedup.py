@@ -458,3 +458,94 @@ def connected_components_star(
             F.coalesce("cluster_id", F.col("u")).alias("cluster_id"),
         )
     )
+
+
+def minhash_cross_corpus_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs ACROSS two corpora — the decontamination
+    primitive: find training documents (left) that near-match held-out
+    benchmark documents (right), then drop them from the training set.
+
+    Same shingle → signature → band-key machinery as the self-join form
+    (identical hash seeds, so a doc appearing in both corpora always
+    collides with itself), but the candidate join is left-bands x
+    right-bands: cost is linear in each corpus + quadratic only within
+    shared LSH buckets, never |left| x |right|.
+
+    Returns (left_id, right_id, jaccard) with jaccard >= threshold.
+    """
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_hashes evenly (num_hashes={num_hashes}, bands={bands})"
+        )
+    rows_per_band = num_hashes // bands
+
+    def banded(df: DataFrame, side: str):
+        base = _shingled(df, id_col, text_col, shingle_n).persist()
+        sig = base.select("_id", base_hashes(F.col("_sh")).alias("_hx")).select(
+            "_id", minhash_signature(F.col("_hx"), num_hashes).alias("_sig")
+        )
+        bands_df = sig.select(
+            F.col("_id").alias(f"{side}_id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                *[
+                                    F.col("_sig")[b * rows_per_band + r]
+                                    for r in range(rows_per_band)
+                                ]
+                            ).alias("bhash"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("_band"),
+        ).select(f"{side}_id", "_band.band", "_band.bhash")
+        return base, bands_df
+
+    l_base, l_bands = banded(left, "left")
+    r_base, r_bands = banded(right, "right")
+    cand = (
+        l_bands.join(r_bands, ["band", "bhash"])
+        .select("left_id", "right_id")
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    sh_l = l_base.select(F.col("_id").alias("left_id"), F.col("_sh").alias("sh_l"))
+    sh_r = r_base.select(F.col("_id").alias("right_id"), F.col("_sh").alias("sh_r"))
+    inter = F.size(F.array_intersect("sh_l", "sh_r")).cast("double")
+    union = F.size(F.array_union("sh_l", "sh_r")).cast("double")
+    return (
+        cand.join(sh_l, "left_id")
+        .join(sh_r, "right_id")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", "jaccard")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    **minhash_kwargs,
+) -> DataFrame:
+    """Drop training documents that near-match any benchmark document
+    (anti-join on the cross-corpus matches) — the end-to-end
+    benchmark-decontamination step."""
+    matches = minhash_cross_corpus_pairs(
+        train, benchmark, id_col=id_col, text_col=text_col, threshold=threshold, **minhash_kwargs
+    ).select(F.col("left_id").alias(id_col))
+    return train.join(matches, id_col, "left_anti")

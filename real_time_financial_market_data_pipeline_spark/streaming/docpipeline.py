@@ -25,6 +25,7 @@ from real_time_financial_market_data_pipeline_spark.functions.text import (
     detect_lang,
     doc_fingerprint,
     quality_score,
+    redact_pii,
     token_count,
 )
 from real_time_financial_market_data_pipeline_spark.operators.sampling import train_val_test_split
@@ -40,6 +41,9 @@ class DocStreamJob:
     quality_min: float = 0.5
     val_frac: float = 0.1
     test_frac: float = 0.1
+    # mask emails/URLs/phone-like runs in curated text (raw/ keeps the
+    # original for audit)
+    redact: bool = True
     trigger: dict = field(default_factory=lambda: {"availableNow": True})
 
     def checkpoints(self) -> str:
@@ -59,8 +63,11 @@ class DocStreamJob:
         # exact streaming dedup on content fingerprint: the FIRST arrival
         # survives; state bounded by the watermark horizon
         deduped = enriched.dropDuplicatesWithinWatermark(["fingerprint"])
+        gated = deduped.filter(F.col("quality") >= self.quality_min)
+        if self.redact:
+            gated = gated.withColumn("text", redact_pii(F.col("text")))
         curated = train_val_test_split(
-            deduped.filter(F.col("quality") >= self.quality_min),
+            gated,
             "doc_id",
             val_frac=self.val_frac,
             test_frac=self.test_frac,

@@ -247,3 +247,62 @@ def test_random_projection_preserves_cosine(spark):
     v1 = {r["vec_id"]: r["embedding"] for r in proj.collect()}
     v2 = {r["vec_id"]: r["embedding"] for r in again.collect()}
     assert v1 == v2
+
+
+def test_redact_pii(spark):
+    from real_time_financial_market_data_pipeline_spark.functions.text import pii_counts, redact_pii
+
+    rows = [
+        (1, "contact bob.smith+x@example.co.uk or call +1 (415) 555-0123 now"),
+        (2, "see https://example.com/a?b=c#d and HTTP://X.IO/p for details"),
+        (3, "no pii here, just the number 42 and year 2024"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["red"], r["pc"])
+        for r in df.select(
+            "doc_id",
+            redact_pii(F.col("text")).alias("red"),
+            pii_counts(F.col("text")).alias("pc"),
+        ).collect()
+    }
+    assert "<EMAIL>" in out[1][0] and "@" not in out[1][0]
+    assert "<PHONE>" in out[1][0] and "555" not in out[1][0]
+    assert out[1][1]["n_emails"] == 1 and out[1][1]["n_phoneish"] == 1
+    assert out[2][0].count("<URL>") == 2 and "example.com" not in out[2][0]
+    assert out[3][0] == rows[2][1]  # short numbers / years untouched
+    assert tuple(out[3][1]) == (0, 0, 0)
+
+
+def test_cross_corpus_decontamination(spark):
+    """Training docs near-matching benchmark docs are found by the
+    cross-corpus minhash join (exact copies always collide — identical
+    hash seeds both sides) and removed by decontaminate()."""
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import (
+        decontaminate,
+        minhash_cross_corpus_pairs,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seven wizards "
+        "brew strong potions beneath the ancient oak tree near the river"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, base),                                  # exact benchmark copy
+            (2, base.replace("river", "stream")),       # near copy
+            (3, "completely unrelated text about databases and shuffles "
+                "partitions joins aggregates and columnar storage engines"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, base)], "doc_id long, text string")
+
+    pairs = minhash_cross_corpus_pairs(train, bench, threshold=0.5)
+    matched = {r["left_id"] for r in pairs.collect()}
+    assert 1 in matched          # exact copy always collides
+    assert 3 not in matched
+    clean = decontaminate(train, bench, threshold=0.5)
+    kept = {r["doc_id"] for r in clean.collect()}
+    assert 3 in kept and 1 not in kept
+    assert kept <= {2, 3}        # doc 2 may or may not clear the threshold

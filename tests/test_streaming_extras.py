@@ -391,7 +391,7 @@ def test_doc_stream_curation(spark, tmp_path):
         {"doc_id": 1, "text": good, "lang": "en", "source": "a"},
         {"doc_id": 2, "text": good, "lang": "en", "source": "b"},      # exact dup of 1
         {"doc_id": 3, "text": "!!! ??? !!!", "lang": "en", "source": "a"},  # junk
-        {"doc_id": 4, "text": good + " truly unique tail content here okay", "lang": "en", "source": "a"},
+        {"doc_id": 4, "text": good + " truly unique tail email bob@example.com okay", "lang": "en", "source": "a"},
     ]
     with open(os.path.join(feed, "f.json"), "w") as f:
         for d in docs:
@@ -413,6 +413,11 @@ def test_doc_stream_curation(spark, tmp_path):
     # split is present, valued, and derived from doc_id (stable)
     splits = {r["doc_id"]: r["split"] for r in curated.select("doc_id", "split").collect()}
     assert set(splits.values()) <= {"train", "val", "test"}
+    # PII redacted in curated (raw keeps the original for audit)
+    cur4 = curated.filter(F.col("doc_id") == 4).collect()[0]["text"]
+    assert "<EMAIL>" in cur4 and "bob@example.com" not in cur4
+    raw4 = raw.filter(F.col("doc_id") == 4).collect()[0]["text"]
+    assert "bob@example.com" in raw4
     # partition layout: split=<val> directories under some batch dir
     batch_dirs = [d for d in os.listdir(os.path.join(out, "curated")) if d.startswith("batch_id=")]
     assert batch_dirs

@@ -22,6 +22,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -346,6 +347,7 @@ def connected_components(
     labels = (
         edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
     )
+    converged = False
     for _ in range(max_iters):
         nbr = edges.join(labels, edges.src == labels.node).select(
             F.col("dst").alias("node"), "label"
@@ -366,7 +368,17 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        warnings.warn(
+            f"connected_components hit max_iters={max_iters} without converging: "
+            "labels are only partially propagated and components with diameter "
+            f"> {max_iters} are split into multiple clusters. Raise max_iters or "
+            "use connected_components_star (O(log n) rounds).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 
@@ -432,6 +444,7 @@ def connected_components_star(
     # scale use a reliable checkpoint dir instead of local.
     e = _symmetrized(edges).localCheckpoint()
     prev_sig = None
+    converged = False
     for _ in range(max_iters):
         e = _star_round(_symmetrized(e), "large")
         e = _star_round(_symmetrized(e), "small").localCheckpoint()
@@ -443,8 +456,17 @@ def connected_components_star(
         ).collect()[0]
         sig = (sig["n"], sig["h"])
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        warnings.warn(
+            f"connected_components_star hit max_iters={max_iters} without the "
+            "edge-set fixpoint: cluster labels may be incompletely contracted. "
+            "Raise max_iters.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # stars: every node's minimum closed neighbor is its component root
     sym = _symmetrized(e)
     labels = sym.groupBy("u").agg(F.min("v").alias("_mn")).select(

@@ -28,7 +28,7 @@ def deterministic_sample(
     df: DataFrame, key_col: str, rate: float, n_buckets: int = 10_000
 ) -> DataFrame:
     """Keep ~rate of rows, membership a pure function of the key."""
-    return df.filter(hash_bucket(F.col(key_col), n_buckets) < int(rate * n_buckets))
+    return df.filter(hash_bucket(F.col(key_col), n_buckets) < int(round(rate * n_buckets)))
 
 
 def train_val_test_split(
@@ -45,8 +45,8 @@ def train_val_test_split(
     disjoint and stay stable as new rows arrive (a key never changes
     split)."""
     b = hash_bucket(F.col(key_col), n_buckets)
-    test_hi = int(test_frac * n_buckets)
-    val_hi = test_hi + int(val_frac * n_buckets)
+    test_hi = int(round(test_frac * n_buckets))
+    val_hi = test_hi + int(round(val_frac * n_buckets))
     return df.withColumn(
         split_col,
         F.when(b < test_hi, F.lit("test"))
@@ -71,10 +71,12 @@ def stratified_sample(
     only ADDS rows (bucket thresholds nest), which keeps incremental
     dataset builds append-only."""
     b = hash_bucket(F.col(key_col), n_buckets)
-    threshold = F.lit(int(default_frac * n_buckets))
+    # int(round(...)) — plain int() truncates float artifacts
+    # (0.29 * 10000 = 2899.9999... would silently become 2899)
+    threshold = F.lit(int(round(default_frac * n_buckets)))
     for stratum, frac in fractions.items():
         threshold = F.when(
-            F.col(strata_col) == stratum, F.lit(int(frac * n_buckets))
+            F.col(strata_col) == stratum, F.lit(int(round(frac * n_buckets)))
         ).otherwise(threshold)
     return df.filter(b < threshold)
 
@@ -101,21 +103,29 @@ def token_budget_sample(
     within the single boundary bucket (~1/n_buckets of the data, and
     that window is itself partitioned by bucket).  Result is identical
     to the global cumsum, bit-for-bit, because bucket index is the
-    leading term of the hash ordering."""
+    leading term of the hash ordering.
+
+    NULL token counts are treated as 0 tokens everywhere (bucket totals
+    and the boundary-bucket cumsum alike): a NULL-token document spends
+    none of the budget but is still selected when its position in the
+    hash order falls inside it."""
     if budget < 0:
         raise ValueError("budget must be >= 0")
     bucket = hash_bucket(F.col(key_col), n_buckets)
     with_b = df.withColumn("_b", bucket)
+    tokens0 = F.coalesce(F.col(token_col), F.lit(0))
 
     totals = {
         r["_b"]: r["_t"]
-        for r in with_b.groupBy("_b").agg(F.sum(token_col).alias("_t")).collect()
+        for r in with_b.groupBy("_b")
+        .agg(F.coalesce(F.sum(tokens0), F.lit(0)).alias("_t"))
+        .collect()
     }
     running = 0
     boundary = None
     admitted_before = 0
     for b in range(n_buckets):
-        t = totals.get(b, 0)
+        t = totals.get(b) or 0
         if running + t >= budget:
             boundary = b
             admitted_before = running
@@ -131,7 +141,7 @@ def token_budget_sample(
         .orderBy(F.md5(F.col(key_col).cast("string")), F.col(key_col))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    prior = admitted_before + F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    prior = admitted_before + F.coalesce(F.sum(tokens0).over(w), F.lit(0))
     partial = (
         with_b.filter(F.col("_b") == boundary)
         .withColumn("_prior_tokens", prior)

@@ -190,7 +190,13 @@ def compact_latest_state(spark, path: str, key_cols: list[str]) -> int:
          `batch_id=<maxid>`.
     A crash in phase 1 leaves the table untouched (partial staging is
     never marked complete); a re-run after a crash in phase 2 detects
-    the staged marker, skips recompute, and finishes the deletes+rename.
+    the staged marker, skips recompute, and finishes the deletes+rename —
+    UNLESS batches landed after the crash (the stream was restarted before
+    the compaction re-run, appending batch_id dirs above the staged
+    max_id). A staged snapshot only covers batches ≤ its max_id, so in
+    that case the stale stage is discarded and the snapshot recomputed
+    over everything currently on disk; finishing the stale publish would
+    delete the newer dirs and permanently lose their updates.
 
     Returns the number of batch directories folded.
     """
@@ -198,7 +204,17 @@ def compact_latest_state(spark, path: str, key_cols: list[str]) -> int:
     import shutil
 
     staged = [d for d in os.listdir(path) if d.startswith("_compact_staged_")]
-    if staged:  # crashed mid-publish: finish from the completed stage
+    if staged:
+        staged_max = int(staged[0].rsplit("_", 1)[-1])
+        newer = [
+            d
+            for d in os.listdir(path)
+            if re.fullmatch(r"batch_id=\d+", d) and int(d.split("=")[1]) > staged_max
+        ]
+        if newer:  # stream appended past the stage: snapshot is stale
+            shutil.rmtree(os.path.join(path, staged[0]))
+            staged = []
+    if staged:  # crashed mid-publish, nothing newer: finish the stage
         max_id = int(staged[0].rsplit("_", 1)[-1])
         staged_dir = os.path.join(path, staged[0])
     else:

@@ -163,6 +163,30 @@ def test_new_operators_empty_and_degenerate_inputs(spark):
         bounded_ordered_path(empty_df, ["grp"], ["seq"], "val", cap=0)
 
 
+def test_connected_components_warns_on_non_convergence(spark):
+    """A component whose diameter exceeds max_iters gets split; the loop
+    must not exit silently in that case."""
+    import pytest as _pytest
+
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    with _pytest.warns(RuntimeWarning, match="max_iters"):
+        connected_components(chain, max_iters=2).collect()
+    # with enough iterations: converges, labels complete, no warning
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error", RuntimeWarning)
+        got = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(chain, max_iters=12).collect()
+        }
+    assert set(got.values()) == {0}
+
+
 def test_approx_sketches_within_error_bounds(spark):
     """The rows-only sketch query family still has testable accuracy:
     HLL++ within its configured relative error, approx_percentile within

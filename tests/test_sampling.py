@@ -96,3 +96,40 @@ def test_token_budget_sample_exact_and_scalable_phases(spark):
     # budget >= corpus keeps everything
     all_kept = token_budget_sample(docs, "doc_id", "n_tokens", total + 1, n_buckets=16)
     assert all_kept.count() == 500
+
+
+def test_token_budget_sample_null_tokens(spark):
+    """NULL token counts are treated as 0 — no TypeError from a bucket
+    whose F.sum is NULL, and NULL-token docs are kept when their hash
+    position falls inside the budget."""
+    from real_time_financial_market_data_pipeline_spark.operators.sampling import token_budget_sample
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, F.lit(None)).otherwise(F.col("id") % 50 + 10).alias("n_tokens"),
+    )
+    kept = token_budget_sample(docs, "doc_id", "n_tokens", 1500, n_buckets=8)
+    rows = kept.collect()
+    assert sum(r["n_tokens"] or 0 for r in rows) >= 1500
+    assert any(r["n_tokens"] is None for r in rows)  # NULL docs not silently excluded
+    # all-NULL corpus: zero budget spend, everything below boundary kept,
+    # and no crash from totals.get(b) being None
+    nulls = spark.range(40).select(
+        F.col("id").alias("doc_id"), F.lit(None).cast("long").alias("n_tokens")
+    )
+    assert token_budget_sample(nulls, "doc_id", "n_tokens", 100, n_buckets=8).count() == 40
+
+
+def test_stratified_threshold_rounding(spark):
+    """frac * n_buckets float artifacts must not truncate: 0.29 * 10000
+    = 2899.9999... is threshold 2900, not 2899."""
+    from real_time_financial_market_data_pipeline_spark.operators.sampling import (
+        hash_bucket,
+        stratified_sample,
+    )
+
+    docs = spark.range(30000).select(F.col("id").alias("doc_id"), F.lit("web").alias("src"))
+    out = stratified_sample(docs, "doc_id", "src", {"web": 0.29}, n_buckets=10_000)
+    # exact expected membership at the intended threshold of 2900
+    expect = docs.filter(hash_bucket(F.col("doc_id"), 10_000) < 2900).count()
+    assert out.count() == expect

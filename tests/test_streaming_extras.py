@@ -373,6 +373,55 @@ def test_compact_latest_state(spark, tmp_path):
     assert resumed == {"AAPL": 103.0, "MSFT": 302.0}
 
 
+def test_compact_latest_state_discards_stale_stage(spark, tmp_path):
+    """Crash in phase 2, then the STREAM restarts and appends batches
+    above the staged max_id, then compaction re-runs: the stale staged
+    snapshot must be discarded and recomputed — finishing the stale
+    publish would delete the post-crash batches' updates forever."""
+    import shutil
+
+    from real_time_financial_market_data_pipeline_spark.streaming.sinks import (
+        compact_latest_state,
+        latest_state_on_read,
+    )
+
+    path = str(tmp_path / "gold")
+    emissions = {
+        0: [("AAPL", 100.0), ("MSFT", 300.0)],
+        1: [("AAPL", 101.0)],
+        2: [("AAPL", 102.0)],
+    }
+    for bid, rows in emissions.items():
+        spark.createDataFrame(rows, "symbol string, price double").write.parquet(
+            os.path.join(path, f"batch_id={bid}")
+        )
+    # stage a snapshot covering batches 0-2, crash before publish
+    resolved = latest_state_on_read(spark.read.parquet(path), ["symbol"])
+    resolved.write.parquet(os.path.join(path, "_compact_inprogress"))
+    os.rename(
+        os.path.join(path, "_compact_inprogress"),
+        os.path.join(path, "_compact_staged_2"),
+    )
+    # stream restarts and lands two NEWER batches before compaction re-runs
+    spark.createDataFrame([("AAPL", 103.0)], "symbol string, price double").write.parquet(
+        os.path.join(path, "batch_id=3")
+    )
+    spark.createDataFrame([("MSFT", 304.0)], "symbol string, price double").write.parquet(
+        os.path.join(path, "batch_id=4")
+    )
+
+    folded = compact_latest_state(spark, path, ["symbol"])
+    assert folded == 5  # recomputed over everything, stale stage discarded
+    assert [d for d in os.listdir(path) if d.startswith("batch_id=")] == ["batch_id=4"]
+    assert not [d for d in os.listdir(path) if d.startswith("_compact")]
+    after = {
+        r["symbol"]: r["price"]
+        for r in latest_state_on_read(spark.read.parquet(path), ["symbol"]).collect()
+    }
+    # post-crash updates survive (the bug folded back to 102.0/300.0)
+    assert after == {"AAPL": 103.0, "MSFT": 304.0}
+
+
 def test_doc_stream_curation(spark, tmp_path):
     """Streaming training-data curation: duplicate docs collapse (first
     arrival wins), low-quality docs are gated out, survivors carry

@@ -35,43 +35,33 @@ HEADLINE = [
 ]
 
 
-def bench_streaming_chained(spark, sf_dir: str) -> float:
-    """Single-source-scan medallion (start_chained): bronze drains from
-    the feed, then silver streams the bronze TABLE, then gold streams
-    silver — the one-scan shape that matters when the source is a
-    100 TB topic.  Timed as a full sequential drain."""
-    import shutil
-    import tempfile
-
-    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_trade_stream
-    from real_time_financial_market_data_pipeline_spark.streaming.jobs import MedallionStreamJob
-    from real_time_financial_market_data_pipeline_spark.tables import load_table, trades_from_events
-
-    work = tempfile.mkdtemp(prefix="bench_chained_")
-    feed = os.path.join(work, "feed")
-    out = os.path.join(work, "out")
-    try:
-        trades = trades_from_events(load_table(spark, sf_dir, "events"))
-        (
-            trades.selectExpr("symbol AS s", "price AS p", "volume AS v", "timestamp AS t")
-            .repartition(10)
-            .write.json(feed)
-        )
-        t0 = time.perf_counter()
-        job = MedallionStreamJob(out_dir=out, trigger={"availableNow": True})
-        mgr = job.start(read_trade_stream(spark, feed), chained=True)
-        mgr.await_all(timeout_s=600)
-        return round(time.perf_counter() - t0, 3)
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+def _batch_durations_s(mgr) -> list[float]:
+    """Per-micro-batch durations (seconds) across every query in the
+    manager, data-carrying batches only.  BASELINE's envelope is
+    per-batch (<10 s trigger), so the bench reports the distribution,
+    not just the total drain — a total hides a straggler batch."""
+    durs = []
+    for q in mgr.queries.values():
+        for p in q.recentProgress:
+            ms = p.get("batchDuration")
+            if ms is not None and p.get("numInputRows", 0) > 0:
+                durs.append(ms / 1000.0)
+    return durs
 
 
-def bench_streaming_medallion(spark, sf_dir: str) -> tuple[float, int]:
+def bench_streaming_medallion(
+    spark, sf_dir: str, chained: bool = True, batched: bool = True
+) -> tuple[float, int, list[float]]:
     """End-to-end streaming envelope (BASELINE.md protocol): the events
     table replayed as a JSON trade feed through parse → validate → dedup
-    → OHLCV 5m → parquet sinks in 10 micro-batches. Returns (drain
-    seconds, silver rows) — the comparable number for the reference's
-    'sustain a 10s trigger with <10s end-to-end latency'."""
+    → OHLCV 5m/1h → parquet sinks, the feed split into 10 files drained
+    as 10 source micro-batches.  Returns (drain seconds, silver rows,
+    per-batch durations).
+
+    chained=True (the default topology) scans the source ONCE — silver
+    streams the bronze table, gold streams silver.  chained=False is the
+    fan-out comparison point: every sink re-reads the source (5 scans),
+    the shape that dies first on a 100 TB topic."""
     import shutil
     import tempfile
 
@@ -83,22 +73,41 @@ def bench_streaming_medallion(spark, sf_dir: str) -> tuple[float, int]:
     feed = os.path.join(work, "feed")
     out = os.path.join(work, "out")
     try:
-        # feed prep (not timed): wire-format JSON in 10 files = 10 batches
+        # Feed prep (not timed): wire-format JSON in 10 EVENT-TIME-ORDERED
+        # chunks, written oldest-first (the file source processes oldest
+        # mod-time first) — the shape a real Kafka replay delivers
+        # (per-partition append order ≈ event-time order).  A randomly
+        # ordered feed would be silently DECIMATED: batch 0 advances the
+        # watermark to ~max(event_time)-10min and the stateful dedup +
+        # windowed aggs drop nearly every later batch's rows as late.
         trades = trades_from_events(load_table(spark, sf_dir, "events"))
-        (
-            trades.selectExpr(
-                "symbol AS s", "price AS p", "volume AS v", "timestamp AS t"
-            )
-            .repartition(10)
-            .write.json(feed)
+        wire = trades.selectExpr(
+            "symbol AS s", "price AS p", "volume AS v", "timestamp AS t"
         )
+        cuts = wire.approxQuantile("t", [i / 10 for i in range(1, 10)], 0.001)
+        lo = None
+        for hi in [*cuts, None]:
+            chunk = wire
+            if lo is not None:
+                chunk = chunk.filter(chunk.t >= lo)
+            if hi is not None:
+                chunk = chunk.filter(chunk.t < hi)
+            chunk.coalesce(1).write.mode("append").json(feed)
+            time.sleep(0.05)  # distinct mod-times => deterministic order
+            lo = hi
         t0 = time.perf_counter()
         job = MedallionStreamJob(out_dir=out, trigger={"availableNow": True})
-        mgr = job.start(read_trade_stream(spark, feed, max_files_per_trigger=1))
+        stream = (
+            read_trade_stream(spark, feed, max_files_per_trigger=1)
+            if batched  # 10 micro-batches (steady-state simulation)
+            else read_trade_stream(spark, feed)  # one-shot backfill drain
+        )
+        mgr = job.start(stream, chained=chained)
         mgr.await_all(timeout_s=600)
         drain = time.perf_counter() - t0
+        durs = _batch_durations_s(mgr)
         n_silver = spark.read.parquet(os.path.join(out, "silver")).count()
-        return round(drain, 3), n_silver
+        return round(drain, 3), n_silver, durs
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -122,12 +131,38 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
-    # min-of-2 for the streaming drain too (fresh checkpoints each run) —
-    # co-tenant load on this host can inflate a single drain 2-3x
-    stream_s = min(bench_streaming_medallion(spark, sf_dir)[0] for _ in range(2))
-    timings["streaming_medallion_10batches"] = stream_s
+    # Drop persisted DataFrames left behind by the batch queries (the
+    # minhash path persists its banded tables and leaves eviction to
+    # LRU) so the streaming drains aren't measured under storage-memory
+    # pressure from an unrelated query.
+    spark.catalog.clearCache()
+
+    # min-of-2 for the streaming drains too (fresh checkpoints each run) —
+    # co-tenant load on this host can inflate a single drain 2-3x.
+    # HEADLINE = chained (the default, single-source-scan topology);
+    # fan-out kept as the secondary comparison entry.
+    chained_runs = [bench_streaming_medallion(spark, sf_dir, chained=True) for _ in range(2)]
+    best_chained = min(chained_runs, key=lambda r: r[0])
+    timings["streaming_medallion_10batches"] = best_chained[0]
+    timings["streaming_medallion_fanout"] = min(
+        bench_streaming_medallion(spark, sf_dir, chained=False)[0] for _ in range(2)
+    )
+    # one-shot backfill drain (no micro-batch splitting) — r02-comparable
     timings["streaming_medallion_chained"] = min(
-        bench_streaming_chained(spark, sf_dir) for _ in range(2)
+        bench_streaming_medallion(spark, sf_dir, chained=True, batched=False)[0]
+        for _ in range(2)
+    )
+
+    durs = sorted(best_chained[2])
+    batch_stats = (
+        {
+            "n": len(durs),
+            "min_s": round(durs[0], 3),
+            "median_s": round(durs[len(durs) // 2], 3),
+            "max_s": round(durs[-1], 3),
+        }
+        if durs
+        else {"n": 0}
     )
 
     total = round(sum(timings.values()), 3)
@@ -138,6 +173,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "streaming_batches": batch_stats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

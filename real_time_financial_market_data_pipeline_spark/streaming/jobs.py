@@ -29,7 +29,7 @@ from real_time_financial_market_data_pipeline_spark.pipeline.validate import (
     dead_letter_records,
     with_validation_errors,
 )
-from real_time_financial_market_data_pipeline_spark.streaming.sinks import SinkManager, parquet_sink
+from real_time_financial_market_data_pipeline_spark.streaming.sinks import SinkManager, parquet_file_sink, parquet_sink
 
 
 @dataclass
@@ -77,9 +77,14 @@ class MedallionStreamJob:
     def checkpoints(self) -> str:
         return os.path.join(self.out_dir, "_checkpoints")
 
-    def start(self, trades: DataFrame, chained: bool = False, await_timeout_s: float = 600) -> SinkManager:
-        """Fan-out mode by default; `chained=True` switches to true
-        medallion chaining (see start_chained)."""
+    def start(self, trades: DataFrame, chained: bool = True, await_timeout_s: float = 600) -> SinkManager:
+        """Chained (single-source-scan) medallion by DEFAULT — silver
+        reads the bronze table and gold reads silver, so the upstream
+        source is scanned exactly once (see start_chained).  Pass
+        `chained=False` for the fan-out topology (every layer re-scans
+        the source; N sinks = N source passes — only sensible when the
+        source is cheap to re-read and minimum per-layer latency beats
+        scan cost)."""
         spark = trades.sparkSession
         old_parts = None
         if self.shuffle_partitions is not None:
@@ -121,12 +126,11 @@ class MedallionStreamJob:
             dead = dead_letter_records(checked.filter(F.size("errors") > 0))
             valid = checked.filter(F.size("errors") == 0).drop("errors")
             mgr.add(
-                parquet_sink(
+                parquet_file_sink(
                     dead,
                     os.path.join(self.out_dir, "dead_letters"),
                     self.checkpoints(),
                     "dead_letters",
-                    output_mode="append",
                     trigger=self.trigger,
                 )
             )
@@ -136,23 +140,21 @@ class MedallionStreamJob:
         gold = ohlcv(silver, self.gold_window)
 
         mgr.add(
-            parquet_sink(
+            parquet_file_sink(
                 bronze,
                 os.path.join(self.out_dir, "bronze"),
                 self.checkpoints(),
                 "bronze",
-                output_mode="append",
                 trigger=self.trigger,
                 partition_by=["trade_date"],
             )
         )
         mgr.add(
-            parquet_sink(
+            parquet_file_sink(
                 silver,
                 os.path.join(self.out_dir, "silver"),
                 self.checkpoints(),
                 "silver",
-                output_mode="append",
                 trigger=self.trigger,
                 partition_by=["trade_date"],
             )
@@ -207,7 +209,15 @@ class MedallionStreamJob:
 
         def _await_if_sequential(q):
             if sequential and await_timeout_s:
-                q.awaitTermination(await_timeout_s)
+                # a layer that hasn't fully drained before the next one
+                # starts silently loses the files it commits afterwards —
+                # fail loudly instead of producing an incomplete table
+                if not q.awaitTermination(await_timeout_s):
+                    raise TimeoutError(
+                        f"chained layer {q.name!r} did not drain within "
+                        f"{await_timeout_s}s; downstream layers would miss "
+                        "its late-committed files"
+                    )
 
         bronze_dir = os.path.join(self.out_dir, "bronze")
         silver_dir = os.path.join(self.out_dir, "silver")
@@ -220,12 +230,11 @@ class MedallionStreamJob:
         marked = trades.withWatermark("event_time", self.watermark)
         bronze = to_bronze(marked)
         q_bronze = mgr.add(
-            parquet_sink(
+            parquet_file_sink(
                 bronze,
                 bronze_dir,
                 self.checkpoints(),
                 "chained_bronze",
-                output_mode="append",
                 trigger=self.trigger,
                 partition_by=["trade_date"],
             )
@@ -247,52 +256,70 @@ class MedallionStreamJob:
         if self.dead_letters:
             dead = dead_letter_records(checked.filter(F.size("errors") > 0))
             mgr.add(
-                parquet_sink(
+                parquet_file_sink(
                     dead,
                     os.path.join(self.out_dir, "dead_letters"),
                     self.checkpoints(),
                     "chained_dead_letters",
-                    output_mode="append",
                     trigger=self.trigger,
                 )
             )
         valid = checked.filter(F.size("errors") == 0).drop("errors")
         silver = valid.dropDuplicatesWithinWatermark(["symbol", "timestamp"])
         q_silver = mgr.add(
-            parquet_sink(
+            parquet_file_sink(
                 silver,
                 silver_dir,
                 self.checkpoints(),
                 "chained_silver",
-                output_mode="append",
                 trigger=self.trigger,
                 partition_by=["trade_date"],
             )
         )
         _await_if_sequential(q_silver)
 
-        # gold: stream the silver TABLE
+        # gold: stream the silver TABLE.  Both rollup granularities read
+        # silver (already reduced by validation+dedup), never the raw
+        # source — the two gold queries are started together and awaited
+        # together since neither depends on the other.
         silver_schema = silver.schema
-        silver_stream = (
-            spark.readStream.schema(silver_schema)
-            .option("basePath", silver_dir)
-            .parquet(silver_dir)
-            .drop("batch_id")
-        )
-        gold = ohlcv(
-            silver_stream.withWatermark("event_time", self.watermark), self.gold_window
-        )
-        q_gold = mgr.add(
-            parquet_sink(
-                gold,
-                os.path.join(self.out_dir, "gold_5m"),
-                self.checkpoints(),
-                "chained_gold_5m",
-                output_mode="update",
-                trigger=self.trigger,
+
+        def _silver_stream() -> DataFrame:
+            return (
+                spark.readStream.schema(silver_schema)
+                .option("basePath", silver_dir)
+                .parquet(silver_dir)
+                .drop("batch_id")
+                .withWatermark("event_time", self.watermark)
             )
-        )
-        _await_if_sequential(q_gold)
+
+        gold_queries = [
+            mgr.add(
+                parquet_sink(
+                    ohlcv(_silver_stream(), self.gold_window),
+                    os.path.join(self.out_dir, "gold_5m"),
+                    self.checkpoints(),
+                    "chained_gold_5m",
+                    output_mode="update",
+                    trigger=self.trigger,
+                )
+            )
+        ]
+        if self.gold_window_slow:
+            gold_queries.append(
+                mgr.add(
+                    parquet_sink(
+                        ohlcv(_silver_stream(), self.gold_window_slow),
+                        os.path.join(self.out_dir, "gold_1h"),
+                        self.checkpoints(),
+                        "chained_gold_1h",
+                        output_mode="update",
+                        trigger=self.trigger,
+                    )
+                )
+            )
+        for q in gold_queries:
+            _await_if_sequential(q)
         return mgr
 
 

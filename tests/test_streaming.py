@@ -33,10 +33,16 @@ def feed_and_out(tmp_path):
 def run_job(spark, feed_dir, out_dir, watermark="10 minutes"):
     trades = read_trade_stream(spark, feed_dir)
     job = MedallionStreamJob(out_dir=out_dir, watermark=watermark)
-    mgr = job.start(trades)
+    mgr = job.start(trades)  # default topology = chained (one source scan)
     assert mgr.await_all(timeout_s=120)
     status = mgr.status()
-    assert set(status) == {"bronze", "silver", "gold_5m", "gold_1h", "dead_letters"}
+    assert set(status) == {
+        "chained_bronze",
+        "chained_silver",
+        "chained_gold_5m",
+        "chained_gold_1h",
+        "chained_dead_letters",
+    }
     return job
 
 
@@ -109,7 +115,7 @@ def test_crash_replay_is_idempotent(spark, feed_and_out):
     before = spark.read.parquet(silver_path).count()
     assert before == 5
 
-    commits_dir = os.path.join(out_dir, "_checkpoints", "silver", "commits")
+    commits_dir = os.path.join(out_dir, "_checkpoints", "chained_silver", "commits")
     commits = sorted(
         f for f in os.listdir(commits_dir) if not f.startswith(".")
     )
@@ -174,8 +180,10 @@ def test_dead_letters_routed_not_silvered(spark, feed_and_out):
     )
     trades = read_trade_stream(spark, feed_dir)
     job = MedallionStreamJob(out_dir=out_dir)
-    mgr = job.start(trades)
+    # fan-out mode explicitly — keeps the non-default topology covered
+    mgr = job.start(trades, chained=False)
     assert mgr.await_all(timeout_s=120)
+    assert set(mgr.status()) == {"bronze", "silver", "gold_5m", "gold_1h", "dead_letters"}
 
     dead = spark.read.parquet(os.path.join(out_dir, "dead_letters"))
     assert dead.count() == 2
@@ -215,6 +223,7 @@ def test_chained_medallion_single_source_read(spark, feed_and_out):
         "chained_bronze",
         "chained_silver",
         "chained_gold_5m",
+        "chained_gold_1h",
         "chained_dead_letters",
     }
 

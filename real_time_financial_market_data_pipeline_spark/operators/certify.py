@@ -1,0 +1,422 @@
+"""Soundness certificates for the approximate operators.
+
+The approximate families (LSH kNN, IVF, simhash blocking, minhash
+near-dups, blocked correlation, sketch decode) have no ANSI-SQL oracle
+BY DESIGN — their outputs depend on seeded hash functions no other
+engine reproduces.  What CAN be checked, exactly and cheaply, is
+*soundness*: every row they emit must satisfy invariants that are
+recomputable from first principles on the emitted rows only (linear in
+|result|, never all-pairs — except the simhash certificate, whose
+blocking is provably complete and is therefore certified against the
+exact all-pairs form).
+
+Each certificate function returns a VIOLATIONS DataFrame in the shared
+`VIOLATION_SCHEMA`; an empty result is the certificate.  The serving
+query `approx_soundness_certificates` unions every family and is
+oracle-backed with `SELECT ... WHERE FALSE` — the driver's rows/schema/
+hash comparison then certifies "zero violations" at every scale factor,
+making the otherwise rows-only families driver-visible (round-2 VERDICT
+task 3).
+
+Recomputation is via an independent expression path wherever possible:
+kNN cosines re-derive through normalize-then-dot (the operators use
+dot-over-norm-product), simhash distances through bit_count(XOR) on the
+re-joined signatures, and the fake-codec feature sums through a
+JVM-side sha256 hex expansion that mirrors the Python decoder
+byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from real_time_financial_market_data_pipeline_spark.functions.vectors import dot, l2_normalize
+
+VIOLATION_SCHEMA = (
+    "family string, kind string, id_a string, id_b string, "
+    "observed double, expected double"
+)
+_COLS = ["family", "kind", "id_a", "id_b", "observed", "expected"]
+
+
+def _viol(df: DataFrame, family: str, kind: str, id_a, id_b, observed, expected) -> DataFrame:
+    return df.select(
+        F.lit(family).alias("family"),
+        F.lit(kind).alias("kind"),
+        id_a.cast("string").alias("id_a"),
+        id_b.cast("string").alias("id_b"),
+        observed.cast("double").alias("observed"),
+        expected.cast("double").alias("expected"),
+    )
+
+
+def empty_violations(spark) -> DataFrame:
+    return spark.createDataFrame([], VIOLATION_SCHEMA)
+
+
+def knn_certificate(
+    result: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    family: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    tol: float = 2e-6,
+) -> DataFrame:
+    """Soundness of a (query_id, neighbor_id, cosine, rank) top-k result:
+
+    - cosine_mismatch: reported cosine != independent recomputation
+      (normalize-then-dot) beyond rounding tolerance;
+    - unknown_neighbor / unknown_query: id not present in the corpus /
+      query set;
+    - rank_bounds: rank outside [1, k];
+    - rank_not_permutation: a query's ranks are not exactly 1..n;
+    - rank_order: cosine increases with rank beyond tolerance (ranking
+      inconsistent with the reported scores).
+
+    Completeness (recall vs exact top-k) is intentionally NOT asserted
+    here — it is the approximate operators' tunable; measured operating
+    points are pinned in tests/test_properties.py.
+    """
+    r = result.select("query_id", "neighbor_id", "cosine", "rank")
+    nv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"))
+    qv = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    joined = r.join(F.broadcast(qv), "query_id", "left").join(nv, "neighbor_id", "left")
+    recomputed = dot(l2_normalize(F.col("_qv")), l2_normalize(F.col("_nv")))
+
+    mismatch = _viol(
+        joined.filter(
+            F.col("_nv").isNotNull()
+            & F.col("_qv").isNotNull()
+            & (F.abs(recomputed - F.col("cosine")) > tol)
+        ),
+        family, "cosine_mismatch",
+        F.col("query_id"), F.col("neighbor_id"), F.col("cosine"), recomputed,
+    )
+    unknown_n = _viol(
+        joined.filter(F.col("_nv").isNull()),
+        family, "unknown_neighbor",
+        F.col("query_id"), F.col("neighbor_id"), F.col("cosine"), F.lit(None),
+    )
+    unknown_q = _viol(
+        joined.filter(F.col("_qv").isNull()),
+        family, "unknown_query",
+        F.col("query_id"), F.col("neighbor_id"), F.col("cosine"), F.lit(None),
+    )
+    bad_rank = _viol(
+        r.filter((F.col("rank") < 1) | (F.col("rank") > k)),
+        family, "rank_bounds",
+        F.col("query_id"), F.col("neighbor_id"), F.col("rank"), F.lit(k),
+    )
+    per_q = r.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count_distinct(F.col("rank")).alias("_nd"),
+        F.max("rank").alias("_mx"),
+        F.min("rank").alias("_mn"),
+    )
+    not_perm = _viol(
+        per_q.filter(
+            (F.col("_nd") != F.col("_n")) | (F.col("_mx") != F.col("_n")) | (F.col("_mn") != 1)
+        ),
+        family, "rank_not_permutation",
+        F.col("query_id"), F.lit(None), F.col("_nd"), F.col("_n"),
+    )
+    w = Window.partitionBy("query_id").orderBy("rank")
+    prev = F.lag("cosine").over(w)
+    bad_order = _viol(
+        r.withColumn("_prev", prev).filter(
+            F.col("_prev").isNotNull() & (F.col("cosine") > F.col("_prev") + tol)
+        ),
+        family, "rank_order",
+        F.col("query_id"), F.col("neighbor_id"), F.col("cosine"), F.col("_prev"),
+    )
+    out = mismatch
+    for v in (unknown_n, unknown_q, bad_rank, not_perm, bad_order):
+        out = out.unionByName(v)
+    return out
+
+
+def pair_cosine_certificate(
+    result: DataFrame,
+    vectors: DataFrame,
+    threshold: float,
+    family: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tol: float = 2e-6,
+) -> DataFrame:
+    """Soundness of (id_a, id_b, cosine) near-dup pairs: recomputed
+    cosine matches, cosine >= threshold, id_a < id_b, no duplicate
+    pairs.  Every emitted pair being a TRUE near-dup means the result is
+    a subset of the exact all-pairs form by construction — the subset
+    certificate without materializing the quadratic exact set."""
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    joined = result.join(va, "id_a", "left").join(vb, "id_b", "left")
+    recomputed = dot(l2_normalize(F.col("_va")), l2_normalize(F.col("_vb")))
+
+    mismatch = _viol(
+        joined.filter(
+            F.col("_va").isNotNull()
+            & F.col("_vb").isNotNull()
+            & (F.abs(recomputed - F.col("cosine")) > tol)
+        ),
+        family, "cosine_mismatch",
+        F.col("id_a"), F.col("id_b"), F.col("cosine"), recomputed,
+    )
+    unknown = _viol(
+        joined.filter(F.col("_va").isNull() | F.col("_vb").isNull()),
+        family, "unknown_id",
+        F.col("id_a"), F.col("id_b"), F.col("cosine"), F.lit(None),
+    )
+    below = _viol(
+        result.filter(F.col("cosine") < threshold - tol),
+        family, "below_threshold",
+        F.col("id_a"), F.col("id_b"), F.col("cosine"), F.lit(threshold),
+    )
+    order = _viol(
+        result.filter(F.col("id_a") >= F.col("id_b")),
+        family, "bad_ordering",
+        F.col("id_a"), F.col("id_b"), F.lit(None), F.lit(None),
+    )
+    dup = _viol(
+        result.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("_n")).filter(F.col("_n") > 1),
+        family, "duplicate_pair",
+        F.col("id_a"), F.col("id_b"), F.col("_n"), F.lit(1),
+    )
+    out = mismatch
+    for v in (unknown, below, order, dup):
+        out = out.unionByName(v)
+    return out
+
+
+def minhash_certificate(
+    result: DataFrame,
+    docs: DataFrame,
+    threshold: float,
+    family: str = "minhash_near_dups",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    tol: float = 6e-7,
+) -> DataFrame:
+    """Soundness of (id_a, id_b, jaccard) minhash near-dup pairs: the
+    reported Jaccard must equal an independent recomputation from the
+    raw text (shingle sets rebuilt outside the banded pipeline), be
+    >= threshold, with id_a < id_b and no duplicates.  True-Jaccard
+    soundness makes the result a subset of the exact ngram_jaccard_pairs
+    output by construction."""
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import _shingled
+
+    sh = _shingled(docs, id_col, text_col, shingle_n)
+    sa = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    sb = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    joined = result.join(sa, "id_a", "left").join(sb, "id_b", "left")
+    inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
+    union = F.size(F.array_union("_sha", "_shb")).cast("double")
+    recomputed = inter / union
+
+    mismatch = _viol(
+        joined.filter(
+            F.col("_sha").isNotNull()
+            & F.col("_shb").isNotNull()
+            & (F.abs(recomputed - F.col("jaccard")) > tol)
+        ),
+        family, "jaccard_mismatch",
+        F.col("id_a"), F.col("id_b"), F.col("jaccard"), recomputed,
+    )
+    unknown = _viol(
+        joined.filter(F.col("_sha").isNull() | F.col("_shb").isNull()),
+        family, "unknown_id",
+        F.col("id_a"), F.col("id_b"), F.col("jaccard"), F.lit(None),
+    )
+    below = _viol(
+        result.filter(F.col("jaccard") < threshold - tol),
+        family, "below_threshold",
+        F.col("id_a"), F.col("id_b"), F.col("jaccard"), F.lit(threshold),
+    )
+    order = _viol(
+        result.filter(F.col("id_a") >= F.col("id_b")),
+        family, "bad_ordering",
+        F.col("id_a"), F.col("id_b"), F.lit(None), F.lit(None),
+    )
+    dup = _viol(
+        result.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("_n")).filter(F.col("_n") > 1),
+        family, "duplicate_pair",
+        F.col("id_a"), F.col("id_b"), F.col("_n"), F.lit(1),
+    )
+    out = mismatch
+    for v in (unknown, below, order, dup):
+        out = out.unionByName(v)
+    return out
+
+
+def simhash_certificate(
+    result: DataFrame,
+    sig_df: DataFrame,
+    max_distance: int,
+    family: str = "simhash_near_dups",
+) -> DataFrame:
+    """FULL equivalence of the pigeonhole-blocked hamming pairs against
+    the exact all-pairs form: blocking is provably complete (at least
+    min_agree whole segments agree within the radius), so unlike the
+    probabilistic families this certificate asserts missing pairs too.
+    Quadratic in |sig_df| — certificate-time only, never the operator's
+    own plan."""
+    a = sig_df.select(F.col("id").alias("id_a"), F.col("simhash").alias("_s_a"))
+    b = sig_df.select(F.col("id").alias("id_b"), F.col("simhash").alias("_s_b"))
+    exact = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("_dist", F.bit_count(F.col("_s_a").bitwiseXOR(F.col("_s_b"))))
+        .filter(F.col("_dist") <= max_distance)
+        .select("id_a", "id_b", "_dist")
+    )
+    missing = _viol(
+        exact.join(result, ["id_a", "id_b"], "left_anti"),
+        family, "missing_pair",
+        F.col("id_a"), F.col("id_b"), F.lit(None), F.col("_dist"),
+    )
+    extra = _viol(
+        result.join(exact, ["id_a", "id_b"], "left_anti"),
+        family, "extra_pair",
+        F.col("id_a"), F.col("id_b"), F.col("hamming"), F.lit(None),
+    )
+    dist_mismatch = _viol(
+        result.join(exact, ["id_a", "id_b"]).filter(F.col("hamming") != F.col("_dist")),
+        family, "distance_mismatch",
+        F.col("id_a"), F.col("id_b"), F.col("hamming"), F.col("_dist"),
+    )
+    return missing.unionByName(extra).unionByName(dist_mismatch)
+
+
+def correlation_certificate(
+    result: DataFrame,
+    source: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    value_col: str,
+    min_corr: float,
+    family: str = "price_path_correlation_blocked",
+    tol: float = 1.01e-4,
+) -> DataFrame:
+    """Soundness of blocked correlated-series pairs: Pearson correlation
+    over common hours recomputed per emitted pair (linear in |result|),
+    must match the reported value to one ulp at the 4-decimal rounding,
+    with the reported value >= min_corr and n_hours matching."""
+    from real_time_financial_market_data_pipeline_spark.operators.timeseries import hourly_series
+
+    hourly = hourly_series(source, key_cols, time_col, value_col)
+    keyed = hourly.select(
+        F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols]).alias("id"),
+        "hr",
+        "p",
+    )
+    a = keyed.select(F.col("id").alias("id_a"), "hr", F.col("p").alias("_pa"))
+    b = keyed.select(F.col("id").alias("id_b"), "hr", F.col("p").alias("_pb"))
+    re = (
+        result.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, ["id_b", "hr"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            (F.round(F.corr("_pa", "_pb"), 4) + 0.0).alias("_re_corr"),
+            F.count(F.lit(1)).alias("_re_n"),
+        )
+    )
+    cmp = result.join(re, ["id_a", "id_b"], "left")
+    missing = _viol(
+        cmp.filter(F.col("_re_corr").isNull()),
+        family, "unverifiable_pair",
+        F.col("id_a"), F.col("id_b"), F.col("correlation"), F.lit(None),
+    )
+    mismatch = _viol(
+        cmp.filter(
+            F.col("_re_corr").isNotNull()
+            & (F.abs(F.col("_re_corr") - F.col("correlation")) > tol)
+        ),
+        family, "correlation_mismatch",
+        F.col("id_a"), F.col("id_b"), F.col("correlation"), F.col("_re_corr"),
+    )
+    below = _viol(
+        result.filter(F.col("correlation") < min_corr),
+        family, "below_threshold",
+        F.col("id_a"), F.col("id_b"), F.col("correlation"), F.lit(min_corr),
+    )
+    n_mismatch = _viol(
+        cmp.filter(F.col("_re_n").isNotNull() & (F.col("_re_n") != F.col("n_hours"))),
+        family, "n_hours_mismatch",
+        F.col("id_a"), F.col("id_b"), F.col("n_hours"), F.col("_re_n"),
+    )
+    return missing.unionByName(mismatch).unionByName(below).unionByName(n_mismatch)
+
+
+def _sha_block_byte_sum(hex_col_name: str, n_bytes: int):
+    """Sum of the first n_bytes bytes of a staged sha256 HEX column —
+    pure JVM expression (conv per 2-hex-char pair).  The hex column must
+    be a real projected column (HOF lambdas get no CSE)."""
+    return F.expr(
+        f"aggregate(transform(sequence(0, {n_bytes - 1}), "
+        f"i -> cast(conv(substring({hex_col_name}, i*2+1, 2), 16, 10) as double)), "
+        f"cast(0.0 as double), (a, x) -> a + x)"
+    )
+
+
+def decode_certificate(
+    result: DataFrame,
+    media: DataFrame,
+    feature_dim: int = 64,
+    family: str = "media_decode_features",
+    tol: float = 1e-4,
+) -> DataFrame:
+    """Soundness of the deterministic fake decode (media_id, n_bytes,
+    feature_sum): the Python sha256-expansion decoder is recomputed
+    ENTIRELY JVM-side (sha2 over payload || counter, hex bytes summed,
+    / 255) and must agree byte-for-byte; n_bytes must equal the payload
+    length; the sum must lie in [0, feature_dim)."""
+    if feature_dim % 32 != 0:
+        raise ValueError("feature_dim must be a multiple of 32 (sha256 block size)")
+    n_blocks = feature_dim // 32
+    staged = media.select(F.col("media_id"), F.col("payload"))
+    for c in range(n_blocks):
+        staged = staged.withColumn(
+            f"_h{c}",
+            F.sha2(F.concat(F.col("payload"), F.lit(c.to_bytes(4, "big"))), 256),
+        )
+    byte_sum = _sha_block_byte_sum("_h0", 32)
+    for c in range(1, n_blocks):
+        byte_sum = byte_sum + _sha_block_byte_sum(f"_h{c}", 32)
+    recomputed = staged.select(
+        "media_id",
+        F.length("payload").cast("long").alias("_len"),
+        (byte_sum / F.lit(255.0)).alias("_re_sum"),
+    )
+    cmp = result.join(recomputed, "media_id", "left")
+    unknown = _viol(
+        cmp.filter(F.col("_len").isNull()),
+        family, "unknown_media",
+        F.col("media_id"), F.lit(None), F.col("feature_sum"), F.lit(None),
+    )
+    len_mismatch = _viol(
+        cmp.filter(F.col("_len").isNotNull() & (F.col("n_bytes") != F.col("_len"))),
+        family, "n_bytes_mismatch",
+        F.col("media_id"), F.lit(None), F.col("n_bytes"), F.col("_len"),
+    )
+    sum_mismatch = _viol(
+        cmp.filter(
+            F.col("_re_sum").isNotNull()
+            & (F.abs(F.col("feature_sum") - F.col("_re_sum")) > tol)
+        ),
+        family, "feature_sum_mismatch",
+        F.col("media_id"), F.lit(None), F.col("feature_sum"), F.col("_re_sum"),
+    )
+    out_of_range = _viol(
+        result.filter(
+            (F.col("feature_sum") < 0) | (F.col("feature_sum") > feature_dim)
+        ),
+        family, "feature_sum_range",
+        F.col("media_id"), F.lit(None), F.col("feature_sum"), F.lit(feature_dim),
+    )
+    return unknown.unionByName(len_mismatch).unionByName(sum_mismatch).unionByName(out_of_range)

@@ -854,7 +854,11 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, chunk_tokens=64, stride=48)
 
 
-@query("minhash_near_dups")  # LSH is probabilistic-recall → rows-only check
+@query("minhash_near_dups")  # rows-only: probabilistic recall.
+# INVARIANT: every emitted pair's Jaccard is independently recomputed
+# from raw text and >= threshold (subset-of-exact by construction) —
+# certified driver-visibly in approx_soundness_certificates; band-config
+# recall pinned in tests/test_properties.py.
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return minhash_near_dup_pairs(docs, threshold=0.5).withColumn(
@@ -862,7 +866,11 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("simhash_near_dups")  # hash-function-specific → rows-only check
+@query("simhash_near_dups")  # rows-only: hash-function-specific values.
+# INVARIANT: result ≡ exact all-pairs hamming <= 8 (pigeonhole blocking
+# is complete, not probabilistic) — full equivalence certified
+# driver-visibly in approx_soundness_certificates, so the row count is
+# deterministically |{pairs: hamming <= 8}|.
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return hamming_pairs(simhash_signatures(docs), max_distance=8)
@@ -1192,18 +1200,15 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "fuzzy_name_pairs_blocked",
-    oracle="""
-SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
-       levenshtein(a.p_name, b.p_name) AS edit_distance
-FROM part a JOIN part b ON a.p_partkey < b.p_partkey
-WHERE levenshtein(a.p_name, b.p_name) <= 2
-""",
-)
+@query("fuzzy_name_pairs_blocked")  # rows-only: oracle slot traded to
+# approx_soundness_certificates (round-2 VERDICT task 3); equality with
+# the oracle-backed all-pairs form stays pinned — the INVARIANT is
+# result ≡ fuzzy_name_pairs exactly (recall 100% by the length bound),
+# so the row count is deterministically |fuzzy_name_pairs|, asserted in
+# tests/test_certificates.py::test_fuzzy_blocked_equals_exact.
 def q_fuzzy_name_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-blocked fuzzy matching — same result set as the all-pairs
-    form (the oracle stays the quadratic ground truth) but executed as
+    form (the quadratic ground truth) but executed as
     an EQUI-join: edit distance <= 2 forces |len(a) - len(b)| <= 2, so
     the right side explodes each name to its 5 candidate lengths
     (len-2 .. len+2) and the join key is left's exact length.  Each
@@ -1364,7 +1369,12 @@ def q_price_path_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("price_path_correlation_blocked")  # heuristic-recall blocking → rows-only
+@query("price_path_correlation_blocked")  # rows-only: heuristic-recall
+# blocking.  INVARIANT: every emitted pair's Pearson correlation is
+# independently recomputed over common hours and >= 0.8 (subset of the
+# oracle-backed exact form by construction) — certified in
+# approx_soundness_certificates; recall operating points pinned in
+# tests/test_operators.py.
 def q_price_path_correlation_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for price_path_correlation: correlation == cosine of
     the mean-centered hourly series, so candidates come from the
@@ -1625,20 +1635,54 @@ def q_active_buyer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        count(DISTINCT user_id) AS n_users,
-       count(*) AS n_events
+       count(*) AS n_events,
+       TRUE AS approx_users_ok,
+       TRUE AS approx_median_ok
 FROM events GROUP BY event_type
 """,
 )
 def q_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts PLUS the driver-visible certificate for the
+    sketch twins (round-2 VERDICT task 3): approx_count_distinct must
+    land within 3x its configured rsd (0.05 -> 15%) of the exact count,
+    and approx_percentile(0.5) must fall between the exact 45th and 55th
+    percentiles.  Both sketches are deterministic for fixed data, so the
+    booleans are stable TRUE at every sf and the oracle hash-checks
+    them; the raw estimates stay in approx_distinct_users (rows-only)."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_users"),
-        F.count(F.lit(1)).alias("n_events"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("_approx"),
+            F.expr("approx_percentile(value, 0.5)").alias("_amed"),
+            F.expr("percentile(value, 0.45)").alias("_p45"),
+            F.expr("percentile(value, 0.55)").alias("_p55"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            "n_events",
+            (F.abs(F.col("_approx") - F.col("n_users")) <= F.col("n_users") * 0.15).alias(
+                "approx_users_ok"
+            ),
+            ((F.col("_amed") >= F.col("_p45")) & (F.col("_amed") <= F.col("_p55"))).alias(
+                "approx_median_ok"
+            ),
+        )
     )
 
 
-@query("approx_distinct_users")  # sketch-based → rows-only (engine-specific estimates)
+@query("approx_distinct_users")  # rows-only: engine-specific sketch estimates.
+# INVARIANT: row count == |event_type| groups (deterministic), and each
+# estimate is certified against its exact twin inside the oracle-backed
+# distinct_users_by_type (approx_users_ok / approx_median_ok columns).
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw sketch estimates (HLL++ distinct count, approx median).  The
+    values are deterministic for fixed data but engine-specific, so no
+    ANSI oracle; the tolerance certificate lives in
+    distinct_users_by_type and tests/test_certificates.py."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
@@ -1697,7 +1741,11 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("media_decode_features")  # sha256-expansion decode → rows-only
+@query("media_decode_features")  # rows-only: Python-side fake codec.
+# INVARIANT: one row per media row, n_bytes == payload length, and
+# feature_sum equals a fully JVM-side sha256 re-expansion of the same
+# decode — certified in approx_soundness_certificates, so the count is
+# deterministically |documents|.
 def q_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_financial_market_data_pipeline_spark.operators.multimodal import decode_media, synthesize_media
 
@@ -1766,7 +1814,11 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.withColumn("cosine", F.round("cosine", 6))
 
 
-@query("embedding_near_dups_lsh")  # bucketed recall < 1 → rows-only
+@query("embedding_near_dups_lsh")  # rows-only: bucketed recall < 1.
+# INVARIANT: every emitted pair's cosine is independently recomputed and
+# >= threshold (subset of the oracle-backed embedding_near_dups result
+# by construction) — certified in approx_soundness_certificates; recall
+# pinned in tests/test_properties.py.
 def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_financial_market_data_pipeline_spark.operators.similarity import embedding_near_dup_pairs
 
@@ -1805,7 +1857,9 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("knn_ivf")  # approximate recall → rows-only check
+@query("knn_ivf")  # rows-only: approximate recall.  INVARIANT: k rows
+# per query, dense ranks, independently-recomputed cosines — certified
+# in approx_soundness_certificates; recall pinned in tests.
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantized ANN: queries probe their n_probe nearest
     inverted lists; exact cosine only within probed cells."""
@@ -1824,7 +1878,11 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("knn_lsh")  # approximate recall → rows-only check
+@query("knn_lsh")  # rows-only: probabilistic recall.  INVARIANT: exactly
+# k rows per query with dense ranks and independently-recomputed cosines
+# (soundness certified driver-visibly in approx_soundness_certificates;
+# recall operating point pinned in tests/test_properties.py) — so the
+# row count is deterministically n_queries x k.
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -1837,6 +1895,90 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cosine", 6).alias("cosine"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+@query(
+    "approx_soundness_certificates",
+    oracle="""
+SELECT CAST(NULL AS VARCHAR) AS family, CAST(NULL AS VARCHAR) AS kind,
+       CAST(NULL AS VARCHAR) AS id_a, CAST(NULL AS VARCHAR) AS id_b,
+       CAST(NULL AS DOUBLE) AS observed, CAST(NULL AS DOUBLE) AS expected
+WHERE FALSE
+""",
+)
+def q_approx_soundness_certificates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible soundness certificate for every approximate /
+    hash-seeded family (round-2 VERDICT task 3): unions the violation
+    sets of knn_lsh, knn_ivf, embedding_near_dups_lsh,
+    minhash_near_dups, simhash_near_dups, price_path_correlation_blocked
+    and media_decode_features.  Each family's invariants are recomputed
+    through an independent expression path (operators/certify.py);
+    the oracle is the EMPTY relation, so the driver's rows+schema+hash
+    comparison certifies "zero violations" at any scale factor —
+    turning the rows-only entries' counts into pinned, meaningful
+    quantities instead of unverifiable ones."""
+    from real_time_financial_market_data_pipeline_spark.operators.certify import (
+        correlation_certificate,
+        decode_certificate,
+        knn_certificate,
+        minhash_certificate,
+        pair_cosine_certificate,
+        simhash_certificate,
+    )
+    from real_time_financial_market_data_pipeline_spark.operators.multimodal import synthesize_media
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # Each certificate fans its result into several violation branches.
+    # localCheckpoint (eager) materializes each tiny approximate result
+    # ONCE and truncates its lineage to a LogicalRDD — without it the
+    # unioned plan embeds ~35 copies of the full approximate pipelines
+    # and Catalyst alone takes minutes (measured: 151s -> ~30s at
+    # sf0.01).
+    def _pin(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=True)
+
+    certs = [
+        knn_certificate(
+            _pin(q_knn_lsh(spark, sf_dir)), emb, queries_df, k=10, family="knn_lsh"
+        ),
+        knn_certificate(
+            _pin(q_knn_ivf(spark, sf_dir)), emb, queries_df, k=10, family="knn_ivf"
+        ),
+        pair_cosine_certificate(
+            _pin(q_embedding_near_dups_lsh(spark, sf_dir)),
+            emb,
+            threshold=0.3,
+            family="embedding_near_dups_lsh",
+        ),
+        minhash_certificate(
+            _pin(q_minhash_near_dups(spark, sf_dir)), docs, threshold=0.5
+        ),
+        simhash_certificate(
+            _pin(q_simhash_near_dups(spark, sf_dir)),
+            _pin(simhash_signatures(docs)),
+            max_distance=8,
+        ),
+        correlation_certificate(
+            _pin(q_price_path_correlation_blocked(spark, sf_dir)),
+            _silver(spark, sf_dir),
+            ["symbol", "trade_date"],
+            "event_time",
+            "price",
+            min_corr=0.8,
+        ),
+        decode_certificate(
+            _pin(q_media_decode_features(spark, sf_dir)),
+            synthesize_media(docs, "doc_id", "text"),
+        ),
+    ]
+    out = certs[0]
+    for c in certs[1:]:
+        out = out.unionByName(c)
+    return out
 
 
 # ---------------------------------------------------------------------------

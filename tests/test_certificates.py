@@ -1,0 +1,138 @@
+"""Soundness-certificate tests (round-2 VERDICT task 3).
+
+Two halves:
+- the certificates hold on the real testdata (zero violations — the
+  same invariant the driver hash-checks through
+  approx_soundness_certificates' empty oracle);
+- the certificates are SENSITIVE — a deliberately corrupted result
+  produces violations, so the empty result is a real check, not a
+  vacuous one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_financial_market_data_pipeline_spark.operators.certify import (
+    decode_certificate,
+    knn_certificate,
+    minhash_certificate,
+    pair_cosine_certificate,
+    simhash_certificate,
+)
+from real_time_financial_market_data_pipeline_spark.operators.dedup import simhash_signatures
+from real_time_financial_market_data_pipeline_spark.operators.multimodal import synthesize_media
+from real_time_financial_market_data_pipeline_spark.serving import queries as Q
+from tests.conftest import SF_DIR
+
+
+def _docs(spark):
+    return Q.load_table(spark, SF_DIR, "documents")
+
+
+def _emb(spark):
+    return Q.load_table(spark, SF_DIR, "embeddings")
+
+
+def _queries_df(emb):
+    return emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def test_knn_certificate_fires_on_tampered_cosine(spark):
+    emb = _emb(spark)
+    good = Q.q_knn_lsh(spark, SF_DIR).localCheckpoint(eager=True)
+    assert (
+        knn_certificate(good, emb, _queries_df(emb), k=10, family="f").count() == 0
+    )
+    bad = good.withColumn(
+        "cosine",
+        F.when(F.col("rank") == 1, F.col("cosine") + 0.01).otherwise(F.col("cosine")),
+    )
+    kinds = {
+        r["kind"]
+        for r in knn_certificate(bad, emb, _queries_df(emb), k=10, family="f").collect()
+    }
+    assert "cosine_mismatch" in kinds
+
+
+def test_knn_certificate_fires_on_broken_ranks(spark):
+    emb = _emb(spark)
+    good = Q.q_knn_ivf(spark, SF_DIR).localCheckpoint(eager=True)
+    bad = good.withColumn(
+        "rank", F.when(F.col("rank") == 2, F.lit(99)).otherwise(F.col("rank"))
+    )
+    kinds = {
+        r["kind"]
+        for r in knn_certificate(bad, emb, _queries_df(emb), k=10, family="f").collect()
+    }
+    assert "rank_bounds" in kinds and "rank_not_permutation" in kinds
+
+
+def test_simhash_certificate_fires_on_dropped_pair(spark):
+    docs = _docs(spark)
+    sigs = simhash_signatures(docs).localCheckpoint(eager=True)
+    good = Q.q_simhash_near_dups(spark, SF_DIR).localCheckpoint(eager=True)
+    assert simhash_certificate(good, sigs, max_distance=8).count() == 0
+    if good.count() == 0:
+        return  # no pairs at this sf to drop
+    first = good.limit(1)
+    bad = good.join(first, ["id_a", "id_b"], "left_anti")
+    kinds = {r["kind"] for r in simhash_certificate(bad, sigs, max_distance=8).collect()}
+    assert kinds == {"missing_pair"}
+
+
+def test_minhash_certificate_fires_on_injected_pair(spark):
+    docs = _docs(spark)
+    good = Q.q_minhash_near_dups(spark, SF_DIR).localCheckpoint(eager=True)
+    assert minhash_certificate(good, docs, threshold=0.5).count() == 0
+    ids = [r[0] for r in docs.select("doc_id").orderBy("doc_id").limit(2).collect()]
+    fake = spark.createDataFrame(
+        [(ids[0], ids[1], 0.99)], "id_a long, id_b long, jaccard double"
+    )
+    bad = good.unionByName(fake)
+    kinds = {r["kind"] for r in minhash_certificate(bad, docs, threshold=0.5).collect()}
+    # two unrelated docs: the reported 0.99 cannot match the true Jaccard
+    assert "jaccard_mismatch" in kinds
+
+
+def test_pair_cosine_certificate_fires_on_bad_ordering(spark):
+    emb = _emb(spark)
+    good = Q.q_embedding_near_dups_lsh(spark, SF_DIR).localCheckpoint(eager=True)
+    assert pair_cosine_certificate(good, emb, 0.3, "f").count() == 0
+    flipped = good.select(
+        F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "cosine"
+    )
+    if flipped.count() == 0:
+        return
+    kinds = {r["kind"] for r in pair_cosine_certificate(flipped, emb, 0.3, "f").collect()}
+    assert "bad_ordering" in kinds
+
+
+def test_decode_certificate_fires_on_tampered_sum(spark):
+    docs = _docs(spark)
+    media = synthesize_media(docs, "doc_id", "text")
+    good = Q.q_media_decode_features(spark, SF_DIR).localCheckpoint(eager=True)
+    assert decode_certificate(good, media).count() == 0
+    bad = good.withColumn("feature_sum", F.col("feature_sum") + 0.5)
+    kinds = {r["kind"] for r in decode_certificate(bad, media).collect()}
+    assert "feature_sum_mismatch" in kinds
+
+
+def test_fuzzy_blocked_equals_exact(spark):
+    """fuzzy_name_pairs_blocked traded its (redundant) oracle slot to
+    approx_soundness_certificates; its invariant — exact equality with
+    the all-pairs form — is pinned here instead."""
+    exact = Q.q_fuzzy_name_pairs(spark, SF_DIR)
+    blocked = Q.q_fuzzy_name_pairs_blocked(spark, SF_DIR)
+    assert exact.count() == blocked.count()
+    assert exact.exceptAll(blocked).count() == 0
+    assert blocked.exceptAll(exact).count() == 0
+
+
+def test_approx_distinct_certified_in_exact_twin(spark):
+    rows = Q.q_distinct_users_by_type(spark, SF_DIR).collect()
+    assert rows and all(r["approx_users_ok"] and r["approx_median_ok"] for r in rows)
+    # the raw-estimate twin keeps its deterministic group count
+    assert Q.q_approx_distinct_users(spark, SF_DIR).count() == len(rows)

@@ -42,6 +42,10 @@ def test_rows_only_tail_is_documented_families():
         "knn_ivf",
         "knn_lsh",
         "price_path_correlation_blocked",
+        # oracle slot traded to approx_soundness_certificates (round-2
+        # VERDICT task 3); equality with the oracle-backed all-pairs
+        # form pinned in tests/test_certificates.py
+        "fuzzy_name_pairs_blocked",
     )
     stray = [n for n in rows_only if not n.startswith(allowed_prefixes)]
     assert not stray, f"rows-only queries outside the documented families: {stray}"

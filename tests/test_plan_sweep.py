@@ -21,6 +21,10 @@ ALLPAIRS_OK = {
     "embedding_near_dups",
     "fuzzy_name_pairs",
     "near_dup_clusters",
+    # certificate-time exact all-pairs reference for the simhash
+    # equivalence check (operators/certify.py::simhash_certificate) —
+    # quadratic by declared design, never the operator's own plan
+    "approx_soundness_certificates",
 }
 
 

@@ -35,6 +35,41 @@ HEADLINE = [
 ]
 
 
+def bench_bucketed_serving(spark, sf_dir: str) -> float:
+    """Round-2 VERDICT task 5 before/after: Q5 (latest 50 bars per
+    symbol) served off the bucketBy(symbol)/sortBy(window_start) gold
+    layout — zero Exchange at read time (plan-asserted in
+    tests/test_materialize.py).  The materialization itself is NOT
+    timed (it is the write-once shuffle the layout amortizes); the
+    'before' is the existing latest_bars_per_symbol headline entry,
+    which recomputes gold and shuffles per query."""
+    import shutil
+    import tempfile
+
+    from real_time_financial_market_data_pipeline_spark.pipeline.materialize import (
+        latest_bars_from_bucketed,
+        materialize_gold_bucketed,
+    )
+    from real_time_financial_market_data_pipeline_spark.serving.queries import _gold_5m
+
+    work = tempfile.mkdtemp(prefix="bench_bucketed_")
+    table = "bench_gold_5m_bucketed"
+    try:
+        materialize_gold_bucketed(
+            spark, _gold_5m(spark, sf_dir), table, n_buckets=8,
+            path=os.path.join(work, "gold"),
+        )
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            latest_bars_from_bucketed(spark, table).count()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _batch_durations_s(mgr) -> list[float]:
     """Per-micro-batch durations (seconds) across every query in the
     manager, data-carrying batches only.  BASELINE's envelope is
@@ -130,6 +165,8 @@ def main() -> None:
             QUERIES[name](spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+
+    timings["latest_bars_bucketed_read"] = bench_bucketed_serving(spark, sf_dir)
 
     # Drop persisted DataFrames left behind by the batch queries (the
     # minhash path persists its banded tables and leaves eviction to

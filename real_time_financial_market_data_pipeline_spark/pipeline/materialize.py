@@ -55,3 +55,56 @@ def materialize_medallion(
         )
         paths[name] = path
     return paths
+
+
+def materialize_gold_bucketed(
+    spark: SparkSession,
+    bars: DataFrame,
+    table: str,
+    n_buckets: int = 8,
+    path: str | None = None,
+) -> str:
+    """Bucketed + sorted gold layout for shuffle-free per-symbol serving.
+
+    Mirrors the reference's Cassandra clustering-order design
+    (schemas/cassandra/keyspace.cql:36 — PRIMARY KEY ((symbol, date),
+    window_start) WITH CLUSTERING ORDER BY (window_start DESC)) as lake
+    layout: bucketBy(symbol) gives every serving operator that clusters
+    on symbol (latest-N windows, per-symbol ranges, symbol equi-joins) a
+    scan that already satisfies its distribution — zero Exchange at read
+    time — and sortBy(symbol, window_start) keeps each symbol's bars
+    contiguous and ordered inside every bucket file.
+
+    At 100 TB this is the difference between every dashboard query
+    paying a full shuffle of the gold table and paying none: the one
+    shuffle happens once, at write time, into a layout all subsequent
+    reads share.  Size n_buckets to the cluster (files-per-bucket stays
+    parallel; bucket pruning handles single-symbol lookups).
+    """
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    writer = (
+        bars.repartition(n_buckets, "symbol")
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "symbol")
+        .sortBy("symbol", "window_start")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+    return table
+
+
+def latest_bars_from_bucketed(spark: SparkSession, table: str, k: int = 50) -> DataFrame:
+    """Q5 (latest k bars per symbol) served off the bucketed gold table:
+    the bucketed scan's HashPartitioning(symbol) satisfies the rank
+    window's ClusteredDistribution, so the plan is scan → (in-partition)
+    sort → WindowGroupLimit → window — NO Exchange
+    (tests/test_materialize.py::test_bucketed_gold_serving_is_shuffle_free
+    pins this)."""
+    from real_time_financial_market_data_pipeline_spark.operators.topk import top_k_per_group
+
+    bars = spark.table(table)
+    return top_k_per_group(
+        bars, ["symbol"], [F.col("window_start").desc()], k
+    ).select("symbol", "window_start", "open", "high", "low", "close", "volume")

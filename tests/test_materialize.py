@@ -8,8 +8,12 @@ import re
 
 from pyspark.sql import functions as F
 
-from real_time_financial_market_data_pipeline_spark.pipeline.materialize import materialize_medallion
-from real_time_financial_market_data_pipeline_spark.serving.queries import _silver
+from real_time_financial_market_data_pipeline_spark.pipeline.materialize import (
+    latest_bars_from_bucketed,
+    materialize_gold_bucketed,
+    materialize_medallion,
+)
+from real_time_financial_market_data_pipeline_spark.serving.queries import QUERIES, _gold_5m, _silver
 from tests.conftest import SF_DIR
 
 
@@ -42,3 +46,29 @@ def test_materialize_layout_and_pruning(spark, tmp_path):
         .count()
     )
     assert g5.count() == recomputed
+
+
+def test_bucketed_gold_serving_is_shuffle_free(spark, tmp_path):
+    """Round-2 VERDICT task 5: gold_5m written bucketBy(symbol) /
+    sortBy(symbol, window_start) must serve Q5 (latest 50 bars per
+    symbol) with ZERO Exchange — the bucketed scan's partitioning
+    satisfies the rank window's distribution — and return exactly what
+    the compute-from-silver path returns."""
+    bars = _gold_5m(spark, SF_DIR)
+    materialize_gold_bucketed(
+        spark, bars, "gold_5m_bucketed_test", n_buckets=8,
+        path=str(tmp_path / "gold_5m_bucketed"),
+    )
+    try:
+        served = latest_bars_from_bucketed(spark, "gold_5m_bucketed_test")
+        plan = served._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan[:2000]
+
+        expected = sorted(
+            tuple(r) for r in QUERIES["latest_bars_per_symbol"](spark, SF_DIR).collect()
+        )
+        got = sorted(tuple(r) for r in served.collect())
+        assert got == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS gold_5m_bucketed_test")

@@ -63,3 +63,52 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert len(best) == 1
     assert best[0]["bid_price"] == 149.5  # latest quote won
     assert abs(best[0]["price_vs_mid"] - 0.0) < 1e-9
+
+
+def test_quote_enrich_job_end_to_end(spark, tmp_path):
+    """QuoteEnrichJob (round-2 VERDICT task 6): live availableNow drain
+    of the trades⋈quotes dataflow to enriched + best_quote layers with
+    per-layer checkpoints, then the serving view; a restart with no new
+    data must be a no-op."""
+    from real_time_financial_market_data_pipeline_spark.streaming.jobs import QuoteEnrichJob, best_quote_view
+
+    tfeed, qfeed = str(tmp_path / "tfeed"), str(tmp_path / "qfeed")
+    out = str(tmp_path / "out")
+    os.makedirs(tfeed)
+    os.makedirs(qfeed)
+    with open(os.path.join(tfeed, "t.json"), "w") as f:
+        f.write(json.dumps({"s": "AAPL", "p": 150.0, "v": 100, "t": T0 + 60_000}) + "\n")
+        f.write(json.dumps({"s": "MSFT", "p": 380.0, "v": 10, "t": T0 + 60_000}) + "\n")
+    with open(os.path.join(qfeed, "q.json"), "w") as f:
+        f.write(json.dumps({"symbol": "AAPL", "bid_price": 149.0, "bid_size": 5,
+                            "ask_price": 151.0, "ask_size": 5, "timestamp": T0}) + "\n")
+        f.write(json.dumps({"symbol": "AAPL", "bid_price": 149.5, "bid_size": 5,
+                            "ask_price": 150.5, "ask_size": 5, "timestamp": T0 + 30_000}) + "\n")
+        f.write(json.dumps({"symbol": "MSFT", "bid_price": 379.0, "bid_size": 1,
+                            "ask_price": 381.0, "ask_size": 1, "timestamp": T0 - 360_000}) + "\n")
+
+    def run_once():
+        job = QuoteEnrichJob(out_dir=out)
+        mgr = job.start(
+            read_trade_stream(spark, tfeed), read_quote_stream(spark, qfeed)
+        )
+        assert mgr.await_all(timeout_s=120)
+        assert set(mgr.status()) == {"quotes_enriched", "quotes_best"}
+
+    run_once()
+
+    enriched = spark.read.parquet(os.path.join(out, "enriched"))
+    assert enriched.count() == 2  # both in-window AAPL quotes; MSFT stale
+    assert set(enriched.select("symbol").distinct().toPandas()["symbol"]) == {"AAPL"}
+
+    view = best_quote_view(spark, out)
+    rows = view.collect()
+    assert len(rows) == 1
+    best = rows[0]
+    assert best["symbol"] == "AAPL"
+    assert best["bid_price"] == 149.5 and best["ask_price"] == 150.5  # latest quote
+    assert abs(best["price_vs_mid"] - (150.0 - 150.0)) < 1e-9
+
+    run_once()  # restart, no new data → checkpoints make it a no-op
+    assert spark.read.parquet(os.path.join(out, "enriched")).count() == 2
+    assert best_quote_view(spark, out).count() == 1

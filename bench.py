@@ -168,6 +168,29 @@ def main() -> None:
 
     timings["latest_bars_bucketed_read"] = bench_bucketed_serving(spark, sf_dir)
 
+    # per-strategy kNN split (round-2 VERDICT task 7): the knn_bruteforce
+    # HEADLINE slot times BOTH strategies together (frozen for
+    # round-over-round diffability); these secondary entries attribute
+    # the time to the JVM expression form vs the Arrow/BLAS form
+    from real_time_financial_market_data_pipeline_spark.operators.similarity import (
+        brute_force_knn,
+        brute_force_knn_arrow,
+    )
+    from real_time_financial_market_data_pipeline_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn_q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for label, fn in [("knn_jvm_strategy", brute_force_knn), ("knn_arrow_strategy", brute_force_knn_arrow)]:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(emb, knn_q, k=10).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[label] = round(best, 3)
+
     # Drop persisted DataFrames left behind by the batch queries (the
     # minhash path persists its banded tables and leaves eviction to
     # LRU) so the streaming drains aren't measured under storage-memory

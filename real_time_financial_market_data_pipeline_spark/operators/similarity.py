@@ -2,9 +2,14 @@
 
 brute_force_knn: exact cosine top-k — broadcast the (small) query set
 against the corpus, one pass, rank per query. The corpus side never
-shuffles; per-partition partial top-k would be the next refinement at
-extreme k×corpus sizes (Spark's TakeOrderedAndProject already bounds
-the window sort per query).
+shuffles un-scored, and the rank is NOT a full-corpus window sort:
+Spark's InferWindowGroupLimit plants a PARTIAL WindowGroupLimit below
+the exchange, so every input partition locally sorts and keeps only
+its own top-k rows per query before shuffling — the shuffle carries
+O(k x queries x partitions) rows, with the final WindowGroupLimit +
+window ranking only that bounded set (plan-pinned in
+tests/test_plans.py::test_jvm_knn_has_partial_group_limit; the Arrow
+strategy below achieves the same bound explicitly in numpy).
 
 lsh_bucketed_knn: random-hyperplane LSH — deterministic seeded planes,
 sign-bit bucket id, equi-join on bucket, rank within bucket. Approximate

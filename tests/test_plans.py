@@ -104,3 +104,26 @@ def test_interval_join_is_equi_join_not_nested_loop(spark):
     plan = physical_plan(interval_join(left, right, max_gap_seconds=60), "simple")
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "Join" in plan  # it IS a join — an equi hash/sort-merge one
+
+
+def test_jvm_knn_has_partial_group_limit(spark):
+    """brute_force_knn (JVM strategy): the shuffle must carry only
+    O(k x queries x partitions) rows — Spark's InferWindowGroupLimit
+    plants a PARTIAL WindowGroupLimit below the rank exchange (one
+    above it finishes).  Two nodes in the plan == the per-partition
+    partial top-k is real (round-2 VERDICT task 7)."""
+    from real_time_financial_market_data_pipeline_spark.operators.similarity import brute_force_knn
+    from real_time_financial_market_data_pipeline_spark.plans.inspect import physical_plan
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = physical_plan(brute_force_knn(emb, q, k=10), "simple")
+    assert plan.count("WindowGroupLimit") == 2, plan[:1500]
+    # and the partial one sits BELOW the exchange: the plan tree prints
+    # top-down, so the pattern Exchange ... WindowGroupLimit must occur
+    # after the first WindowGroupLimit
+    first_wgl = plan.index("WindowGroupLimit")
+    exchange = plan.index("Exchange", first_wgl)
+    assert "WindowGroupLimit" in plan[exchange:], plan[:1500]

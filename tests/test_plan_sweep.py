@@ -28,6 +28,106 @@ ALLPAIRS_OK = {
 }
 
 
+# Per-query plan budget, pinned at sf0.001 (plan shapes are
+# SF-independent pre-AQE): (max_shuffles, requires_broadcast_hash_join,
+# min_scans_with_pushed_filters).  A refactor that adds an exchange,
+# drops a dim-join broadcast, or loses a pushed-down filter fails here
+# before it ships — and ADDING a query without pinning its budget fails
+# the completeness check below (round-2 VERDICT task 8).
+PLAN_BUDGET: dict[str, tuple[int, bool, int]] = {
+    "silver_trades": (1, False, 1),
+    "validation_metrics": (1, False, 0),
+    "dead_letters": (0, False, 0),
+    "ohlcv_5m": (2, False, 1),
+    "ohlcv_1h": (2, False, 1),
+    "latest_prices": (2, False, 1),
+    "pipeline_status": (5, False, 2),
+    "volume_by_symbol_on_date": (3, False, 1),
+    "latest_bars_per_symbol": (3, False, 1),
+    "avg_ingest_latency": (2, False, 1),
+    "market_hours_trades": (2, False, 1),
+    "pricing_summary": (1, False, 1),
+    "top_revenue_orders": (1, True, 3),
+    "nation_revenue": (1, True, 5),
+    "customers_without_orders": (0, True, 1),
+    "priority_count_returned": (1, True, 2),
+    "top_customers_per_nation": (1, True, 2),
+    "supplier_part_stats": (2, True, 2),
+    "asof_purchase_view": (1, False, 2),
+    "doc_profile": (0, False, 0),
+    "dedup_exact_docs": (1, False, 0),
+    "ngram_jaccard_pairs": (0, False, 1),
+    "near_dup_clusters": (0, False, 0),
+    "doc_chunks": (0, False, 0),
+    "knn_bruteforce": (2, False, 1),
+    "monthly_order_stats": (1, False, 0),
+    "orders_vs_avg": (1, False, 1),
+    "supplier_customer_balance": (4, True, 1),
+    "props_json_extract": (1, False, 0),
+    "part_name_analysis": (2, False, 0),
+    "signup_purchase_funnel": (2, False, 0),
+    "weekly_cohort_retention": (3, True, 2),
+    "rolling_features": (2, False, 1),
+    "fuzzy_name_pairs": (0, False, 2),
+    "daily_price_path": (2, False, 1),
+    "price_path_correlation": (5, True, 2),
+    "sessionize_events": (1, False, 1),
+    "ohlcv_5m_sliding": (2, False, 1),
+    "multidim_aggregates": (2, False, 0),
+    "pivot_status_by_priority": (2, False, 0),
+    "running_revenue_per_customer": (1, False, 0),
+    "day_over_day_volume": (3, False, 1),
+    "price_percentiles": (2, False, 1),
+    "active_buyer_segments": (4, True, 2),
+    "distinct_users_by_type": (2, False, 0),
+    "media_metadata": (1, True, 0),
+    "dataset_split": (0, False, 0),
+    "embedding_near_dups": (0, False, 2),
+    "bpe_token_stats": (0, False, 0),
+    "approx_soundness_certificates": (32, True, 25),
+    "minhash_near_dups": (1, True, 0),
+    "simhash_near_dups": (1, True, 2),
+    "fuzzy_name_pairs_blocked": (0, True, 2),
+    "price_path_correlation_blocked": (17, True, 6),
+    "approx_distinct_users": (1, False, 0),
+    "media_decode_features": (0, False, 0),
+    "embedding_near_dups_lsh": (1, True, 4),
+    "knn_ivf": (2, True, 1),
+    "knn_lsh": (2, True, 1),
+}
+
+
+def test_every_query_has_a_plan_budget():
+    missing = sorted(set(QUERIES) - set(PLAN_BUDGET))
+    stale = sorted(set(PLAN_BUDGET) - set(QUERIES))
+    assert not missing, f"new queries without a pinned plan budget: {missing}"
+    assert not stale, f"budget entries for removed queries: {stale}"
+
+
+@pytest.mark.parametrize("name", sorted(PLAN_BUDGET))
+def test_plan_within_budget(spark, name):
+    from real_time_financial_market_data_pipeline_spark.plans.inspect import count_shuffles, pushed_filters
+
+    if name not in QUERIES:
+        pytest.skip("covered by test_every_query_has_a_plan_budget")
+    max_shuffles, needs_bhj, min_pushed = PLAN_BUDGET[name]
+    df = QUERIES[name](spark, SF_DIR)
+    n = count_shuffles(df)
+    assert n <= max_shuffles, (
+        f"{name}: {n} shuffles > pinned budget {max_shuffles} — a refactor "
+        "added an exchange; either remove it or consciously re-pin"
+    )
+    if needs_bhj:
+        assert "BroadcastHashJoin" in physical_plan(df, "simple"), (
+            f"{name}: dimension join lost its broadcast"
+        )
+    pushed = [p for p in pushed_filters(df) if p.strip()]
+    assert len(pushed) >= min_pushed, (
+        f"{name}: only {len(pushed)} scans carry pushed filters "
+        f"(pinned minimum {min_pushed}) — a filter stopped reaching the scan"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_accidental_cross_products(spark, name):
     plan = physical_plan(QUERIES[name](spark, SF_DIR), "simple")

@@ -152,21 +152,42 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
 
-    # warm up: JVM + parquet footer reads, not attributed to any query
-    QUERIES["pricing_summary"](spark, sf_dir).count()
-
-    # two runs per query, min taken: first run pays plan compile/codegen,
-    # and the min damps interference from co-tenant load on the host
+    # Per-entry failure isolation (round-4 post-mortem: one broken query
+    # aborted the whole run before a single timing was recorded, leaving
+    # the round with zero perf signal).  Every timed section goes through
+    # _guard: a failure records a one-line error under "errors" and the
+    # run keeps going.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    errors: dict[str, str] = {}
+
+    def _guard(name: str, fn) -> None:
+        try:
+            timings[name] = fn()
+        except Exception as exc:  # noqa: BLE001 — bench must never abort
+            errors[name] = f"{type(exc).__name__}: {exc}".splitlines()[0][:500]
+
+    def _min_of_2(fn) -> float:
+        # two runs, min taken: first run pays plan compile/codegen, and
+        # the min damps interference from co-tenant load on the host
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).count()
+            fn()
             best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        return round(best, 3)
 
-    timings["latest_bars_bucketed_read"] = bench_bucketed_serving(spark, sf_dir)
+    # warm up: JVM + parquet footer reads, not attributed to any query
+    try:
+        QUERIES["pricing_summary"](spark, sf_dir).count()
+    except Exception:
+        pass
+
+    for name in HEADLINE:
+        _guard(name, lambda name=name: _min_of_2(
+            lambda: QUERIES[name](spark, sf_dir).count()
+        ))
+
+    _guard("latest_bars_bucketed_read", lambda: bench_bucketed_serving(spark, sf_dir))
 
     # per-strategy kNN split (round-2 VERDICT task 7): the knn_bruteforce
     # HEADLINE slot times BOTH strategies together (frozen for
@@ -184,12 +205,7 @@ def main() -> None:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     for label, fn in [("knn_jvm_strategy", brute_force_knn), ("knn_arrow_strategy", brute_force_knn_arrow)]:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(emb, knn_q, k=10).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[label] = round(best, 3)
+        _guard(label, lambda fn=fn: _min_of_2(lambda: fn(emb, knn_q, k=10).count()))
 
     # Drop persisted DataFrames left behind by the batch queries (the
     # minhash path persists its banded tables and leaves eviction to
@@ -201,17 +217,21 @@ def main() -> None:
     # co-tenant load on this host can inflate a single drain 2-3x.
     # HEADLINE = chained (the default, single-source-scan topology);
     # fan-out kept as the secondary comparison entry.
-    chained_runs = [bench_streaming_medallion(spark, sf_dir, chained=True) for _ in range(2)]
-    best_chained = min(chained_runs, key=lambda r: r[0])
-    timings["streaming_medallion_10batches"] = best_chained[0]
-    timings["streaming_medallion_fanout"] = min(
+    best_chained = (None, 0, [])
+    try:
+        chained_runs = [bench_streaming_medallion(spark, sf_dir, chained=True) for _ in range(2)]
+        best_chained = min(chained_runs, key=lambda r: r[0])
+        timings["streaming_medallion_10batches"] = best_chained[0]
+    except Exception as exc:  # noqa: BLE001
+        errors["streaming_medallion_10batches"] = f"{type(exc).__name__}: {exc}".splitlines()[0][:500]
+    _guard("streaming_medallion_fanout", lambda: min(
         bench_streaming_medallion(spark, sf_dir, chained=False)[0] for _ in range(2)
-    )
+    ))
     # one-shot backfill drain (no micro-batch splitting) — r02-comparable
-    timings["streaming_medallion_chained"] = min(
+    _guard("streaming_medallion_chained", lambda: min(
         bench_streaming_medallion(spark, sf_dir, chained=True, batched=False)[0]
         for _ in range(2)
-    )
+    ))
 
     durs = sorted(best_chained[2])
     batch_stats = (
@@ -226,18 +246,17 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "streaming_batches": batch_stats,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "streaming_batches": batch_stats,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     spark.stop()
 
 

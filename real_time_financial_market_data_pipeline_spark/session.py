@@ -17,8 +17,9 @@ from pyspark.sql import SparkSession
 # the correctness driver hands us ITS SparkSession, so anything our readers
 # depend on must be settable mid-session (all of these are).
 RUNTIME_CONF: dict[str, str] = {
-    # driver testdata parquet uses INT64 TIMESTAMP(NANOS) which Spark has no
-    # native type for; read as long + convert (tables.convert_ts_cols)
+    # driver testdata parquet has shipped timestamps as INT64 TIMESTAMP(NANOS)
+    # (no native Spark type; read as long + convert in tables._nanos_to_ts)
+    # and as timestamp[us] NTZ; the loader normalizes both to TimestampType
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",

@@ -73,9 +73,32 @@ class MedallionStreamJob:
     # Route invalid rows to a dead_letters layer (reference F4). Silver
     # then only sees the valid branch.
     dead_letters: bool = True
+    # Auto-compaction cadence for the update-mode gold sinks: every N-th
+    # micro-batch folds prior batch_id emission dirs into one snapshot
+    # (sinks.parquet_sink compact_every), bounding the dir count readers
+    # list to N+1 no matter how long the stream runs (a 10 s trigger
+    # otherwise accretes ~8.6k dirs/day).  availableNow drains also get
+    # a final post-drain fold (compact_gold).  None disables.
+    compact_every: int | None = 20
+
+    GOLD_KEYS = ("symbol", "window_start", "window_end")
 
     def checkpoints(self) -> str:
         return os.path.join(self.out_dir, "_checkpoints")
+
+    def compact_gold(self, spark) -> int:
+        """Fold each gold layer's accumulated update-mode emissions into
+        one resolved snapshot directory (stream-stopped form; called
+        automatically after sequential availableNow drains, callable any
+        time the gold queries are stopped)."""
+        from real_time_financial_market_data_pipeline_spark.streaming.sinks import compact_latest_state
+
+        folded = 0
+        for layer in ("gold_5m", "gold_1h"):
+            path = os.path.join(self.out_dir, layer)
+            if os.path.isdir(path):
+                folded += compact_latest_state(spark, path, list(self.GOLD_KEYS))
+        return folded
 
     def start(self, trades: DataFrame, chained: bool = True, await_timeout_s: float = 600) -> SinkManager:
         """Chained (single-source-scan) medallion by DEFAULT — silver
@@ -167,6 +190,8 @@ class MedallionStreamJob:
                 "gold_5m",
                 output_mode="update",
                 trigger=self.trigger,
+                compact_every=self.compact_every,
+                compact_keys=list(self.GOLD_KEYS),
             )
         )
         if self.gold_window_slow:
@@ -179,6 +204,8 @@ class MedallionStreamJob:
                     "gold_1h",
                     output_mode="update",
                     trigger=self.trigger,
+                    compact_every=self.compact_every,
+                    compact_keys=list(self.GOLD_KEYS),
                 )
             )
         return mgr
@@ -302,6 +329,8 @@ class MedallionStreamJob:
                     "chained_gold_5m",
                     output_mode="update",
                     trigger=self.trigger,
+                    compact_every=self.compact_every,
+                    compact_keys=list(self.GOLD_KEYS),
                 )
             )
         ]
@@ -315,11 +344,17 @@ class MedallionStreamJob:
                         "chained_gold_1h",
                         output_mode="update",
                         trigger=self.trigger,
+                        compact_every=self.compact_every,
+                        compact_keys=list(self.GOLD_KEYS),
                     )
                 )
             )
         for q in gold_queries:
             _await_if_sequential(q)
+        if sequential and await_timeout_s and self.compact_every:
+            # drained availableNow run: gold queries are stopped, fold
+            # their emission dirs so serving reads list O(1) directories
+            self.compact_gold(spark)
         return mgr
 
 
@@ -364,9 +399,22 @@ class QuoteEnrichJob:
     trigger: dict = field(default_factory=lambda: {"availableNow": True})
     # see MedallionStreamJob.shuffle_partitions — sized to key cardinality
     shuffle_partitions: int | None = 8
+    # see MedallionStreamJob.compact_every — same dir-count bound for the
+    # update-mode best_quote sink
+    compact_every: int | None = 20
+
+    BEST_QUOTE_KEYS = ("symbol", "trade_time", "price", "volume")
 
     def checkpoints(self) -> str:
         return os.path.join(self.out_dir, "_checkpoints")
+
+    def compact_best_quote(self, spark) -> int:
+        from real_time_financial_market_data_pipeline_spark.streaming.sinks import compact_latest_state
+
+        path = os.path.join(self.out_dir, "best_quote")
+        if not os.path.isdir(path):
+            return 0
+        return compact_latest_state(spark, path, list(self.BEST_QUOTE_KEYS))
 
     def start(
         self,
@@ -424,10 +472,14 @@ class QuoteEnrichJob:
                     "quotes_best",
                     output_mode="update",
                     trigger=self.trigger,
+                    compact_every=self.compact_every,
+                    compact_keys=list(self.BEST_QUOTE_KEYS),
                 )
             )
             if sequential and await_timeout_s:
                 q_best.awaitTermination(await_timeout_s)
+                if self.compact_every:
+                    self.compact_best_quote(spark)
             return mgr
         finally:
             if old_parts is not None:

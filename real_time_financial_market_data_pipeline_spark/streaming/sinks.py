@@ -33,6 +33,8 @@ def parquet_sink(
     output_mode: str = "append",
     trigger: dict | None = None,
     partition_by: list[str] | None = None,
+    compact_every: int | None = None,
+    compact_keys: list[str] | None = None,
 ) -> StreamingQuery:
     """foreachBatch parquet writer: empty-batch early-exit, date partitioning.
 
@@ -42,9 +44,25 @@ def parquet_sink(
     of appending duplicates (deterministic-batch-id idempotence — the
     lake equivalent of the reference's primary-key upserts). Readers of
     `path` see `batch_id` as a discovered partition column.
+
+    `compact_every` + `compact_keys` enable INLINE auto-compaction for
+    update-mode sinks: every N-th micro-batch first folds all PRIOR
+    batch_id directories into one resolved snapshot (per-key latest —
+    compact_latest_state with only_below=<this batch>), then writes its
+    own delta.  foreachBatch callbacks are serialized per query, so the
+    fold never races the writer; excluding the current batch id keeps
+    the replay contract intact (a replayed batch overwrites only its own
+    delta directory, never a directory holding folded history).  This
+    bounds the directory count readers must list to compact_every + 1
+    regardless of how long the stream runs — without it, a 10 s trigger
+    accretes ~8.6k directories/day and file listing dominates read cost.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_latest_state(
+                batch_df.sparkSession, path, compact_keys or [], only_below=batch_id
+            )
         if batch_df.isEmpty():
             return
         writer = batch_df.write.mode("overwrite")
@@ -201,7 +219,9 @@ class SinkManager:
                 q.stop()
 
 
-def compact_latest_state(spark, path: str, key_cols: list[str]) -> int:
+def compact_latest_state(
+    spark, path: str, key_cols: list[str], only_below: int | None = None
+) -> int:
     """Fold an update-mode sink's accumulated `batch_id=<n>` emission
     directories into ONE resolved snapshot directory (per-key latest by
     batch_id — same semantics readers get from latest_state_on_read).
@@ -231,18 +251,34 @@ def compact_latest_state(spark, path: str, key_cols: list[str]) -> int:
     over everything currently on disk; finishing the stale publish would
     delete the newer dirs and permanently lose their updates.
 
+    `only_below` bounds the fold to batch directories with id strictly
+    below it — the inline-compaction form (parquet_sink compact_every):
+    the CURRENT micro-batch's directory is excluded so a post-crash
+    replay of that batch still overwrites only its own delta, and the
+    bound makes a replayed compaction a no-op (the prior fold left a
+    single directory below the bound).  With only_below=None the fold
+    covers everything on disk (the stream-stopped OPTIMIZE form).
+
     Returns the number of batch directories folded.
     """
     import re
     import shutil
 
+    def _in_scope(batch_id: int) -> bool:
+        return only_below is None or batch_id < only_below
+
+    def _scoped_dirs() -> list[str]:
+        return [
+            d
+            for d in os.listdir(path)
+            if re.fullmatch(r"batch_id=\d+", d) and _in_scope(int(d.split("=")[1]))
+        ]
+
     staged = [d for d in os.listdir(path) if d.startswith("_compact_staged_")]
     if staged:
         staged_max = int(staged[0].rsplit("_", 1)[-1])
         newer = [
-            d
-            for d in os.listdir(path)
-            if re.fullmatch(r"batch_id=\d+", d) and int(d.split("=")[1]) > staged_max
+            d for d in _scoped_dirs() if int(d.split("=")[1]) > staged_max
         ]
         if newer:  # stream appended past the stage: snapshot is stale
             shutil.rmtree(os.path.join(path, staged[0]))
@@ -251,21 +287,25 @@ def compact_latest_state(spark, path: str, key_cols: list[str]) -> int:
         max_id = int(staged[0].rsplit("_", 1)[-1])
         staged_dir = os.path.join(path, staged[0])
     else:
-        batch_dirs = [d for d in os.listdir(path) if re.fullmatch(r"batch_id=\d+", d)]
+        batch_dirs = _scoped_dirs()
         if len(batch_dirs) <= 1:
             return 0
         max_id = max(int(d.split("=")[1]) for d in batch_dirs)
         inprog = os.path.join(path, "_compact_inprogress")
         shutil.rmtree(inprog, ignore_errors=True)
-        resolved = latest_state_on_read(spark.read.parquet(path), key_cols)
+        resolved = latest_state_on_read(
+            spark.read.option("basePath", path).parquet(
+                *[os.path.join(path, d) for d in batch_dirs]
+            ),
+            key_cols,
+        )
         resolved.write.mode("overwrite").parquet(inprog)
         staged_dir = os.path.join(path, f"_compact_staged_{max_id}")
         os.rename(inprog, staged_dir)  # atomic completeness marker
 
     folded = 0
-    for d in os.listdir(path):
-        if re.fullmatch(r"batch_id=\d+", d):
-            shutil.rmtree(os.path.join(path, d))
-            folded += 1
+    for d in _scoped_dirs():
+        shutil.rmtree(os.path.join(path, d))
+        folded += 1
     os.rename(staged_dir, os.path.join(path, f"batch_id={max_id}"))
     return folded

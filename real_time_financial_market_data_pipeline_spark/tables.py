@@ -28,9 +28,15 @@ TABLE_NAMES = [
     "embeddings",
 ]
 
-# Testdata parquet stores these as INT64 TIMESTAMP(NANOS,false) — Spark reads
-# them as long (nanosAsLong) and we convert to TimestampType at microsecond
-# precision (same truncation DuckDB applies).
+# Type contract for the driver-testdata timestamp columns. The physical
+# parquet type has varied across driver regenerations, so the loader accepts
+# all three flavors and normalizes to session-local TimestampType (session tz
+# is pinned UTC in session.RUNTIME_CONF, so every branch is value-preserving):
+#   (a) INT64 TIMESTAMP(NANOS,false)  -> read as bigint via nanosAsLong,
+#       converted with integer-div truncation to microseconds
+#   (b) timestamp[us] without tz      -> read as TIMESTAMP_NTZ, cast to
+#       TIMESTAMP (wall-clock reinterpreted as UTC — identical instants)
+#   (c) timestamp[us] with tz (LTZ)   -> already TimestampType, pass-through
 _TS_COLS: dict[str, list[str]] = {
     "events": ["ts"],
     "orders": ["o_orderdate"],
@@ -39,11 +45,17 @@ _TS_COLS: dict[str, list[str]] = {
 
 
 def _nanos_to_ts(df: DataFrame, cols: list[str]) -> DataFrame:
+    dtypes = dict(df.dtypes)
     for c in cols:
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+        if c not in dtypes:
+            continue
+        if dtypes[c] == "bigint":
             # integer `div`, not `/`: double division loses low bits at
             # epoch-nanos magnitude (2^63 range vs double's 53-bit mantissa)
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dtypes[c] == "timestamp_ntz":
+            # UTC session tz makes NTZ->LTZ a pure reinterpretation
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -1,0 +1,86 @@
+"""Loader type-contract tests (tables._nanos_to_ts).
+
+The driver testdata's physical timestamp encoding has changed across
+regenerations — INT64 TIMESTAMP(NANOS,false) in rounds 1-3,
+timestamp[us] without timezone (Spark TIMESTAMP_NTZ) from round 4 — so
+the loader must normalize every flavor it has ever seen to the same
+TimestampType values.  These tests write identical rows in all three
+physical flavors and assert `trades_from_events` output is
+byte-identical across them (round-4 post-mortem regression).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from real_time_financial_market_data_pipeline_spark.tables import (
+    load_table,
+    trades_from_events,
+)
+
+# epoch-micros chosen to exercise sub-second precision and a date boundary
+_TS_US = [1704067200_000000, 1704067207_179000, 1704153599_999999]
+_ROWS = {
+    "event_id": [0, 1, 2],
+    "user_id": [8, 46, 7],
+    "event_type": ["error", "click", "view"],
+    "value": [6.55, 12.31, 1.63],
+    "props": ['{"k": 69}', '{"k": 89}', '{"k": 29}'],
+}
+
+
+def _write_events(tmp_path, flavor: str) -> str:
+    if flavor == "int64_nanos":
+        ts = pa.array([t * 1000 for t in _TS_US], pa.int64()).cast(
+            pa.timestamp("ns")
+        )
+    elif flavor == "us_ntz":
+        ts = pa.array(_TS_US, pa.int64()).cast(pa.timestamp("us"))
+    elif flavor == "us_utc":
+        ts = pa.array(_TS_US, pa.int64()).cast(pa.timestamp("us", tz="UTC"))
+    else:  # pragma: no cover
+        raise AssertionError(flavor)
+    table = pa.table({**{k: pa.array(v) for k, v in _ROWS.items()}, "ts": ts})
+    d = tmp_path / flavor
+    d.mkdir()
+    pq.write_table(table, str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("flavor", ["int64_nanos", "us_ntz", "us_utc"])
+def test_loader_normalizes_all_physical_flavors(spark, tmp_path, flavor):
+    df = load_table(spark, _write_events(tmp_path, flavor), "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    trades = trades_from_events(df).orderBy("event_id")
+    rows = trades.collect()
+    assert [r["timestamp"] for r in rows] == [t // 1000 for t in _TS_US]
+    assert [str(r["trade_date"]) for r in rows] == [
+        "2024-01-01",
+        "2024-01-01",
+        "2024-01-01",
+    ]
+    assert [r["volume"] for r in rows] == [69, 89, 29]
+
+
+def test_all_flavors_identical_output(spark, tmp_path):
+    outs = []
+    for flavor in ["int64_nanos", "us_ntz", "us_utc"]:
+        df = load_table(spark, _write_events(tmp_path, flavor), "events")
+        outs.append(
+            [tuple(r) for r in trades_from_events(df).orderBy("event_id").collect()]
+        )
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_sf_testdata_ts_columns_are_timestamp(spark):
+    """Whatever the current driver testdata encoding is, the loader must
+    surface plain TimestampType on the documented ts columns."""
+    for name, col in [
+        ("events", "ts"),
+        ("orders", "o_orderdate"),
+        ("lineitem", "l_shipdate"),
+    ]:
+        df = load_table(spark, "/root/testdata/sf0.001", name)
+        assert dict(df.dtypes)[col] == "timestamp", (name, col)

@@ -147,6 +147,73 @@ def bench_streaming_medallion(
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_quote_enrich(spark, sf_dir: str) -> tuple[float, int, list[float]]:
+    """QuoteEnrichJob end-to-end drain (round-3 VERDICT task 4): the
+    events table split into a trade feed (odd event_ids) and a quote
+    feed (even event_ids, bid/ask = value -/+ 0.05 — the same fixture
+    the oracle-backed best_quote_per_trade batch twin uses), each
+    written as 5 event-time-ordered chunks and drained availableNow
+    through the interval join + best-quote layers.  Returns (drain
+    seconds, best_quote resolved rows, per-batch durations)."""
+    import shutil
+    import tempfile
+
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import (
+        read_quote_stream,
+        read_trade_stream,
+    )
+    from real_time_financial_market_data_pipeline_spark.streaming.jobs import QuoteEnrichJob, best_quote_view
+    from real_time_financial_market_data_pipeline_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    work = tempfile.mkdtemp(prefix="bench_quotes_")
+    tfeed, qfeed = os.path.join(work, "trades"), os.path.join(work, "quotes")
+    out = os.path.join(work, "out")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        trades_wire = ev.filter(F.col("event_id") % 2 == 1).select(
+            F.col("event_type").alias("s"),
+            F.col("value").alias("p"),
+            F.get_json_object("props", "$.k").cast("long").alias("v"),
+            F.unix_millis("ts").alias("t"),
+        )
+        quotes_wire = ev.filter(F.col("event_id") % 2 == 0).select(
+            F.col("event_type").alias("symbol"),
+            (F.col("value") - 0.05).alias("bid_price"),
+            F.lit(100).alias("bid_size"),
+            (F.col("value") + 0.05).alias("ask_price"),
+            F.lit(100).alias("ask_size"),
+            F.unix_millis("ts").alias("timestamp"),
+        )
+        # event-time-ordered chunks, oldest first (see
+        # bench_streaming_medallion for why order matters under watermarks)
+        cuts = trades_wire.approxQuantile("t", [i / 5 for i in range(1, 5)], 0.001)
+        for wire, feed, tcol in [(trades_wire, tfeed, "t"), (quotes_wire, qfeed, "timestamp")]:
+            lo = None
+            for hi in [*cuts, None]:
+                chunk = wire
+                if lo is not None:
+                    chunk = chunk.filter(F.col(tcol) >= lo)
+                if hi is not None:
+                    chunk = chunk.filter(F.col(tcol) < hi)
+                chunk.coalesce(1).write.mode("append").json(feed)
+                time.sleep(0.05)
+                lo = hi
+        t0 = time.perf_counter()
+        job = QuoteEnrichJob(out_dir=out, trigger={"availableNow": True})
+        mgr = job.start(
+            read_trade_stream(spark, tfeed, max_files_per_trigger=1),
+            read_quote_stream(spark, qfeed, max_files_per_trigger=1),
+        )
+        mgr.await_all(timeout_s=600)
+        drain = time.perf_counter() - t0
+        durs = _batch_durations_s(mgr)
+        n_best = best_quote_view(spark, out).count()
+        return round(drain, 3), n_best, durs
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -231,6 +298,9 @@ def main() -> None:
     _guard("streaming_medallion_chained", lambda: min(
         bench_streaming_medallion(spark, sf_dir, chained=True, batched=False)[0]
         for _ in range(2)
+    ))
+    _guard("streaming_quote_enrich", lambda: min(
+        bench_quote_enrich(spark, sf_dir)[0] for _ in range(2)
     ))
 
     durs = sorted(best_chained[2])

@@ -645,6 +645,98 @@ def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "best_quote_per_trade",
+    oracle="""
+WITH quotes AS (
+  SELECT symbol, event_time, bid_price, ask_price FROM (
+    SELECT event_type AS symbol, ts AS event_time,
+           value - 0.05 AS bid_price, value + 0.05 AS ask_price,
+           row_number() OVER (PARTITION BY event_type, ts ORDER BY event_id) AS rn
+    FROM events WHERE event_id % 2 = 0
+  ) WHERE rn = 1
+),
+qtrades AS (
+  SELECT symbol, event_time, price, volume FROM (
+    SELECT event_type AS symbol, ts AS event_time, value AS price,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS volume,
+           row_number() OVER (PARTITION BY event_type, ts ORDER BY event_id) AS rn
+    FROM events
+    WHERE event_id % 2 = 1 AND value > 0
+      AND CAST(json_extract_string(props, '$.k') AS BIGINT) > 0
+  ) WHERE rn = 1
+)
+SELECT t.symbol, t.event_time AS trade_time, t.price, t.volume,
+       max(q.event_time) AS quote_time,
+       arg_max(q.bid_price, q.event_time) AS bid_price,
+       arg_max(q.ask_price, q.event_time) AS ask_price,
+       round(arg_max(t.price - (q.bid_price + q.ask_price) / 2, q.event_time), 6) AS price_vs_mid
+FROM qtrades t JOIN quotes q
+  ON t.symbol = q.symbol
+ AND q.event_time <= t.event_time
+ AND q.event_time > t.event_time - INTERVAL 5 MINUTE
+GROUP BY t.symbol, t.event_time, t.price, t.volume
+""",
+)
+def q_best_quote_per_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed BATCH TWIN of QuoteEnrichJob (streaming/jobs.py):
+    the same trades_with_quotes interval join + best_quote_per_trade
+    reduction the streaming job runs, executed on batch frames so DuckDB
+    can differentially check the quote-path semantics the reference
+    declared but never consumed (reference schemas/avro/quote.avsc:1-40,
+    scripts/create_topics.sh:47-48).
+
+    Quote fixture: derived deterministically from the events table
+    (even event_ids -> quotes at bid/ask = value -/+ 0.05; odd
+    event_ids -> trades), one quote per (symbol, event_time) keeping the
+    lowest event_id so the max_by(quote_time) reduction has a unique
+    argmax on both engines.
+
+    Scale: the interval join is an equi-join on symbol with a bounded
+    time predicate — at 100 TB the streaming form bounds state by
+    watermark + max_quote_age; this batch form shuffles once per side on
+    symbol and lets AQE handle symbol skew."""
+    from real_time_financial_market_data_pipeline_spark.streaming.joins import (
+        best_quote_per_trade,
+        trades_with_quotes,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    one_per_key = Window.partitionBy("symbol", "event_time").orderBy("event_id")
+    quotes = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .select(
+            F.col("event_type").alias("symbol"),
+            F.col("ts").alias("event_time"),
+            (F.col("value") - 0.05).alias("bid_price"),
+            (F.col("value") + 0.05).alias("ask_price"),
+            "event_id",
+        )
+        .withColumn("_rn", F.row_number().over(one_per_key))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "event_id")
+    )
+    trades = (
+        ev.filter(
+            (F.col("event_id") % 2 == 1)
+            & (F.col("value") > 0)
+            & (F.get_json_object("props", "$.k").cast("long") > 0)
+        )
+        .select(
+            F.col("event_type").alias("symbol"),
+            F.col("ts").alias("event_time"),
+            F.col("value").alias("price"),
+            F.get_json_object("props", "$.k").cast("long").alias("volume"),
+            "event_id",
+        )
+        .withColumn("_rn", F.row_number().over(one_per_key))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "event_id")
+    )
+    best = best_quote_per_trade(trades_with_quotes(trades, quotes))
+    return best.withColumn("price_vs_mid", F.round("price_vs_mid", 6))
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators: text analysis / dedup / similarity search
 # ---------------------------------------------------------------------------
@@ -1013,24 +1105,11 @@ def q_supplier_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "props_json_extract",
-    oracle="""
-SELECT event_type,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
-       count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0 THEN 1 END) AS n_even_k
-FROM events
-GROUP BY event_type
-""",
-)
-def q_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON path extraction (get_json_object — JVM-side, no UDF)."""
-    ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
-    return ev.groupBy("event_type").agg(
-        F.sum(k).alias("total_k"),
-        F.count(F.when(k % 2 == 0, 1)).alias("n_even_k"),
-    )
+# props_json_extract (round-1..4 slot) was merged into
+# distinct_users_by_type: its distinguishing evidence — JSON path
+# extraction aggregated per event_type — now rides that query's hash
+# check (total_k / n_even_k columns), freeing the 50th driver-window
+# slot for best_quote_per_trade (the quote-path batch twin).
 
 
 @query(
@@ -1636,6 +1715,8 @@ def q_active_buyer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_type,
        count(DISTINCT user_id) AS n_users,
        count(*) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
+       count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0 THEN 1 END) AS n_even_k,
        TRUE AS approx_users_ok,
        TRUE AS approx_median_ok
 FROM events GROUP BY event_type
@@ -1648,13 +1729,21 @@ def q_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     and approx_percentile(0.5) must fall between the exact 45th and 55th
     percentiles.  Both sketches are deterministic for fixed data, so the
     booleans are stable TRUE at every sf and the oracle hash-checks
-    them; the raw estimates stay in approx_distinct_users (rows-only)."""
+    them; the raw estimates stay in approx_distinct_users (rows-only).
+
+    total_k / n_even_k absorb the former props_json_extract slot: JSON
+    path extraction (get_json_object — JVM-side, no UDF) aggregated per
+    event_type, hash-checked here so the driver window slot could go to
+    best_quote_per_trade."""
     ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
     return (
         ev.groupBy("event_type")
         .agg(
             F.countDistinct("user_id").alias("n_users"),
             F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("total_k"),
+            F.count(F.when(k % 2 == 0, 1)).alias("n_even_k"),
             F.approx_count_distinct("user_id").alias("_approx"),
             F.expr("approx_percentile(value, 0.5)").alias("_amed"),
             F.expr("percentile(value, 0.45)").alias("_p45"),
@@ -1664,6 +1753,8 @@ def q_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n_users",
             "n_events",
+            "total_k",
+            "n_even_k",
             (F.abs(F.col("_approx") - F.col("n_users")) <= F.col("n_users") * 0.15).alias(
                 "approx_users_ok"
             ),

@@ -92,6 +92,80 @@ def probe(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def probe_skew_join(spark, base_dir: str, work: str, k: int = 32) -> dict[str, float]:
+    """Skewed-JOIN strategy comparison (round-3 VERDICT task 5): a
+    90%-hot fact side joined to a per-symbol dimension, per strategy:
+
+      naive_smj     broadcast disabled, AQE off — the hot symbol's
+                    entire shuffle partition sorts+merges in ONE task
+      aqe_skew      broadcast disabled, AQE skew-split on with
+                    forceOptimizeSkewedJoin (without force, AQE declines
+                    to split when a downstream agg could reuse the join
+                    partitioning — measured 3x SLOWER than naive from
+                    partition coalescing + no split, see SCALE.md)
+      broadcast     the engine default (64 MB auto threshold): dim ships
+                    to every task, fact never shuffles
+
+    Timing discipline: the DataFrame is REBUILT each run — repeated
+    actions on one DataFrame reuse shuffle map stages (skipped stages)
+    and report only the final reduce's time.
+    """
+    vdir = os.path.join(work, f"skewjoin_{k}x")
+    build_variant(spark, base_dir, vdir, k, skew=True)
+    trades = trades_from_events(load_table(spark, vdir, "events"))
+    trades.groupBy("symbol").agg(F.avg("price").alias("avg_price")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(vdir, "dim.parquet"))
+
+    def build():
+        t = trades_from_events(load_table(spark, vdir, "events"))
+        dim = spark.read.parquet(os.path.join(vdir, "dim.parquet"))
+        return (
+            t.join(dim, "symbol")
+            .groupBy("symbol", "user_id")
+            .agg(F.sum(F.col("price") - F.col("avg_price")).alias("x"))
+            .select(F.count(F.lit(1)).alias("n"))
+        )
+
+    configs = {
+        "naive_smj": {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.enabled": "false",
+        },
+        "aqe_skew": {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+            # local-scale thresholds: the hot partition here is ~90 MB;
+            # production defaults (256 MB threshold) trigger the same
+            # split at cluster partition sizes
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8m",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2m",
+        },
+        "broadcast": {
+            "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+            "spark.sql.adaptive.enabled": "true",
+        },
+    }
+    out: dict[str, float] = {}
+    for label, conf in configs.items():
+        old = {c: spark.conf.get(c) for c in conf}
+        for c, v in conf.items():
+            spark.conf.set(c, v)
+        try:
+            best = float("inf")
+            for _ in range(3):
+                j = build()
+                t0 = time.perf_counter()
+                j.collect()
+                best = min(best, time.perf_counter() - t0)
+            out[label] = round(best, 3)
+        finally:
+            for c, v in old.items():
+                spark.conf.set(c, v)
+    return out
+
+
 def main() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_json = sys.argv[2] if len(sys.argv) > 2 else None
@@ -112,6 +186,9 @@ def main() -> None:
             rec = {"variant": label, "rows": n, **times}
             results.append(rec)
             print(json.dumps(rec), flush=True)
+        rec = {"variant": "skew_join_32x", **probe_skew_join(spark, base, work)}
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()

@@ -63,7 +63,7 @@ PLAN_BUDGET: dict[str, tuple[int, bool, int]] = {
     "monthly_order_stats": (1, False, 0),
     "orders_vs_avg": (1, False, 1),
     "supplier_customer_balance": (4, True, 1),
-    "props_json_extract": (1, False, 0),
+    "best_quote_per_trade": (2, True, 2),
     "part_name_analysis": (2, False, 0),
     "signup_purchase_funnel": (2, False, 0),
     "weekly_cohort_retention": (3, True, 2),

@@ -145,3 +145,52 @@ def test_correlated_series_blocking_recall(spark):
     sparse_tuned = run(n_planes=2, n_tables=8)
     assert not (sparse_tuned - high)
     assert len(sparse_tuned & high) / len(high) >= 0.9
+
+
+def test_aqe_skew_split_activates_on_hot_key_join(spark):
+    """Plan-asserted skew handling (round-3 VERDICT task 5): a join
+    whose fact side is 90% one hot key gets its skewed partition SPLIT
+    by AQE (executed plan carries the `skew=true` SMJ marker) under the
+    engine's documented skew posture: broadcast disabled (the
+    dim-doesn't-fit case) + forceOptimizeSkewedJoin (without force, AQE
+    declines to split any join whose output partitioning a downstream
+    agg could reuse — measured 3x slower than naive at 32x sf0.1; see
+    SCALE.md 'Skewed joins').  Thresholds are scaled down so the ~2 MB
+    test partition counts as skewed; production partition sizes trip the
+    256 MB default the same way."""
+    ev = load_table(spark, SF_DIR, "events")
+    base = trades_from_events(ev).withColumn(
+        "symbol",
+        F.when(F.pmod(F.xxhash64("event_id"), F.lit(10)) < 9, F.lit("hot")).otherwise(
+            F.col("symbol")
+        ),
+    )
+    fact = base
+    for _ in range(5):  # 32x: the hot partition must exceed the skew threshold
+        fact = fact.unionByName(fact)
+    dim = base.groupBy("symbol").agg(F.avg("price").alias("avg_price"))
+    dim_path_free = dim.localCheckpoint(eager=True)  # break lineage: dim reads != fact scan
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "50k",
+    }
+    old = {k: spark.conf.get(k) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        j = (
+            fact.join(dim_path_free, "symbol")
+            .groupBy("symbol", "user_id")
+            .agg(F.sum(F.col("price") - F.col("avg_price")).alias("x"))
+        )
+        rows = j.collect()  # execute THIS plan (count() builds its own)
+        assert rows
+        executed = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in executed, "AQE did not split the skewed partition"
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

@@ -259,13 +259,27 @@ def simhash_certificate(
     sig_df: DataFrame,
     max_distance: int,
     family: str = "simhash_near_dups",
+    sample_mod: int = 1,
 ) -> DataFrame:
     """FULL equivalence of the pigeonhole-blocked hamming pairs against
     the exact all-pairs form: blocking is provably complete (at least
     min_agree whole segments agree within the radius), so unlike the
     probabilistic families this certificate asserts missing pairs too.
-    Quadratic in |sig_df| — certificate-time only, never the operator's
-    own plan."""
+
+    CORRECTNESS HARNESS, NEVER PRODUCTION: the exact reference is
+    quadratic in |sig_df| — it exists only to certify the blocked
+    operator at oracle scale.  At larger sf set `sample_mod` > 1: a
+    deterministic 1/sample_mod hash-sample of ids is checked (both pair
+    endpoints sampled — equivalence over the sampled subcorpus, cost
+    (|sig|/sample_mod)^2), and the result side is restricted to the
+    same subcorpus so no false "extra_pair" rows appear."""
+    if sample_mod > 1:
+        keep = F.pmod(F.xxhash64(F.col("id")), F.lit(sample_mod)) == 0
+        sig_df = sig_df.filter(keep)
+        ids = sig_df.select("id")
+        result = result.join(
+            ids.select(F.col("id").alias("id_a")), "id_a", "leftsemi"
+        ).join(ids.select(F.col("id").alias("id_b")), "id_b", "leftsemi")
     a = sig_df.select(F.col("id").alias("id_a"), F.col("simhash").alias("_s_a"))
     b = sig_df.select(F.col("id").alias("id_b"), F.col("simhash").alias("_s_b"))
     exact = (
@@ -420,3 +434,101 @@ def decode_certificate(
         F.col("media_id"), F.lit(None), F.col("feature_sum"), F.lit(feature_dim),
     )
     return unknown.unionByName(len_mismatch).unionByName(sum_mismatch).unionByName(out_of_range)
+
+
+def knn_recall_certificate(
+    result: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    family: str,
+    recall_floor: float,
+    sample_mod: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """COMPLETENESS certificate for an approximate top-k result
+    (round-3/4 VERDICT task: make recall driver-visible, not just a
+    local pytest operating point).
+
+    A deterministic 1/sample_mod hash-sample of the query set is
+    answered EXACTLY (brute_force_knn — O(|sample| * corpus), bounded by
+    the sample rate, never all-queries); per sampled query,
+    recall@k = |approx ∩ exact| / k.  One violation row is emitted for
+    every sampled query whose recall falls below `recall_floor` — so the
+    union query `approx_soundness_certificates` goes non-empty the
+    moment a parameter regression (fewer tables/probes, broken banding)
+    drops recall below the documented operating point.
+
+    `recall_floor` must be the documented operating point for the
+    operator's configuration, verified at the driver's scale factors:
+    fixed data + seeded hashes make recall deterministic, so the
+    certificate is hash-stable (empty) while the configuration holds.
+    At 100 TB, raise sample_mod (1-5% of queries) — the exact leg's cost
+    scales with the sample, and the floor check is statistical anyway.
+    """
+    from real_time_financial_market_data_pipeline_spark.operators.similarity import brute_force_knn
+
+    sampled = queries.filter(
+        F.pmod(F.xxhash64(F.col(query_id_col)), F.lit(sample_mod)) == 0
+    )
+    exact = brute_force_knn(
+        corpus, sampled, k=k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col
+    ).select("query_id", "neighbor_id")
+    approx = result.join(
+        sampled.select(F.col(query_id_col).alias("query_id")), "query_id", "leftsemi"
+    ).select("query_id", "neighbor_id")
+    overlap = exact.join(approx, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("_hits")
+    )
+    per_q = (
+        sampled.select(F.col(query_id_col).alias("query_id"))
+        .join(overlap, "query_id", "left")
+        .select("query_id", (F.coalesce(F.col("_hits"), F.lit(0)) / k).alias("_recall"))
+    )
+    return _viol(
+        per_q.filter(F.col("_recall") < recall_floor),
+        family, "recall_floor",
+        F.col("query_id"), F.lit(None), F.col("_recall"), F.lit(recall_floor),
+    )
+
+
+def planted_duplicate_certificate(
+    df: DataFrame,
+    pair_fn,
+    family: str,
+    id_col: str,
+    plant_below: int = 20,
+    id_offset: int = 10_000_000_000,
+    qualify=None,
+) -> DataFrame:
+    """RECOVERY certificate for a near-duplicate pair operator: plant
+    exact duplicates and require every planted pair in the output.
+
+    Rows with `id < plant_below` (optionally restricted by `qualify`,
+    e.g. a minimum text length so shingling is well-defined) are cloned
+    with `id + id_offset`; `pair_fn` runs over the augmented corpus.  An
+    exact duplicate is recovered with probability 1 by every family here
+    — identical text gives identical minhash signatures (same band keys
+    in every band), identical vectors give identical sign-LSH buckets in
+    every table — so a missed planted pair is a DETERMINISTIC
+    correctness violation (broken banding/bucketing), not noise.  Cost:
+    |plant| extra rows through the operator, O(1) relative to corpus.
+    """
+    planted = df.filter(F.col(id_col) < plant_below)
+    if qualify is not None:
+        planted = planted.filter(qualify)
+    clones = planted.withColumn(id_col, F.col(id_col) + F.lit(id_offset))
+    pairs = pair_fn(df.unionByName(clones))
+    expected = planted.select(
+        F.col(id_col).alias("id_a"), (F.col(id_col) + F.lit(id_offset)).alias("id_b")
+    )
+    missed = expected.join(
+        pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+    )
+    return _viol(
+        missed,
+        family, "planted_dup_missed",
+        F.col("id_a"), F.col("id_b"), F.lit(0.0), F.lit(1.0),
+    )

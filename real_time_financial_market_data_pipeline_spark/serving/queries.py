@@ -2012,11 +2012,14 @@ def q_approx_soundness_certificates(spark: SparkSession, sf_dir: str) -> DataFra
         correlation_certificate,
         decode_certificate,
         knn_certificate,
+        knn_recall_certificate,
         minhash_certificate,
         pair_cosine_certificate,
+        planted_duplicate_certificate,
         simhash_certificate,
     )
     from real_time_financial_market_data_pipeline_spark.operators.multimodal import synthesize_media
+    from real_time_financial_market_data_pipeline_spark.operators.similarity import embedding_near_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
@@ -2064,6 +2067,36 @@ def q_approx_soundness_certificates(spark: SparkSession, sf_dir: str) -> DataFra
         decode_certificate(
             _pin(q_media_decode_features(spark, sf_dir)),
             synthesize_media(docs, "doc_id", "text"),
+        ),
+        # COMPLETENESS legs (round-3/4 VERDICT task 5): soundness alone
+        # never catches a recall regression — these do.  Floors sit just
+        # below the measured per-query operating points at sf0.01/sf0.1
+        # (lsh min 0.6 -> floor 0.5; ivf min 0.9 -> floor 0.8), so a
+        # parameter regression (fewer tables/probes) trips them while
+        # the pinned configuration stays hash-green.
+        knn_recall_certificate(
+            _pin(q_knn_lsh(spark, sf_dir)), emb, queries_df, k=10,
+            family="knn_lsh", recall_floor=0.5,
+        ),
+        knn_recall_certificate(
+            _pin(q_knn_ivf(spark, sf_dir)), emb, queries_df, k=10,
+            family="knn_ivf", recall_floor=0.8,
+        ),
+        # planted exact duplicates must ALWAYS be recovered (identical
+        # text -> identical band keys; identical vectors -> identical
+        # sign buckets) — a miss is a broken-banding defect, not noise
+        planted_duplicate_certificate(
+            docs.select("doc_id", "text"),
+            lambda d: minhash_near_dup_pairs(d, threshold=0.5),
+            family="minhash_near_dups",
+            id_col="doc_id",
+            qualify=F.length("text") >= 30,
+        ),
+        planted_duplicate_certificate(
+            emb.select("vec_id", "embedding"),
+            lambda d: embedding_near_dup_pairs(d, threshold=0.3, n_planes=4, dim=64),
+            family="embedding_near_dups_lsh",
+            id_col="vec_id",
         ),
     ]
     out = certs[0]

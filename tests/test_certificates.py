@@ -136,3 +136,61 @@ def test_approx_distinct_certified_in_exact_twin(spark):
     assert rows and all(r["approx_users_ok"] and r["approx_median_ok"] for r in rows)
     # the raw-estimate twin keeps its deterministic group count
     assert Q.q_approx_distinct_users(spark, SF_DIR).count() == len(rows)
+
+
+def test_recall_certificate_green_at_operating_point_and_fires_on_regression(spark):
+    """knn_recall_certificate (round-3/4 task 5): empty at the pinned
+    configuration's operating point, NON-empty when a parameter
+    regression (n_tables 8 -> 1) drops recall below the floor."""
+    from real_time_financial_market_data_pipeline_spark.operators.certify import knn_recall_certificate
+    from real_time_financial_market_data_pipeline_spark.operators.similarity import lsh_bucketed_knn
+
+    emb = _emb(spark)
+    qdf = _queries_df(emb)
+    good = Q.q_knn_lsh(spark, SF_DIR).localCheckpoint(eager=True)
+    assert (
+        knn_recall_certificate(
+            good, emb, qdf, k=10, family="knn_lsh", recall_floor=0.5
+        ).count()
+        == 0
+    )
+    degraded = lsh_bucketed_knn(
+        emb, qdf, dim=64, k=10, n_planes=8, n_tables=1
+    ).localCheckpoint(eager=True)
+    viol = knn_recall_certificate(
+        degraded, emb, qdf, k=10, family="knn_lsh", recall_floor=0.5
+    ).collect()
+    assert viol and all(r["kind"] == "recall_floor" for r in viol)
+    assert all(r["observed"] < 0.5 for r in viol)
+
+
+def test_planted_duplicate_certificate_green_and_fires_on_broken_banding(spark):
+    """planted_duplicate_certificate: zero missed planted pairs for the
+    real minhash operator; a pair function whose banding is broken
+    (drops every cross-offset pair) misses all of them."""
+    from real_time_financial_market_data_pipeline_spark.operators.certify import (
+        planted_duplicate_certificate,
+    )
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import minhash_near_dup_pairs
+
+    docs = _docs(spark).select("doc_id", "text")
+    ok = planted_duplicate_certificate(
+        docs,
+        lambda d: minhash_near_dup_pairs(d, threshold=0.5),
+        family="minhash_near_dups",
+        id_col="doc_id",
+        qualify=F.length("text") >= 30,
+    )
+    assert ok.count() == 0
+
+    def broken(d):
+        # "banding" that never pairs an original with its clone
+        return minhash_near_dup_pairs(d, threshold=0.5).filter(
+            F.col("id_b") < 10_000_000_000
+        )
+
+    viol = planted_duplicate_certificate(
+        docs, broken, family="minhash_near_dups", id_col="doc_id",
+        qualify=F.length("text") >= 30,
+    ).collect()
+    assert viol and all(r["kind"] == "planted_dup_missed" for r in viol)

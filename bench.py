@@ -23,6 +23,7 @@ HEADLINE = [
     "latest_prices",
     "latest_bars_per_symbol",
     "volume_by_symbol_on_date",
+    "day_over_day_volume",  # recompute 'before' for day_over_day_bucketed_read
     "pricing_summary",
     "top_revenue_orders",
     "nation_revenue",
@@ -35,36 +36,49 @@ HEADLINE = [
 ]
 
 
-def bench_bucketed_serving(spark, sf_dir: str) -> float:
-    """Round-2 VERDICT task 5 before/after: Q5 (latest 50 bars per
-    symbol) served off the bucketBy(symbol)/sortBy(window_start) gold
-    layout — zero Exchange at read time (plan-asserted in
-    tests/test_materialize.py).  The materialization itself is NOT
-    timed (it is the write-once shuffle the layout amortizes); the
-    'before' is the existing latest_bars_per_symbol headline entry,
-    which recomputes gold and shuffles per query."""
+def bench_bucketed_serving(spark, sf_dir: str) -> dict[str, float]:
+    """Round-2/3 VERDICT before/after: the serving queries that cluster
+    on symbol — Q5 (latest 50 bars), Q6/Q7 (volume/trade_count by
+    symbol) and day-over-day volume — served off the bucketBy(symbol)/
+    sortBy(window_start) gold layout, zero Exchange at read time
+    (plan-asserted in tests/test_materialize.py).  The materialization
+    itself is NOT timed (it is the write-once shuffle the layout
+    amortizes); the 'before' for each is the corresponding headline
+    entry, which recomputes gold and shuffles per query."""
     import shutil
     import tempfile
 
     from real_time_financial_market_data_pipeline_spark.pipeline.materialize import (
+        day_over_day_from_bucketed,
         latest_bars_from_bucketed,
         materialize_gold_bucketed,
+        volume_by_symbol_from_bucketed,
     )
-    from real_time_financial_market_data_pipeline_spark.serving.queries import _gold_5m
+    from real_time_financial_market_data_pipeline_spark.serving.queries import REF_DATE, _gold_5m
 
     work = tempfile.mkdtemp(prefix="bench_bucketed_")
     table = "bench_gold_5m_bucketed"
+    out: dict[str, float] = {}
     try:
         materialize_gold_bucketed(
             spark, _gold_5m(spark, sf_dir), table, n_buckets=8,
             path=os.path.join(work, "gold"),
         )
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            latest_bars_from_bucketed(spark, table).count()
-            best = min(best, time.perf_counter() - t0)
-        return round(best, 3)
+        reads = {
+            "latest_bars_bucketed_read": lambda: latest_bars_from_bucketed(spark, table),
+            "volume_by_symbol_bucketed_read": lambda: volume_by_symbol_from_bucketed(
+                spark, table, REF_DATE
+            ),
+            "day_over_day_bucketed_read": lambda: day_over_day_from_bucketed(spark, table),
+        }
+        for name, mk in reads.items():
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                mk().count()
+                best = min(best, time.perf_counter() - t0)
+            out[name] = round(best, 3)
+        return out
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(work, ignore_errors=True)
@@ -254,7 +268,10 @@ def main() -> None:
             lambda: QUERIES[name](spark, sf_dir).count()
         ))
 
-    _guard("latest_bars_bucketed_read", lambda: bench_bucketed_serving(spark, sf_dir))
+    try:
+        timings.update(bench_bucketed_serving(spark, sf_dir))
+    except Exception as exc:  # noqa: BLE001
+        errors["bucketed_serving"] = f"{type(exc).__name__}: {exc}".splitlines()[0][:500]
 
     # per-strategy kNN split (round-2 VERDICT task 7): the knn_bruteforce
     # HEADLINE slot times BOTH strategies together (frozen for

@@ -108,3 +108,46 @@ def latest_bars_from_bucketed(spark: SparkSession, table: str, k: int = 50) -> D
     return top_k_per_group(
         bars, ["symbol"], [F.col("window_start").desc()], k
     ).select("symbol", "window_start", "open", "high", "low", "close", "volume")
+
+
+def volume_by_symbol_from_bucketed(
+    spark: SparkSession, table: str, on_date: str | None = None
+) -> DataFrame:
+    """Q6/Q7 (volume + trade_count by symbol) served off the bucketed
+    gold table: HashPartitioning(symbol) from the bucketed scan
+    satisfies the aggregate's ClusteredDistribution(symbol) — the plan
+    is scan → partial agg → final agg with ZERO Exchange (a superset
+    grouping key reuses a subset partitioning; plan-pinned in
+    tests/test_materialize.py).  The recompute path pays the OHLCV
+    shuffle plus the agg shuffle on every dashboard refresh."""
+    bars = spark.table(table)
+    if on_date is not None:
+        bars = bars.filter(F.to_date("window_start") == F.lit(on_date).cast("date"))
+    return bars.groupBy("symbol").agg(
+        F.sum("volume").alias("total_volume"),
+        F.sum("trade_count").alias("total_trades"),
+    )
+
+
+def day_over_day_from_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Day-over-day volume change served off the bucketed gold table:
+    daily rollup (groupBy symbol, date — superset of the bucket key, no
+    Exchange) then lag over (symbol ORDER BY date) — the window's
+    ClusteredDistribution(symbol) is already satisfied too, so the whole
+    query runs shuffle-free: scan → agg → sort-within-partition →
+    window."""
+    from pyspark.sql import Window
+
+    bars = spark.table(table)
+    daily = bars.groupBy(
+        "symbol", F.to_date("window_start").alias("trade_date")
+    ).agg(F.sum("volume").alias("day_volume"))
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    prev = F.lag("day_volume").over(w)
+    return daily.select(
+        "symbol",
+        "trade_date",
+        "day_volume",
+        prev.alias("prev_volume"),
+        F.round(100.0 * (F.col("day_volume") - prev) / prev, 6).alias("pct_change"),
+    )

@@ -72,3 +72,42 @@ def test_bucketed_gold_serving_is_shuffle_free(spark, tmp_path):
         assert got == expected
     finally:
         spark.sql("DROP TABLE IF EXISTS gold_5m_bucketed_test")
+
+
+def test_bucketed_gold_serves_q6_q7_day_over_day_shuffle_free(spark, tmp_path):
+    """Round-3 VERDICT task 7: Q6/Q7 (volume/trade_count by symbol) and
+    day-over-day volume also serve off the bucketed gold layout with
+    ZERO Exchange — grouping/window keys are supersets of the bucket key
+    (symbol), so the scan's HashPartitioning satisfies every
+    distribution in both plans — and match the recompute path."""
+    from real_time_financial_market_data_pipeline_spark.pipeline.materialize import (
+        day_over_day_from_bucketed,
+        volume_by_symbol_from_bucketed,
+    )
+    from real_time_financial_market_data_pipeline_spark.serving.queries import REF_DATE
+
+    bars = _gold_5m(spark, SF_DIR)
+    materialize_gold_bucketed(
+        spark, bars, "gold_5m_bucketed_t2", n_buckets=8,
+        path=str(tmp_path / "gold_5m_bucketed"),
+    )
+    try:
+        vol = volume_by_symbol_from_bucketed(spark, "gold_5m_bucketed_t2", REF_DATE)
+        plan = vol._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        expected = sorted(
+            tuple(r) for r in QUERIES["volume_by_symbol_on_date"](spark, SF_DIR).collect()
+        )
+        assert sorted(tuple(r) for r in vol.collect()) == expected
+
+        dod = day_over_day_from_bucketed(spark, "gold_5m_bucketed_t2")
+        plan = dod._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        # day_over_day_volume recomputes from silver (daily sums are the
+        # same through 5m bars: windows never span dates)
+        expected = sorted(
+            tuple(r) for r in QUERIES["day_over_day_volume"](spark, SF_DIR).collect()
+        )
+        assert sorted(tuple(r) for r in dod.collect()) == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS gold_5m_bucketed_t2")

@@ -375,3 +375,44 @@ def test_inline_compaction_excludes_current_batch(spark, tmp_path):
     assert compact_latest_state(spark, path, ["symbol"], only_below=4) == 0
     resolved = latest_state_on_read(spark.read.parquet(path), ["symbol"])
     assert resolved.collect()[0]["close"] == 104  # latest batch wins
+
+
+def test_checkpoint_restart_with_added_nullable_column(spark, feed_and_out):
+    """Schema evolution across a checkpoint restart (round-3 VERDICT
+    task 6): stop the chained medallion, upgrade the pipeline so the
+    trade stream carries one extra nullable column, restart on the SAME
+    checkpoints.  Expected (and asserted) behavior: clean continuation —
+    the file source resumes from its offset log and processes only the
+    new batch; the stateful dedup's state schema is key-only
+    (symbol, timestamp) so the pass-through column doesn't touch it; the
+    parquet file sink appends files with the wider schema; readers see
+    the union schema with NULLs for pre-upgrade rows.  A column that
+    changed a STATEFUL operator's state schema would instead fail
+    loudly at restart with a state-schema-incompatibility error — that
+    contract is Spark's, this test pins the benign-evolution half."""
+    feed_dir, out_dir = feed_and_out
+    write_feed(
+        feed_dir,
+        [[{"s": "AAPL", "p": 150.25, "v": 100, "t": T0}]],
+    )
+    run_job(spark, feed_dir, out_dir)  # v1 drain
+
+    # upgrade: feed gains one batch; pipeline v2 stamps a feed version
+    write_feed_at = os.path.join(feed_dir, "batch_late.json")
+    with open(write_feed_at, "w") as f:
+        f.write(json.dumps({"s": "AAPL", "p": 151.00, "v": 50, "t": T0 + 60_000}) + "\n")
+    trades_v2 = read_trade_stream(spark, feed_dir).withColumn(
+        "feed_version", F.lit("v2")
+    )
+    job = MedallionStreamJob(out_dir=out_dir)
+    mgr = job.start(trades_v2)
+    assert mgr.await_all(timeout_s=120)
+
+    silver = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out_dir, "silver")
+    )
+    assert "feed_version" in silver.columns
+    rows = {r["timestamp"]: r["feed_version"] for r in silver.collect()}
+    # only the new batch was reprocessed (offset log resumed), and only
+    # it carries the new column — pre-upgrade rows read as NULL
+    assert rows == {T0: None, T0 + 60_000: "v2"}

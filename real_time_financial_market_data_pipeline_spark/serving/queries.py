@@ -854,6 +854,9 @@ WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
 """,
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs — QUADRATIC all-pairs BY CONTRACT
+    (the oracle-checkable ground-truth twin of the minhash family);
+    bounded here to doc_id < 200, never run unbounded at scale."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     pairs = ngram_jaccard_pairs(docs, threshold=0.2)
     return pairs.withColumn("jaccard", F.round("jaccard", 6))
@@ -906,7 +909,9 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate family" (keeper = the minimum doc_id of its component).
     The oracle computes the same components with a recursive
     transitive-closure CTE — an iterative Spark algorithm checked
-    against declarative recursive SQL."""
+    against declarative recursive SQL.  Inherits the bounded quadratic
+    all-pairs edge input from ngram_jaccard_pairs (by contract); the
+    clustering itself is equi-join + hash-agg rounds."""
     from real_time_financial_market_data_pipeline_spark.operators.dedup import connected_components
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
@@ -2002,12 +2007,18 @@ def q_approx_soundness_certificates(spark: SparkSession, sf_dir: str) -> DataFra
     hash-seeded family (round-2 VERDICT task 3): unions the violation
     sets of knn_lsh, knn_ivf, embedding_near_dups_lsh,
     minhash_near_dups, simhash_near_dups, price_path_correlation_blocked
-    and media_decode_features.  Each family's invariants are recomputed
-    through an independent expression path (operators/certify.py);
-    the oracle is the EMPTY relation, so the driver's rows+schema+hash
-    comparison certifies "zero violations" at any scale factor —
-    turning the rows-only entries' counts into pinned, meaningful
-    quantities instead of unverifiable ones."""
+    and media_decode_features, plus the COMPLETENESS legs (recall floors
+    on sampled exact top-k; planted-duplicate recovery).  Each family's
+    invariants are recomputed through an independent expression path
+    (operators/certify.py); the oracle is the EMPTY relation, so the
+    driver's rows+schema+hash comparison certifies "zero violations" at
+    any scale factor — turning the rows-only entries' counts into
+    pinned, meaningful quantities instead of unverifiable ones.
+
+    Contains certificate-time quadratic all-pairs reference legs
+    (simhash equivalence, exact kNN over the sampled queries) BY
+    CONTRACT — correctness harness only, never an operator's own plan;
+    at larger sf the simhash leg takes sample_mod (certify.py)."""
     from real_time_financial_market_data_pipeline_spark.operators.certify import (
         correlation_certificate,
         decode_certificate,

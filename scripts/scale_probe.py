@@ -173,10 +173,14 @@ def main() -> None:
     work = tempfile.mkdtemp(prefix="scale_probe_")
     results = []
     try:
+        # 1x..32x of sf0.1 = 100k..3.2M events (32x ~ sf3: past the
+        # sf0.5-1 window round-3 task 8 asked for)
         for label, k, skew in [
             ("1x", 1, False),
             ("4x", 4, False),
             ("8x", 8, False),
+            ("16x", 16, False),
+            ("32x", 32, False),
             ("4x_skew90", 4, True),
         ]:
             vdir = os.path.join(work, label)
@@ -186,6 +190,21 @@ def main() -> None:
             rec = {"variant": label, "rows": n, **times}
             results.append(rec)
             print(json.dumps(rec), flush=True)
+        # per-op scaling exponent over the 1x->32x span: alpha in
+        # t ~ rows^alpha, from the endpoints (fixed overhead pulls the
+        # small-end slope to 0, so the largest span is the honest one)
+        import math
+
+        r1 = next(r for r in results if r["variant"] == "1x")
+        r32 = next(r for r in results if r["variant"] == "32x")
+        exps = {
+            op: round(math.log(r32[op] / r1[op]) / math.log(r32["rows"] / r1["rows"]), 3)
+            for op in ("silver_dedup", "ohlcv_5m", "latest_prices", "daily_volume")
+            if r1[op] > 0
+        }
+        rec = {"variant": "scaling_exponent_1x_32x", **exps}
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
         rec = {"variant": "skew_join_32x", **probe_skew_join(spark, base, work)}
         results.append(rec)
         print(json.dumps(rec), flush=True)

@@ -84,7 +84,10 @@ PLAN_BUDGET: dict[str, tuple[int, bool, int]] = {
     "dataset_split": (0, False, 0),
     "embedding_near_dups": (0, False, 2),
     "bpe_token_stats": (0, False, 0),
-    "approx_soundness_certificates": (32, True, 25),
+    # re-pinned round 5 (+16 shuffles, +19 pushed scans): the recall-floor
+    # and planted-duplicate completeness legs added four certificate
+    # pipelines to the union
+    "approx_soundness_certificates": (48, True, 40),
     "minhash_near_dups": (1, True, 0),
     "simhash_near_dups": (1, True, 2),
     "fuzzy_name_pairs_blocked": (0, True, 2),
@@ -147,3 +150,29 @@ def test_text_queries_do_not_read_unused_doc_columns(spark):
     # doc_profile needs doc_id/lang/n_chars/text — `source` pruned
     schemas = " ".join(scan_read_schemas(QUERIES["doc_profile"](spark, SF_DIR)))
     assert "source" not in schemas
+
+
+def test_allpairs_whitelist_entries_are_documented():
+    """Growth guard (round-3 VERDICT task 9): ALLPAIRS_OK is the ONLY
+    escape hatch from the cross-product sweep, so every entry must (a)
+    still exist and (b) declare its quadratic contract in its own query
+    source — adding a name here without documenting why it may go
+    all-pairs fails this test, and an undocumented quadratic plan fails
+    test_no_accidental_cross_products.  Together: no silent quadratic
+    growth in either direction."""
+    import inspect
+    import re
+
+    stale = sorted(ALLPAIRS_OK - set(QUERIES))
+    assert not stale, f"ALLPAIRS_OK entries for removed queries: {stale}"
+    undocumented = [
+        n
+        for n in sorted(ALLPAIRS_OK)
+        if not re.search(
+            r"quadratic|all-pairs|all pairs", inspect.getsource(QUERIES[n]), re.I
+        )
+    ]
+    assert not undocumented, (
+        "ALLPAIRS_OK entries whose query source does not declare the "
+        f"quadratic contract: {undocumented}"
+    )

@@ -76,11 +76,16 @@ def test_topk_uses_window_group_limit(spark):
     assert "WindowGroupLimit" in plan
 
 
-def test_metadata_query_prunes_props(spark):
-    # distinct_users_by_type never reads props/value → scan shouldn't either
+def test_metadata_query_prunes_unused_columns(spark):
+    # distinct_users_by_type reads props since round 5 (it absorbed the
+    # props_json_extract slot) but still never touches ts/event_id —
+    # the scan must prune both
     q = QUERIES["distinct_users_by_type"](spark, SF_DIR)
     schemas = " ".join(scan_read_schemas(q))
-    assert "props" not in schemas
+    assert "ts" not in schemas and "event_id" not in schemas
+    # the sketch twin reads neither props nor ts/event_id
+    schemas2 = " ".join(scan_read_schemas(QUERIES["approx_distinct_users"](spark, SF_DIR)))
+    assert "props" not in schemas2 and "ts" not in schemas2
 
 
 def test_interval_join_is_equi_join_not_nested_loop(spark):

@@ -161,6 +161,55 @@ def bench_streaming_medallion(
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_compaction_read(spark, n_batches: int = 120) -> dict[str, float]:
+    """Read-side win of gold auto-compaction (round-3/4 VERDICT task:
+    'bench shows bounded read time').  Simulates an update-mode gold
+    sink that ran n_batches micro-batches (one batch_id=<n> dir each —
+    ~20 minutes of a 10 s trigger), times latest_state_on_read over the
+    raw layout, compacts, re-times.  The uncompacted cost is dominated
+    by file listing + per-dir footer reads and grows linearly with
+    stream lifetime; compacted cost is O(1) in batches-ever-run."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from real_time_financial_market_data_pipeline_spark.streaming.sinks import (
+        compact_latest_state,
+        latest_state_on_read,
+    )
+
+    work = tempfile.mkdtemp(prefix="bench_compact_")
+    path = os.path.join(work, "gold")
+    try:
+        bars = spark.range(200).select(
+            F.concat(F.lit("S"), (F.col("id") % 20).cast("string")).alias("symbol"),
+            (F.col("id") * 300).cast("string").alias("window_start"),
+            (F.col("id").cast("double") / 7).alias("close"),
+        )
+        for b in range(n_batches):
+            bars.withColumn("close", F.col("close") + b).coalesce(1).write.parquet(
+                os.path.join(path, f"batch_id={b}")
+            )
+        keys = ["symbol", "window_start"]
+
+        def read_time() -> float:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                latest_state_on_read(spark.read.parquet(path), keys).count()
+                best = min(best, time.perf_counter() - t0)
+            return round(best, 3)
+
+        uncompacted = read_time()
+        compact_latest_state(spark, path, keys)
+        return {
+            f"gold_read_{n_batches}dirs_uncompacted": uncompacted,
+            f"gold_read_{n_batches}dirs_compacted": read_time(),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def bench_quote_enrich(spark, sf_dir: str) -> tuple[float, int, list[float]]:
     """QuoteEnrichJob end-to-end drain (round-3 VERDICT task 4): the
     events table split into a trade feed (odd event_ids) and a quote
@@ -319,6 +368,10 @@ def main() -> None:
     _guard("streaming_quote_enrich", lambda: min(
         bench_quote_enrich(spark, sf_dir)[0] for _ in range(2)
     ))
+    try:
+        timings.update(bench_compaction_read(spark))
+    except Exception as exc:  # noqa: BLE001
+        errors["compaction_read"] = f"{type(exc).__name__}: {exc}".splitlines()[0][:500]
 
     durs = sorted(best_chained[2])
     batch_stats = (

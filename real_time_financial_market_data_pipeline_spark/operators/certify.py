@@ -532,3 +532,36 @@ def planted_duplicate_certificate(
         family, "planted_dup_missed",
         F.col("id_a"), F.col("id_b"), F.lit(0.0), F.lit(1.0),
     )
+
+
+def decontamination_certificate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    family: str = "decontaminate",
+    id_col: str = "doc_id",
+    plant_below: int = 20,
+    id_offset: int = 10_000_000_000,
+    qualify=None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """RECOVERY certificate for benchmark decontamination: plant exact
+    copies of benchmark documents into the training corpus and require
+    every one of them dropped.  An exact copy shares every minhash band
+    key with its benchmark source (identical hash seeds across corpora
+    by construction — dedup.minhash_cross_corpus_pairs), so a surviving
+    plant is a deterministic banding/anti-join defect, not noise."""
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import decontaminate
+
+    planted = benchmark.filter(F.col(id_col) < plant_below)
+    if qualify is not None:
+        planted = planted.filter(qualify)
+    clones = planted.withColumn(id_col, F.col(id_col) + F.lit(id_offset))
+    kept = decontaminate(
+        train.unionByName(clones), benchmark, id_col=id_col, threshold=threshold
+    )
+    survived = kept.filter(F.col(id_col) >= id_offset)
+    return _viol(
+        survived,
+        family, "planted_contamination_survived",
+        F.col(id_col), (F.col(id_col) - id_offset), F.lit(1.0), F.lit(0.0),
+    )

@@ -963,6 +963,37 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _decontam_train(docs: DataFrame) -> DataFrame:
+    """Deterministic 80% training split for the decontamination surface
+    (doc_id % 5 != 0); the complementary 20% plays the held-out
+    benchmark."""
+    return docs.select("doc_id", "text").filter(F.col("doc_id") % 5 != 0)
+
+
+def _decontam_benchmark(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", "text").filter(F.col("doc_id") % 5 == 0)
+
+
+@query("decontaminated_docs")  # rows-only: minhash-seeded membership.
+# INVARIANT: row count == |train| - |train docs near-matching any
+# benchmark doc| (deterministic for fixed data); exact planted
+# contamination is certified driver-visibly in
+# approx_soundness_certificates (planted_contamination_survived leg),
+# and cross-corpus banding shares hash seeds with the self-join form so
+# a doc present in both splits always collides with itself.
+def q_decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.py::decontaminate):
+    training docs near-matching a held-out benchmark doc (minhash
+    cross-corpus bands, exact-Jaccard verify, threshold 0.5) are
+    anti-joined away — the end-to-end step an LLM training pipeline
+    runs before every mix rebuild."""
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = decontaminate(_decontam_train(docs), _decontam_benchmark(docs))
+    return kept.select("doc_id").orderBy("doc_id")
+
+
 @query("simhash_near_dups")  # rows-only: hash-function-specific values.
 # INVARIANT: result ≡ exact all-pairs hamming <= 8 (pigeonhole blocking
 # is complete, not probabilistic) — full equivalence certified
@@ -2022,6 +2053,7 @@ def q_approx_soundness_certificates(spark: SparkSession, sf_dir: str) -> DataFra
     from real_time_financial_market_data_pipeline_spark.operators.certify import (
         correlation_certificate,
         decode_certificate,
+        decontamination_certificate,
         knn_certificate,
         knn_recall_certificate,
         minhash_certificate,
@@ -2108,6 +2140,14 @@ def q_approx_soundness_certificates(spark: SparkSession, sf_dir: str) -> DataFra
             lambda d: embedding_near_dup_pairs(d, threshold=0.3, n_planes=4, dim=64),
             family="embedding_near_dups_lsh",
             id_col="vec_id",
+        ),
+        # benchmark decontamination: planted benchmark copies in the
+        # training split must ALWAYS be dropped (q_decontaminated_docs
+        # is the rows-only operator entry; this leg is its hash check)
+        decontamination_certificate(
+            _decontam_train(docs),
+            _decontam_benchmark(docs),
+            qualify=F.length("text") >= 30,
         ),
     ]
     out = certs[0]

@@ -194,3 +194,30 @@ def test_planted_duplicate_certificate_green_and_fires_on_broken_banding(spark):
         qualify=F.length("text") >= 30,
     ).collect()
     assert viol and all(r["kind"] == "planted_dup_missed" for r in viol)
+
+
+def test_decontamination_certificate_green_and_fires_on_missed_drop(spark, monkeypatch):
+    """decontamination_certificate: planted benchmark copies in train
+    are always dropped by the real decontaminate (zero violations); an
+    operator that fails to drop (identity passthrough) fires one
+    violation per plant."""
+    from real_time_financial_market_data_pipeline_spark.operators import dedup
+    from real_time_financial_market_data_pipeline_spark.operators.certify import (
+        decontamination_certificate,
+    )
+    from real_time_financial_market_data_pipeline_spark.serving.queries import (
+        _decontam_benchmark,
+        _decontam_train,
+    )
+
+    docs = _docs(spark)
+    train, bench = _decontam_train(docs), _decontam_benchmark(docs)
+    qual = F.length("text") >= 30
+    assert decontamination_certificate(train, bench, qualify=qual).count() == 0
+
+    n_plants = bench.filter((F.col("doc_id") < 20) & qual).count()
+    assert n_plants > 0
+    monkeypatch.setattr(dedup, "decontaminate", lambda t, b, **kw: t)
+    viol = decontamination_certificate(train, bench, qualify=qual).collect()
+    assert len(viol) == n_plants
+    assert all(r["kind"] == "planted_contamination_survived" for r in viol)

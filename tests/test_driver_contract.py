@@ -46,6 +46,11 @@ def test_rows_only_tail_is_documented_families():
         # VERDICT task 3); equality with the oracle-backed all-pairs
         # form pinned in tests/test_certificates.py
         "fuzzy_name_pairs_blocked",
+        # minhash-seeded membership (cross-corpus bands); planted
+        # contamination certified driver-visibly via the
+        # planted_contamination_survived leg of
+        # approx_soundness_certificates
+        "decontaminated_docs",
     )
     stray = [n for n in rows_only if not n.startswith(allowed_prefixes)]
     assert not stray, f"rows-only queries outside the documented families: {stray}"

@@ -84,10 +84,11 @@ PLAN_BUDGET: dict[str, tuple[int, bool, int]] = {
     "dataset_split": (0, False, 0),
     "embedding_near_dups": (0, False, 2),
     "bpe_token_stats": (0, False, 0),
-    # re-pinned round 5 (+16 shuffles, +19 pushed scans): the recall-floor
-    # and planted-duplicate completeness legs added four certificate
-    # pipelines to the union
-    "approx_soundness_certificates": (48, True, 40),
+    # re-pinned round 5 (+22 shuffles, +24 pushed scans): the recall-floor,
+    # planted-duplicate and decontamination completeness legs added five
+    # certificate pipelines to the union
+    "approx_soundness_certificates": (54, True, 49),
+    "decontaminated_docs": (4, True, 3),
     "minhash_near_dups": (1, True, 0),
     "simhash_near_dups": (1, True, 2),
     "fuzzy_name_pairs_blocked": (0, True, 2),

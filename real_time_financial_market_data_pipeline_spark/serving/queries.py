@@ -2078,13 +2078,13 @@ def q_approx_soundness_certificates(spark: SparkSession, sf_dir: str) -> DataFra
     def _pin(df: DataFrame) -> DataFrame:
         return df.localCheckpoint(eager=True)
 
+    # pinned ONCE per approximate result, shared by the soundness and
+    # recall legs (each pin is a full pipeline execution)
+    pinned_lsh = _pin(q_knn_lsh(spark, sf_dir))
+    pinned_ivf = _pin(q_knn_ivf(spark, sf_dir))
     certs = [
-        knn_certificate(
-            _pin(q_knn_lsh(spark, sf_dir)), emb, queries_df, k=10, family="knn_lsh"
-        ),
-        knn_certificate(
-            _pin(q_knn_ivf(spark, sf_dir)), emb, queries_df, k=10, family="knn_ivf"
-        ),
+        knn_certificate(pinned_lsh, emb, queries_df, k=10, family="knn_lsh"),
+        knn_certificate(pinned_ivf, emb, queries_df, k=10, family="knn_ivf"),
         pair_cosine_certificate(
             _pin(q_embedding_near_dups_lsh(spark, sf_dir)),
             emb,
@@ -2118,12 +2118,10 @@ def q_approx_soundness_certificates(spark: SparkSession, sf_dir: str) -> DataFra
         # parameter regression (fewer tables/probes) trips them while
         # the pinned configuration stays hash-green.
         knn_recall_certificate(
-            _pin(q_knn_lsh(spark, sf_dir)), emb, queries_df, k=10,
-            family="knn_lsh", recall_floor=0.5,
+            pinned_lsh, emb, queries_df, k=10, family="knn_lsh", recall_floor=0.5,
         ),
         knn_recall_certificate(
-            _pin(q_knn_ivf(spark, sf_dir)), emb, queries_df, k=10,
-            family="knn_ivf", recall_floor=0.8,
+            pinned_ivf, emb, queries_df, k=10, family="knn_ivf", recall_floor=0.8,
         ),
         # planted exact duplicates must ALWAYS be recovered (identical
         # text -> identical band keys; identical vectors -> identical

@@ -416,3 +416,66 @@ def test_checkpoint_restart_with_added_nullable_column(spark, feed_and_out):
     # only the new batch was reprocessed (offset log resumed), and only
     # it carries the new column — pre-upgrade rows read as NULL
     assert rows == {T0: None, T0 + 60_000: "v2"}
+
+
+def test_inline_compaction_bounds_dirs_on_live_processing_time_stream(spark, feed_and_out):
+    """Inline auto-compaction under a LIVE processingTime trigger (the
+    24/7 deployment shape): with compact_every=4 over 12 micro-batches,
+    the gold sink folds prior batch dirs mid-stream (no stop needed —
+    foreachBatch serialization is the writer lock), so the directory
+    count stays bounded well below batches-ever-run and resolve-on-read
+    values are unaffected."""
+    import re
+    import time as _t
+
+    feed_dir, out_dir = feed_and_out
+    n_files = 12
+    write_feed(
+        feed_dir,
+        [
+            [{"s": "AAPL", "p": 150.0 + i, "v": 10, "t": T0 + i * 60_000}]
+            for i in range(n_files)
+        ],
+    )
+    # distinct ascending mod-times: the file source processes oldest
+    # first; same-mtime files land in arbitrary order and the watermark
+    # would drop the event-time-early ones as late
+    base = _t.time() - n_files
+    for i in range(n_files):
+        p = os.path.join(feed_dir, f"batch_{i}.json")
+        os.utime(p, (base + i, base + i))
+    trades = read_trade_stream(spark, feed_dir, max_files_per_trigger=1)
+    job = MedallionStreamJob(
+        out_dir=out_dir,
+        trigger={"processingTime": "1 second"},
+        compact_every=4,
+        gold_window_slow=None,
+        dead_letters=False,
+    )
+    mgr = job.start(trades, chained=False)  # fan-out: gold consumes source directly
+    try:
+        gold_q = mgr.queries["gold_5m"]
+        deadline = _t.monotonic() + 120
+        while _t.monotonic() < deadline:
+            progress = gold_q.recentProgress
+            total_rows = sum(p["numInputRows"] for p in progress)
+            # fully drained AND the newest trigger was idle — the last
+            # data batch's foreachBatch write has committed before stop
+            if total_rows >= n_files and progress and progress[-1]["numInputRows"] == 0:
+                break
+            _t.sleep(1)
+    finally:
+        mgr.stop_all()
+
+    gold_dir = os.path.join(out_dir, "gold_5m")
+    dirs = [d for d in os.listdir(gold_dir) if re.fullmatch(r"batch_id=\d+", d)]
+    # 12 data batches ran; without inline folds there would be 12 dirs.
+    # With compact_every=4 at most one folded snapshot + the batches
+    # since the last fold (+1 in-flight) remain.
+    assert 1 <= len(dirs) <= 6, sorted(dirs)
+    gold = latest_state_on_read(
+        spark.read.parquet(gold_dir), ["symbol", "window_start"]
+    )
+    bars = gold.collect()
+    assert sum(r["trade_count"] for r in bars) == n_files
+    assert sum(r["volume"] for r in bars) == n_files * 10

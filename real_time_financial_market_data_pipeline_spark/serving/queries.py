@@ -2112,13 +2112,15 @@ def q_approx_soundness_certificates(spark: SparkSession, sf_dir: str) -> DataFra
             synthesize_media(docs, "doc_id", "text"),
         ),
         # COMPLETENESS legs (round-3/4 VERDICT task 5): soundness alone
-        # never catches a recall regression — these do.  Floors sit just
+        # never catches a recall regression — these do.  Floors sit
         # below the measured per-query operating points at sf0.01/sf0.1
-        # (lsh min 0.6 -> floor 0.5; ivf min 0.9 -> floor 0.8), so a
-        # parameter regression (fewer tables/probes) trips them while
-        # the pinned configuration stays hash-green.
+        # (lsh min 0.6, ivf min 0.9) with margin for testdata
+        # regeneration, and above the measured degraded configs so a
+        # parameter regression still trips them: lsh n_tables 8->1
+        # collapses recall to 0.1 (floor 0.4 fires decisively); ivf
+        # n_probe 8->1 dips one query to 0.7 (floor 0.8 fires).
         knn_recall_certificate(
-            pinned_lsh, emb, queries_df, k=10, family="knn_lsh", recall_floor=0.5,
+            pinned_lsh, emb, queries_df, k=10, family="knn_lsh", recall_floor=0.4,
         ),
         knn_recall_certificate(
             pinned_ivf, emb, queries_df, k=10, family="knn_ivf", recall_floor=0.8,

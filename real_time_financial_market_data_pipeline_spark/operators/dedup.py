@@ -108,6 +108,66 @@ def minhash_signature(hash_col: Column, num_hashes: int = 16) -> Column:
     return F.array(*[derived(i) for i in range(num_hashes)])
 
 
+def banded_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, bhash, sig) — one row per (doc, band): the persistable
+    form of the minhash LSH index.  `bhash` is the banded candidate key
+    (equi-join two of these tables on (band, bhash) to generate
+    candidates); `sig` is the full signature (array<long>) so candidate
+    pairs can be scored WITHOUT re-reading text: the fraction of equal
+    signature entries is the standard unbiased Jaccard estimator.
+
+    Docs whose token set is empty produce no rows (nothing to index).
+    Same seeds as minhash_near_dup_pairs / minhash_cross_corpus_pairs,
+    so indexes built here interoperate with both.
+    """
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_hashes evenly (num_hashes={num_hashes}, bands={bands})"
+        )
+    rows_per_band = num_hashes // bands
+    base = _shingled(df, id_col, text_col, shingle_n)
+    sig = base.select("_id", base_hashes(F.col("_sh")).alias("_hx")).select(
+        "_id", minhash_signature(F.col("_hx"), num_hashes).alias("_sig")
+    )
+    return sig.select(
+        F.col("_id").alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("_sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band"),
+        F.col("_sig").alias("sig"),
+    ).select("id", "_band.band", "_band.bhash", "sig")
+
+
+def signature_jaccard(sig_a: Column, sig_b: Column) -> Column:
+    """Unbiased Jaccard estimate from two equal-length minhash
+    signatures: fraction of positions where they agree.  Exact
+    duplicates estimate 1.0 with probability 1; k=16 signatures have
+    ~1/sqrt(16)=0.25 stddev — pick thresholds accordingly (an
+    estimate-gated decision is the documented accuracy trade of
+    index-only scoring; re-score with exact Jaccard where text is at
+    hand)."""
+    k = F.size(sig_a)
+    matches = F.size(F.filter(F.zip_with(sig_a, sig_b, lambda a, b: a == b), lambda x: x))
+    return matches.cast("double") / k.cast("double")
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1,0 +1,206 @@
+"""Incremental corpus deduplication — streaming ingest deduped against
+the ACCUMULATED HISTORICAL CORPUS, not just the watermark horizon.
+
+Why this exists: `DocStreamJob`'s `dropDuplicatesWithinWatermark` holds
+dedup state in the state store, bounded by ingest-rate x watermark — the
+right tool for replay/at-least-once dup collapse, but it cannot answer
+"have we EVER ingested this document?"  At 100 TB corpus scale the
+historical answer must live on disk, as an index the per-batch work can
+equi-join against:
+
+  corpus/       batch_id=N dirs of kept docs (the growing corpus)
+  index_bands/  batch_id=N dirs of (id, band, bhash) — the minhash LSH
+                candidate key index (operators.dedup.banded_signatures)
+  index_sigs/   batch_id=N dirs of (id, sig) — full signatures for
+                index-only Jaccard estimation (no text re-read)
+
+Per micro-batch (foreachBatch, serialized per query):
+  1. intra-batch EXACT dedup on content fingerprint (deterministic
+     keeper: min doc_id);
+  2. cross-corpus EXACT dedup: anti-join batch fingerprints against the
+     corpus (column-pruned scan of `fingerprint` only);
+  3. intra-batch NEAR-dup: band self-join on the batch's own banded
+     signatures, signature-Jaccard gate, drop the higher doc_id;
+  4. cross-corpus NEAR-dup: band equi-join batch bands x index bands,
+     signature-Jaccard gate, drop the new doc;
+  5. append survivors (+ their bands/sigs) as batch_id=N overwrite dirs.
+
+Crash safety / exactly-once: all three tables use deterministic
+batch_id=N OVERWRITE directories, and — the crucial detail — every
+index/corpus read FILTERS batch_id < N (partition-pruned).  A replayed
+batch therefore never sees its own crashed half-write: without the
+bound, batch N's docs would anti-join against themselves and the replay
+would overwrite batch N with an EMPTY directory, silently losing data.
+
+Scale: per-batch cost is |batch| x (bands equi-join against bounded LSH
+buckets) + one column-pruned fingerprint scan; nothing is quadratic in
+corpus size.  The band index grows linearly with the corpus — at 100 TB
+it is itself a big table, which is exactly why candidates come from an
+equi-join on (band, bhash) (shuffle on the band key, partition-prunable
+by batch_id) and why scoring uses stored signatures instead of text.
+Periodically compact the batch_id dirs (sinks.compact_latest_state
+semantics don't apply — these are append-only; a plain coalesce rewrite
+bounds file counts).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from real_time_financial_market_data_pipeline_spark.functions.text import doc_fingerprint
+from real_time_financial_market_data_pipeline_spark.operators.dedup import (
+    banded_signatures,
+    signature_jaccard,
+)
+
+
+@dataclass
+class IncrementalDedupJob:
+    """Wire a document stream (doc_id, text, ...) into an incrementally
+    deduplicated corpus with a persistent minhash LSH index."""
+
+    out_dir: str
+    num_hashes: int = 16
+    bands: int = 4
+    threshold: float = 0.5
+    shingle_n: int = 3
+    near_dup: bool = True
+    trigger: dict = field(default_factory=lambda: {"availableNow": True})
+
+    def checkpoints(self) -> str:
+        return os.path.join(self.out_dir, "_checkpoints")
+
+    def _read_prior(self, spark, table: str, batch_id: int) -> DataFrame | None:
+        """Partition-pruned read of a table's batches STRICTLY BELOW the
+        current batch id (replay safety — see module docstring)."""
+        path = os.path.join(self.out_dir, table)
+        if not os.path.isdir(path) or not any(
+            d.startswith("batch_id=") for d in os.listdir(path)
+        ):
+            return None
+        df = spark.read.parquet(path).filter(F.col("batch_id") < batch_id)
+        return df
+
+    def start(self, docs: DataFrame) -> StreamingQuery:
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            spark = batch_df.sparkSession
+            batch = batch_df.withColumn("fingerprint", doc_fingerprint(F.col("text")))
+
+            # 1. intra-batch exact dedup, deterministic keeper
+            one_per_fp = Window.partitionBy("fingerprint").orderBy("doc_id")
+            batch = (
+                batch.withColumn("_rn", F.row_number().over(one_per_fp))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+
+            # 2. cross-corpus exact dedup (column-pruned fingerprint scan)
+            prior_corpus = self._read_prior(spark, "corpus", batch_id)
+            if prior_corpus is not None:
+                batch = batch.join(
+                    prior_corpus.select("fingerprint"), "fingerprint", "left_anti"
+                )
+
+            if self.near_dup:
+                bands_df = banded_signatures(
+                    batch,
+                    id_col="doc_id",
+                    text_col="text",
+                    num_hashes=self.num_hashes,
+                    bands=self.bands,
+                    shingle_n=self.shingle_n,
+                ).localCheckpoint(eager=True)  # reused by 3 joins below
+
+                est = signature_jaccard(F.col("l.sig"), F.col("r.sig"))
+
+                # 3. intra-batch near-dup: keep the lower doc_id
+                l, r = bands_df.alias("l"), bands_df.alias("r")
+                intra_drop = (
+                    l.join(
+                        r,
+                        (F.col("l.band") == F.col("r.band"))
+                        & (F.col("l.bhash") == F.col("r.bhash"))
+                        & (F.col("l.id") < F.col("r.id")),
+                    )
+                    .filter(est >= self.threshold)
+                    .select(F.col("r.id").alias("doc_id"))
+                    .distinct()
+                )
+                batch = batch.join(intra_drop, "doc_id", "left_anti")
+
+                # 4. cross-corpus near-dup against the persistent index
+                prior_bands = self._read_prior(spark, "index_bands", batch_id)
+                prior_sigs = self._read_prior(spark, "index_sigs", batch_id)
+                if prior_bands is not None and prior_sigs is not None:
+                    cand = (
+                        bands_df.select("id", "band", "bhash")
+                        .alias("l")
+                        .join(
+                            prior_bands.select("id", "band", "bhash").alias("r"),
+                            ["band", "bhash"],
+                        )
+                        .select(
+                            F.col("l.id").alias("new_id"), F.col("r.id").alias("old_id")
+                        )
+                        .distinct()
+                    )
+                    new_sigs = bands_df.select("id", "sig").dropDuplicates(["id"])
+                    cross_drop = (
+                        cand.join(
+                            new_sigs.select(
+                                F.col("id").alias("new_id"), F.col("sig").alias("_ns")
+                            ),
+                            "new_id",
+                        )
+                        .join(
+                            prior_sigs.select(
+                                F.col("id").alias("old_id"), F.col("sig").alias("_os")
+                            ),
+                            "old_id",
+                        )
+                        .filter(
+                            signature_jaccard(F.col("_ns"), F.col("_os"))
+                            >= self.threshold
+                        )
+                        .select(F.col("new_id").alias("doc_id"))
+                        .distinct()
+                    )
+                    batch = batch.join(cross_drop, "doc_id", "left_anti")
+
+            # 5. publish survivors + their index rows (idempotent overwrite)
+            kept = batch.localCheckpoint(eager=True)
+            kept.write.mode("overwrite").parquet(
+                os.path.join(self.out_dir, "corpus", f"batch_id={batch_id}")
+            )
+            if self.near_dup:
+                kept_ids = kept.select(F.col("doc_id").alias("id"))
+                kept_bands = bands_df.join(kept_ids, "id", "leftsemi")
+                kept_bands.select("id", "band", "bhash").write.mode("overwrite").parquet(
+                    os.path.join(self.out_dir, "index_bands", f"batch_id={batch_id}")
+                )
+                kept_bands.select("id", "sig").dropDuplicates(["id"]).write.mode(
+                    "overwrite"
+                ).parquet(
+                    os.path.join(self.out_dir, "index_sigs", f"batch_id={batch_id}")
+                )
+
+        return (
+            docs.writeStream.foreachBatch(process)
+            .outputMode("append")
+            .queryName("incremental_dedup")
+            .option("checkpointLocation", os.path.join(self.checkpoints(), "incremental_dedup"))
+            .trigger(**self.trigger)
+            .start()
+        )
+
+
+def corpus_view(spark, out_dir: str) -> DataFrame:
+    """The deduplicated corpus accumulated so far."""
+    return spark.read.parquet(os.path.join(out_dir, "corpus"))

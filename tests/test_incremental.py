@@ -1,0 +1,111 @@
+"""Incremental corpus dedup: streaming ingest deduped against the
+accumulated on-disk corpus + minhash LSH index (streaming/incremental.py).
+Covers intra-batch exact, cross-batch exact, cross-batch near-dup, and
+the replay-safety contract (batch_id < N index reads)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from real_time_financial_market_data_pipeline_spark.streaming.incremental import (
+    IncrementalDedupJob,
+    corpus_view,
+)
+
+LONG_A = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "home tonight while the moon rises slowly over the quiet sleeping town"
+)
+# one-word edit of LONG_A -> high true Jaccard, near-dup of it
+LONG_A2 = LONG_A.replace("quiet", "silent")
+LONG_B = (
+    "completely different content about distributed query engines and the "
+    "catalyst optimizer planning adaptive shuffles across executor fleets "
+    "with bucketed joins and broadcast dimension tables at petabyte scale"
+)
+
+
+def _write_doc_feed(dirpath: str, batches: list[list[dict]]) -> None:
+    os.makedirs(dirpath, exist_ok=True)
+    base = time.time() - len(batches)
+    for i, batch in enumerate(batches):
+        p = os.path.join(dirpath, f"docs_{i}.json")
+        with open(p, "w") as f:
+            for rec in batch:
+                f.write(json.dumps(rec) + "\n")
+        os.utime(p, (base + i, base + i))  # deterministic oldest-first order
+
+
+def _drain(spark, feed_dir: str, out_dir: str) -> None:
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+
+    docs = read_doc_stream(spark, feed_dir, max_files_per_trigger=1)
+    job = IncrementalDedupJob(out_dir=out_dir)
+    q = job.start(docs.select("doc_id", "text"))
+    assert q.awaitTermination(180)
+
+
+def test_incremental_dedup_exact_and_near(spark, tmp_path):
+    feed, out = str(tmp_path / "feed"), str(tmp_path / "out")
+    _write_doc_feed(
+        feed,
+        [
+            [
+                {"doc_id": 1, "text": LONG_A},
+                {"doc_id": 2, "text": LONG_A},  # intra-batch exact dup -> dropped
+                {"doc_id": 3, "text": LONG_B},
+            ],
+            [
+                {"doc_id": 4, "text": LONG_A},   # cross-batch exact dup -> dropped
+                {"doc_id": 5, "text": LONG_A2},  # cross-batch NEAR dup -> dropped
+                {"doc_id": 6, "text": "tiny unrelated note"},
+            ],
+        ],
+    )
+    _drain(spark, feed, out)
+    kept = sorted(r["doc_id"] for r in corpus_view(spark, out).collect())
+    assert kept == [1, 3, 6]
+
+    # the index holds bands+sigs for exactly the kept (indexable) docs
+    bands = spark.read.parquet(os.path.join(out, "index_bands"))
+    assert set(r["id"] for r in bands.select("id").distinct().collect()) == {1, 3, 6}
+    sigs = spark.read.parquet(os.path.join(out, "index_sigs"))
+    assert sigs.groupBy("id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_incremental_dedup_replay_does_not_lose_or_duplicate(spark, tmp_path):
+    """Crash-before-checkpoint replay: the last micro-batch re-runs
+    against an index that already contains its own crashed half-write.
+    The batch_id < N read bound makes the replay idempotent — without
+    it, batch N's docs would anti-join against themselves and the
+    replay would publish an empty batch (silent data loss)."""
+    feed, out = str(tmp_path / "feed"), str(tmp_path / "out")
+    _write_doc_feed(
+        feed,
+        [
+            [{"doc_id": 1, "text": LONG_A}],
+            [{"doc_id": 2, "text": LONG_B}],
+        ],
+    )
+    _drain(spark, feed, out)
+    assert sorted(r["doc_id"] for r in corpus_view(spark, out).collect()) == [1, 2]
+
+    # simulate crash-before-checkpoint of the LAST batch: remove its
+    # commit marker so the restart replays it
+    commits = os.path.join(out, "_checkpoints", "incremental_dedup", "commits")
+    newest = max((d for d in os.listdir(commits) if d.isdigit()), key=int)
+    os.remove(os.path.join(commits, newest))
+    crc = os.path.join(commits, f".{newest}.crc")
+    if os.path.exists(crc):  # local-FS checksum sidecar
+        os.remove(crc)
+
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+
+    docs = read_doc_stream(spark, feed, max_files_per_trigger=1)
+    q = IncrementalDedupJob(out_dir=out).start(docs.select("doc_id", "text"))
+    assert q.awaitTermination(180)
+    assert sorted(r["doc_id"] for r in corpus_view(spark, out).collect()) == [1, 2]

@@ -38,9 +38,10 @@ corpus size.  The band index grows linearly with the corpus — at 100 TB
 it is itself a big table, which is exactly why candidates come from an
 equi-join on (band, bhash) (shuffle on the band key, partition-prunable
 by batch_id) and why scoring uses stored signatures instead of text.
-Periodically compact the batch_id dirs (sinks.compact_latest_state
-semantics don't apply — these are append-only; a plain coalesce rewrite
-bounds file counts).
+Periodically fold the accumulated batch_id dirs with `.compact()` (the
+tables are append-only with unique keys, so per-key-latest folding is
+an exact rewrite) — bounds the directory count readers list, same
+motivation as the gold sink's auto-compaction.
 """
 
 from __future__ import annotations
@@ -74,6 +75,29 @@ class IncrementalDedupJob:
 
     def checkpoints(self) -> str:
         return os.path.join(self.out_dir, "_checkpoints")
+
+    def compact(self, spark) -> int:
+        """Fold each table's accumulated batch_id dirs into one snapshot
+        (run with the stream stopped, like any OPTIMIZE).  The tables
+        are append-only with unique keys (doc_id / (id, band)), so
+        per-key-latest folding (sinks.compact_latest_state, crash-safe
+        two-phase protocol) is an exact rewrite; the snapshot lands as
+        the highest batch_id seen, below every future batch id, so the
+        replay-safety bound (batch_id < N) keeps working unchanged.
+        Returns total directories folded."""
+        from real_time_financial_market_data_pipeline_spark.streaming.sinks import compact_latest_state
+
+        keys = {
+            "corpus": ["doc_id"],
+            "index_bands": ["id", "band"],
+            "index_sigs": ["id"],
+        }
+        folded = 0
+        for table, key_cols in keys.items():
+            path = os.path.join(self.out_dir, table)
+            if os.path.isdir(path):
+                folded += compact_latest_state(spark, path, key_cols)
+        return folded
 
     def _read_prior(self, spark, table: str, batch_id: int) -> DataFrame | None:
         """Partition-pruned read of a table's batches STRICTLY BELOW the

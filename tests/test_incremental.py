@@ -109,3 +109,47 @@ def test_incremental_dedup_replay_does_not_lose_or_duplicate(spark, tmp_path):
     q = IncrementalDedupJob(out_dir=out).start(docs.select("doc_id", "text"))
     assert q.awaitTermination(180)
     assert sorted(r["doc_id"] for r in corpus_view(spark, out).collect()) == [1, 2]
+
+
+def test_incremental_compact_preserves_corpus_and_index(spark, tmp_path):
+    """`.compact()` folds every table to one batch_id dir with identical
+    contents, and a post-compaction stream restart keeps deduping
+    correctly against the folded index (snapshot batch_id < next batch
+    id, so the replay-safety bound still admits it)."""
+    import re
+
+    feed, out = str(tmp_path / "feed"), str(tmp_path / "out")
+    _write_doc_feed(
+        feed,
+        [
+            [{"doc_id": 1, "text": LONG_A}],
+            [{"doc_id": 2, "text": LONG_B}],
+        ],
+    )
+    _drain(spark, feed, out)
+    before = sorted(tuple(r) for r in corpus_view(spark, out).select("doc_id", "fingerprint").collect())
+    job = IncrementalDedupJob(out_dir=out)
+    assert job.compact(spark) > 0
+    for table in ("corpus", "index_bands", "index_sigs"):
+        dirs = [
+            d
+            for d in os.listdir(os.path.join(out, table))
+            if re.fullmatch(r"batch_id=\d+", d)
+        ]
+        assert len(dirs) == 1, (table, dirs)
+    after = sorted(tuple(r) for r in corpus_view(spark, out).select("doc_id", "fingerprint").collect())
+    assert after == before
+
+    # new batch with a near-dup of doc 1 arrives AFTER compaction: the
+    # folded index must still catch it
+    _write_doc_feed_append(feed, [{"doc_id": 7, "text": LONG_A2}, {"doc_id": 8, "text": "fresh new doc"}])
+    _drain(spark, feed, out)
+    kept = sorted(r["doc_id"] for r in corpus_view(spark, out).collect())
+    assert kept == [1, 2, 8]
+
+
+def _write_doc_feed_append(dirpath: str, records: list[dict]) -> None:
+    p = os.path.join(dirpath, f"docs_late_{len(os.listdir(dirpath))}.json")
+    with open(p, "w") as f:
+        for rec in records:
+            f.write(json.dumps(rec) + "\n")

@@ -277,6 +277,55 @@ def bench_quote_enrich(spark, sf_dir: str) -> tuple[float, int, list[float]]:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_incremental_dedup(spark, sf_dir: str, n_batches: int = 10) -> dict[str, float]:
+    """Incremental corpus dedup drain: the documents table replayed as
+    n_batches micro-batches through IncrementalDedupJob (exact +
+    LSH-index near-dup against the ACCUMULATED corpus).  The claim under
+    test is that per-batch cost stays flat as the corpus/index grows
+    (band equi-joins against bounded buckets + column-pruned fingerprint
+    scans — nothing linear-in-corpus inside a batch beyond the pruned
+    scans); first vs last batch duration is the evidence."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+    from real_time_financial_market_data_pipeline_spark.streaming.incremental import IncrementalDedupJob, corpus_view
+    from real_time_financial_market_data_pipeline_spark.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="bench_incr_")
+    feed, out = os.path.join(work, "feed"), os.path.join(work, "out")
+    try:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        n_docs = docs.count()
+        per = max(1, n_docs // n_batches)
+        for i in range(n_batches):
+            chunk = docs.filter(
+                (F.col("doc_id") >= i * per)
+                & (F.col("doc_id") < ((i + 1) * per if i < n_batches - 1 else n_docs))
+            )
+            chunk.coalesce(1).write.mode("append").json(feed)
+            time.sleep(0.05)  # distinct mod-times => deterministic order
+        t0 = time.perf_counter()
+        job = IncrementalDedupJob(out_dir=out)
+        q = job.start(read_doc_stream(spark, feed, max_files_per_trigger=1))
+        q.awaitTermination(600)
+        drain = round(time.perf_counter() - t0, 3)
+        durs = [
+            p["batchDuration"] / 1000.0
+            for p in q.recentProgress
+            if p.get("numInputRows", 0) > 0
+        ]
+        corpus_view(spark, out).count()  # sanity: corpus readable
+        out_stats = {"incremental_dedup_drain": drain}
+        if len(durs) >= 2:
+            out_stats["incremental_dedup_first_batch"] = round(durs[0], 3)
+            out_stats["incremental_dedup_last_batch"] = round(durs[-1], 3)
+        return out_stats
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -372,6 +421,10 @@ def main() -> None:
         timings.update(bench_compaction_read(spark))
     except Exception as exc:  # noqa: BLE001
         errors["compaction_read"] = f"{type(exc).__name__}: {exc}".splitlines()[0][:500]
+    try:
+        timings.update(bench_incremental_dedup(spark, sf_dir))
+    except Exception as exc:  # noqa: BLE001
+        errors["incremental_dedup"] = f"{type(exc).__name__}: {exc}".splitlines()[0][:500]
 
     durs = sorted(best_chained[2])
     batch_stats = (

@@ -414,9 +414,21 @@ def main() -> None:
         bench_streaming_medallion(spark, sf_dir, chained=True, batched=False)[0]
         for _ in range(2)
     ))
-    _guard("streaming_quote_enrich", lambda: min(
-        bench_quote_enrich(spark, sf_dir)[0] for _ in range(2)
-    ))
+    quote_batch_stats: dict = {"n": 0}
+    try:
+        quote_runs = [bench_quote_enrich(spark, sf_dir) for _ in range(2)]
+        best_quote_run = min(quote_runs, key=lambda r: r[0])
+        timings["streaming_quote_enrich"] = best_quote_run[0]
+        qdurs = sorted(best_quote_run[2])
+        if qdurs:
+            quote_batch_stats = {
+                "n": len(qdurs),
+                "min_s": round(qdurs[0], 3),
+                "median_s": round(qdurs[len(qdurs) // 2], 3),
+                "max_s": round(qdurs[-1], 3),
+            }
+    except Exception as exc:  # noqa: BLE001
+        errors["streaming_quote_enrich"] = f"{type(exc).__name__}: {exc}".splitlines()[0][:500]
     try:
         timings.update(bench_compaction_read(spark))
     except Exception as exc:  # noqa: BLE001
@@ -445,6 +457,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "streaming_batches": batch_stats,
+        "quote_enrich_batches": quote_batch_stats,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

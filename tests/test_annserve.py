@@ -59,3 +59,30 @@ def test_streaming_ann_matches_batch_operator(spark, tmp_path):
         for r in lsh_bucketed_knn(corpus, all_q, dim=64, k=10, n_planes=4, n_tables=8).collect()
     }
     assert got == expected
+
+
+def test_streaming_ann_exact_strategy_dispatch(spark, tmp_path):
+    """The exact-strategy dispatch answers with brute_force_knn output."""
+    from real_time_financial_market_data_pipeline_spark.operators.similarity import brute_force_knn
+
+    corpus = load_table(spark, SF_DIR, "embeddings")
+    feed, out = str(tmp_path / "feed"), str(tmp_path / "out")
+    _write_query_feed(spark, feed, corpus, [[0, 1]])
+    queries = (
+        spark.readStream.schema("query_id long, embedding array<double>")
+        .json(feed)
+    )
+    q = AnnServeJob(out_dir=out, strategy="exact", k=5).start(queries, corpus)
+    assert q.awaitTermination(120)
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in results_view(spark, out).collect()
+    }
+    two_q = corpus.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    expected = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in brute_force_knn(corpus, two_q, k=5).collect()
+    }
+    assert got == expected

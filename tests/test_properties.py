@@ -331,3 +331,41 @@ def test_star_components_match_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {n: find(n) for n in parent}
     assert got == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    tokens_a=st.lists(st.sampled_from("alpha bravo charlie delta echo foxtrot golf hotel india juliet".split()), min_size=4, max_size=30),
+    drop=st.integers(min_value=0, max_value=3),
+)
+def test_signature_jaccard_estimator_properties(spark, tokens_a, drop):
+    """banded_signatures / signature_jaccard invariants: identical texts
+    estimate exactly 1.0 (same signature, same band hashes in every
+    band); an edited text estimates in [0, 1]; each indexable doc emits
+    exactly `bands` rows."""
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import (
+        banded_signatures,
+        signature_jaccard,
+    )
+
+    text_a = " ".join(tokens_a)
+    text_b = " ".join(tokens_a[: len(tokens_a) - drop] or ["zulu"])
+    df = spark.createDataFrame(
+        [(1, text_a), (2, text_a), (3, text_b)], "doc_id long, text string"
+    )
+    bands_df = banded_signatures(df, bands=4).cache()
+    per_doc = {r["id"]: r["count"] for r in bands_df.groupBy("id").count().collect()}
+    assert all(v == 4 for v in per_doc.values())
+
+    sigs = {r["id"]: r["sig"] for r in bands_df.select("id", "sig").dropDuplicates(["id"]).collect()}
+    est = spark.createDataFrame(
+        [(sigs[1], sigs[2]), (sigs[1], sigs[3])], "a array<bigint>, b array<bigint>"
+    ).select(signature_jaccard(F.col("a"), F.col("b")).alias("j")).collect()
+    assert est[0]["j"] == 1.0  # identical text -> identical signature
+    assert 0.0 <= est[1]["j"] <= 1.0
+
+    # identical docs share EVERY band hash (the recovery guarantee the
+    # planted-duplicate certificate relies on)
+    b1 = {(r["band"], r["bhash"]) for r in bands_df.filter(F.col("id") == 1).collect()}
+    b2 = {(r["band"], r["bhash"]) for r in bands_df.filter(F.col("id") == 2).collect()}
+    assert b1 == b2

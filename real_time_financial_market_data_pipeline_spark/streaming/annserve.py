@@ -97,6 +97,18 @@ class AnnServeJob:
         )
 
 
+RESULTS_SCHEMA = (
+    "query_id bigint, neighbor_id bigint, cosine double, rank int, batch_id int"
+)
+
+
 def results_view(spark, out_dir: str) -> DataFrame:
-    """All answered queries so far (query_id, neighbor_id, cosine, rank)."""
-    return spark.read.parquet(os.path.join(out_dir, "results"))
+    """All answered queries so far (query_id, neighbor_id, cosine, rank).
+
+    A stream whose every micro-batch was empty never creates `results/`
+    (process() early-returns before any write) — return an empty frame
+    with the documented schema instead of an AnalysisException."""
+    path = os.path.join(out_dir, "results")
+    if not os.path.isdir(path):
+        return spark.createDataFrame([], RESULTS_SCHEMA)
+    return spark.read.parquet(path)

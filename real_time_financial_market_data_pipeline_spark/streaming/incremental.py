@@ -47,6 +47,7 @@ motivation as the gold sink's auto-compaction.
 from __future__ import annotations
 
 import os
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Window
@@ -84,6 +85,16 @@ class IncrementalDedupJob:
         two-phase protocol) is an exact rewrite; the snapshot lands as
         the highest batch_id seen, below every future batch id, so the
         replay-safety bound (batch_id < N) keeps working unchanged.
+
+        Replay hazard at the tail: if the stream crashed BETWEEN the
+        sink write and the checkpoint commit, the highest on-disk batch
+        will be REPLAYED on restart, and its idempotent overwrite of
+        `batch_id=<max>` would clobber a snapshot folded under that id —
+        losing the entire folded history, not just one batch.  So the
+        tail dir is folded only when the checkpoint commit log proves
+        batch <max> committed; otherwise it is excluded via
+        `only_below=<max>` and a replay overwrites only its own delta.
+
         Returns total directories folded."""
         from real_time_financial_market_data_pipeline_spark.streaming.sinks import compact_latest_state
 
@@ -95,9 +106,28 @@ class IncrementalDedupJob:
         folded = 0
         for table, key_cols in keys.items():
             path = os.path.join(self.out_dir, table)
-            if os.path.isdir(path):
-                folded += compact_latest_state(spark, path, key_cols)
+            if not os.path.isdir(path):
+                continue
+            ids = [
+                int(d.split("=")[1])
+                for d in os.listdir(path)
+                if re.fullmatch(r"batch_id=\d+", d)
+            ]
+            if not ids:
+                continue
+            max_id = max(ids)
+            bound = None if self._batch_committed(max_id) else max_id
+            folded += compact_latest_state(spark, path, key_cols, only_below=bound)
         return folded
+
+    def _batch_committed(self, batch_id: int) -> bool:
+        """True iff the streaming checkpoint's commit log covers
+        `batch_id` — i.e. that micro-batch can never be replayed."""
+        return os.path.isfile(
+            os.path.join(
+                self.checkpoints(), "incremental_dedup", "commits", str(batch_id)
+            )
+        )
 
     def _read_prior(self, spark, table: str, batch_id: int) -> DataFrame | None:
         """Partition-pruned read of a table's batches STRICTLY BELOW the
@@ -225,6 +255,23 @@ class IncrementalDedupJob:
         )
 
 
-def corpus_view(spark, out_dir: str) -> DataFrame:
-    """The deduplicated corpus accumulated so far."""
-    return spark.read.parquet(os.path.join(out_dir, "corpus"))
+def corpus_view(spark, out_dir: str, empty_schema=None) -> DataFrame:
+    """The deduplicated corpus accumulated so far.
+
+    A stream whose every micro-batch was empty never creates `corpus/`
+    (process() early-returns before any write).  The corpus schema is
+    the input doc schema + `fingerprint string` + `batch_id int`, which
+    this view cannot know a priori — pass `empty_schema` (StructType or
+    DDL string) to get an empty frame in that case; without it the
+    missing directory raises, with a pointer here instead of a bare
+    PATH_NOT_FOUND."""
+    path = os.path.join(out_dir, "corpus")
+    if not os.path.isdir(path):
+        if empty_schema is not None:
+            return spark.createDataFrame([], empty_schema)
+        raise FileNotFoundError(
+            f"{path} does not exist — every micro-batch was empty (or the "
+            "stream never ran). Pass empty_schema= to corpus_view for an "
+            "empty frame with your doc schema."
+        )
+    return spark.read.parquet(path)

@@ -477,7 +477,16 @@ class QuoteEnrichJob:
                 )
             )
             if sequential and await_timeout_s:
-                q_best.awaitTermination(await_timeout_s)
+                # fail loudly on a drain timeout: compacting while the
+                # stream is still writing would violate
+                # compact_latest_state's stream-stopped contract (two
+                # concurrent stage/rmtree/rename protocols on one dir)
+                if not q_best.awaitTermination(await_timeout_s):
+                    raise TimeoutError(
+                        "quotes_best did not drain within "
+                        f"{await_timeout_s}s; refusing to compact while "
+                        "the stream is still running"
+                    )
                 if self.compact_every:
                     self.compact_best_quote(spark)
             return mgr

@@ -153,3 +153,84 @@ def _write_doc_feed_append(dirpath: str, records: list[dict]) -> None:
     with open(p, "w") as f:
         for rec in records:
             f.write(json.dumps(rec) + "\n")
+
+
+def test_compact_with_uncommitted_tail_survives_replay(spark, tmp_path):
+    """The tail-batch replay-clobber hazard: the last micro-batch's sink
+    write landed but its checkpoint commit did not.  Folding that dir
+    into the snapshot (which takes its batch_id) would let the restart's
+    replay overwrite the ENTIRE folded history with one batch's delta.
+    compact() must detect the missing commit marker and exclude the tail
+    dir from the fold, so the replay touches only its own delta."""
+    import re
+
+    feed, out = str(tmp_path / "feed"), str(tmp_path / "out")
+    _write_doc_feed(
+        feed,
+        [
+            [{"doc_id": 1, "text": LONG_A}],
+            [{"doc_id": 2, "text": LONG_B}],
+            [{"doc_id": 3, "text": "third unrelated little note"}],
+        ],
+    )
+    _drain(spark, feed, out)
+    assert sorted(r["doc_id"] for r in corpus_view(spark, out).collect()) == [1, 2, 3]
+
+    # crash between sink write and checkpoint commit of the LAST batch
+    commits = os.path.join(out, "_checkpoints", "incremental_dedup", "commits")
+    newest = max((d for d in os.listdir(commits) if d.isdigit()), key=int)
+    os.remove(os.path.join(commits, newest))
+    crc = os.path.join(commits, f".{newest}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    # operator compacts "with the stream stopped" before restarting
+    job = IncrementalDedupJob(out_dir=out)
+    job.compact(spark)
+    # the uncommitted tail dir must still exist as its own delta
+    corpus_dirs = {
+        int(d.split("=")[1])
+        for d in os.listdir(os.path.join(out, "corpus"))
+        if re.fullmatch(r"batch_id=\d+", d)
+    }
+    assert int(newest) in corpus_dirs
+
+    # restart: the tail batch replays; history must be intact afterwards
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+
+    docs = read_doc_stream(spark, feed, max_files_per_trigger=1)
+    q = IncrementalDedupJob(out_dir=out).start(docs.select("doc_id", "text"))
+    assert q.awaitTermination(180)
+    assert sorted(r["doc_id"] for r in corpus_view(spark, out).collect()) == [1, 2, 3]
+
+    # with the commit log complete, a follow-up compact folds fully
+    assert job.compact(spark) > 0
+    for table in ("corpus", "index_bands", "index_sigs"):
+        dirs = [
+            d
+            for d in os.listdir(os.path.join(out, table))
+            if re.fullmatch(r"batch_id=\d+", d)
+        ]
+        assert len(dirs) == 1, (table, dirs)
+    assert sorted(r["doc_id"] for r in corpus_view(spark, out).collect()) == [1, 2, 3]
+
+
+def test_views_on_never_written_output(spark, tmp_path):
+    """Views over streams whose every micro-batch was empty: no
+    PATH_NOT_FOUND AnalysisException — empty frame (or a pointed error
+    for corpus_view without a schema)."""
+    import pytest
+
+    from real_time_financial_market_data_pipeline_spark.streaming.annserve import results_view
+
+    out = str(tmp_path / "nothing")
+    res = results_view(spark, out)
+    assert res.count() == 0
+    assert res.columns == ["query_id", "neighbor_id", "cosine", "rank", "batch_id"]
+
+    empty = corpus_view(
+        spark, out, empty_schema="doc_id bigint, text string, fingerprint string, batch_id int"
+    )
+    assert empty.count() == 0
+    with pytest.raises(FileNotFoundError, match="empty_schema"):
+        corpus_view(spark, out)

@@ -220,7 +220,11 @@ class SinkManager:
 
 
 def compact_latest_state(
-    spark, path: str, key_cols: list[str], only_below: int | None = None
+    spark,
+    path: str,
+    key_cols: list[str],
+    only_below: int | None = None,
+    resolve: Callable[[DataFrame], DataFrame] | None = None,
 ) -> int:
     """Fold an update-mode sink's accumulated `batch_id=<n>` emission
     directories into ONE resolved snapshot directory (per-key latest by
@@ -250,6 +254,14 @@ def compact_latest_state(
     that case the stale stage is discarded and the snapshot recomputed
     over everything currently on disk; finishing the stale publish would
     delete the newer dirs and permanently lose their updates.
+
+    `resolve` overrides the fold's reduction: it receives the combined
+    frame (with `batch_id`) and returns the resolved snapshot rows.  The
+    default is per-key latest by batch_id (latest_state_on_read) — the
+    upsert semantics.  Sinks that store per-batch PARTIALS of an
+    associative reduction (e.g. the quote job's batch-local best-quote
+    maxima) pass their re-reduce instead, so the fold is exact for them
+    too.
 
     `only_below` bounds the fold to batch directories with id strictly
     below it — the inline-compaction form (parquet_sink compact_every):
@@ -293,11 +305,12 @@ def compact_latest_state(
         max_id = max(int(d.split("=")[1]) for d in batch_dirs)
         inprog = os.path.join(path, "_compact_inprogress")
         shutil.rmtree(inprog, ignore_errors=True)
-        resolved = latest_state_on_read(
-            spark.read.option("basePath", path).parquet(
-                *[os.path.join(path, d) for d in batch_dirs]
-            ),
-            key_cols,
+        combined = spark.read.option("basePath", path).parquet(
+            *[os.path.join(path, d) for d in batch_dirs]
+        )
+        resolved = (
+            resolve(combined) if resolve is not None
+            else latest_state_on_read(combined, key_cols)
         )
         resolved.write.mode("overwrite").parquet(inprog)
         staged_dir = os.path.join(path, f"_compact_staged_{max_id}")

@@ -93,7 +93,8 @@ def test_quote_enrich_job_end_to_end(spark, tmp_path):
             read_trade_stream(spark, tfeed), read_quote_stream(spark, qfeed)
         )
         assert mgr.await_all(timeout_s=120)
-        assert set(mgr.status()) == {"quotes_enriched", "quotes_best"}
+        # single-query topology: one join query writes both layers
+        assert set(mgr.status()) == {"quotes_enriched"}
 
     run_once()
 
@@ -112,3 +113,57 @@ def test_quote_enrich_job_end_to_end(spark, tmp_path):
     run_once()  # restart, no new data → checkpoints make it a no-op
     assert spark.read.parquet(os.path.join(out, "enriched")).count() == 2
     assert best_quote_view(spark, out).count() == 1
+
+
+def test_best_quote_partials_across_batches_and_compaction(spark, tmp_path):
+    """The partial-reduction contract: best_quote/ holds batch-LOCAL
+    maxima, and a trade's true best quote may arrive in a LATER
+    micro-batch.  The view's re-reduce must pick the global best across
+    partials, and compaction (same reduction) must not change the view."""
+    import re
+
+    from real_time_financial_market_data_pipeline_spark.streaming.jobs import QuoteEnrichJob, best_quote_view
+
+    tfeed, qfeed = str(tmp_path / "tfeed"), str(tmp_path / "qfeed")
+    out = str(tmp_path / "out")
+    os.makedirs(tfeed)
+    os.makedirs(qfeed)
+    # batch 1: the trade + an early in-window quote
+    with open(os.path.join(tfeed, "t0.json"), "w") as f:
+        f.write(json.dumps({"s": "AAPL", "p": 150.0, "v": 100, "t": T0 + 120_000}) + "\n")
+    with open(os.path.join(qfeed, "q0.json"), "w") as f:
+        f.write(json.dumps({"symbol": "AAPL", "bid_price": 149.0, "bid_size": 5,
+                            "ask_price": 151.0, "ask_size": 5, "timestamp": T0}) + "\n")
+    # batch 2: a LATER in-window quote for the same trade (the true best)
+    with open(os.path.join(qfeed, "q1.json"), "w") as f:
+        f.write(json.dumps({"symbol": "AAPL", "bid_price": 149.8, "bid_size": 5,
+                            "ask_price": 150.2, "ask_size": 5, "timestamp": T0 + 60_000}) + "\n")
+    import time as _time
+
+    base = _time.time() - 10
+    os.utime(os.path.join(qfeed, "q0.json"), (base, base))
+    os.utime(os.path.join(qfeed, "q1.json"), (base + 5, base + 5))
+
+    # compact_every=None: keep raw partial dirs for inspection (the
+    # default job folds them right after an availableNow drain)
+    job = QuoteEnrichJob(out_dir=out, compact_every=None)
+    mgr = job.start(
+        read_trade_stream(spark, tfeed),
+        read_quote_stream(spark, qfeed, max_files_per_trigger=1),
+    )
+    assert mgr.await_all(timeout_s=120)
+
+    best_dir = os.path.join(out, "best_quote")
+    n_partial_dirs = len(
+        [d for d in os.listdir(best_dir) if re.fullmatch(r"batch_id=\d+", d)]
+    )
+    assert n_partial_dirs >= 2  # the two quotes landed in separate batches
+
+    rows = best_quote_view(spark, out).collect()
+    assert len(rows) == 1
+    assert rows[0]["bid_price"] == 149.8  # later batch's quote won
+
+    # compaction folds the partials with the same reduction: exact
+    assert job.compact_best_quote(spark) == n_partial_dirs
+    rows_after = best_quote_view(spark, out).collect()
+    assert [tuple(r) for r in rows_after] == [tuple(r) for r in rows]

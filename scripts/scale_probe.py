@@ -166,6 +166,146 @@ def probe_skew_join(spark, base_dir: str, work: str, k: int = 32) -> dict[str, f
     return out
 
 
+def probe_quote_skew(spark, base_dir: str, work: str) -> dict:
+    """Hot-symbol quote-enrich probe (round-6 VERDICT task 5): one
+    symbol carries 90% of BOTH feeds, the worst case for a symbol-keyed
+    stream-stream join (the hot symbol's quote state all lands in one
+    key, and every hot trade scans it).  The engine's interval join
+    keys on (symbol, time-bucket), so the hot symbol still spreads
+    across every time bucket — the claim under test is that the hot-90
+    drain's per-batch cost stays in the same ballpark as the uniform
+    one once normalized by output rows (the hot variant legitimately
+    MATCHES more pairs: 0.9^2 vs 5 x 0.2^2 same-symbol coincidence).
+
+    The batch twin is timed under the default conf and under
+    with_forced_skew_split — with the bucketed key both should be
+    equivalent (the bucket spread, not AQE, is what defuses the skew).
+    """
+    import math
+
+    from real_time_financial_market_data_pipeline_spark.session import with_forced_skew_split
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import (
+        read_quote_stream,
+        read_trade_stream,
+    )
+    from real_time_financial_market_data_pipeline_spark.streaming.jobs import QuoteEnrichJob, best_quote_view
+    from real_time_financial_market_data_pipeline_spark.streaming.joins import (
+        best_quote_per_trade,
+        trades_with_quotes,
+    )
+
+    def feeds(vdir: str, hot: bool) -> tuple[str, str]:
+        """events -> trade/quote JSON feeds, 5 event-time-ordered chunks
+        each (the bench_quote_enrich fixture shape)."""
+        ev = load_table(spark, base_dir, "events")
+        sym = F.col("event_type")
+        if hot:
+            sym = F.when(
+                F.pmod(F.xxhash64("event_id"), F.lit(10)) < 9, F.lit("hot")
+            ).otherwise(F.col("event_type"))
+        ev = ev.withColumn("event_type", sym)
+        tfeed, qfeed = os.path.join(vdir, "trades"), os.path.join(vdir, "quotes")
+        trades_wire = ev.filter(F.col("event_id") % 2 == 1).select(
+            F.col("event_type").alias("s"),
+            F.col("value").alias("p"),
+            F.get_json_object("props", "$.k").cast("long").alias("v"),
+            F.unix_millis("ts").alias("t"),
+        )
+        quotes_wire = ev.filter(F.col("event_id") % 2 == 0).select(
+            F.col("event_type").alias("symbol"),
+            (F.col("value") - 0.05).alias("bid_price"),
+            F.lit(100).alias("bid_size"),
+            (F.col("value") + 0.05).alias("ask_price"),
+            F.lit(100).alias("ask_size"),
+            F.unix_millis("ts").alias("timestamp"),
+        )
+        cuts = trades_wire.approxQuantile("t", [i / 5 for i in range(1, 5)], 0.001)
+        for wire, feed, tcol in [(trades_wire, tfeed, "t"), (quotes_wire, qfeed, "timestamp")]:
+            lo = None
+            for hi in [*cuts, None]:
+                chunk = wire
+                if lo is not None:
+                    chunk = chunk.filter(F.col(tcol) >= lo)
+                if hi is not None:
+                    chunk = chunk.filter(F.col(tcol) < hi)
+                chunk.coalesce(1).write.mode("append").json(feed)
+                time.sleep(0.05)
+                lo = hi
+        return tfeed, qfeed
+
+    out: dict = {}
+    for label, hot in [("uniform", False), ("hot90", True)]:
+        vdir = os.path.join(work, f"quoteskew_{label}")
+        tfeed, qfeed = feeds(vdir, hot)
+        odir = os.path.join(vdir, "out")
+        t0 = time.perf_counter()
+        job = QuoteEnrichJob(out_dir=odir, trigger={"availableNow": True})
+        mgr = job.start(
+            read_trade_stream(spark, tfeed, max_files_per_trigger=1),
+            read_quote_stream(spark, qfeed, max_files_per_trigger=1),
+        )
+        mgr.await_all(timeout_s=600)
+        drain = time.perf_counter() - t0
+        durs = sorted(
+            p["batchDuration"] / 1000.0
+            for q in mgr.queries.values()
+            for p in q.recentProgress
+            if p.get("numInputRows", 0) > 0
+        )
+        n_out = spark.read.parquet(os.path.join(odir, "enriched")).count()
+        n_best = best_quote_view(spark, odir).count()
+        out[label] = {
+            "drain_s": round(drain, 3),
+            "median_batch_s": round(durs[len(durs) // 2], 3) if durs else None,
+            "max_batch_s": round(durs[-1], 3) if durs else None,
+            "enriched_rows": n_out,
+            "best_rows": n_best,
+            "median_batch_s_per_100k_out": (
+                round(durs[len(durs) // 2] / (n_out / len(durs)) * 100_000, 3)
+                if durs and n_out
+                else None
+            ),
+        }
+
+    # batch twin on the hot-90 shape: default conf vs forced skew split
+    ev = load_table(spark, base_dir, "events").withColumn(
+        "event_type",
+        F.when(F.pmod(F.xxhash64("event_id"), F.lit(10)) < 9, F.lit("hot")).otherwise(
+            F.col("event_type")
+        ),
+    )
+    from real_time_financial_market_data_pipeline_spark.functions.timeutils import epoch_ms_to_timestamp
+
+    def twin():
+        t = ev.filter(F.col("event_id") % 2 == 1).select(
+            F.col("event_type").alias("symbol"),
+            F.col("value").alias("price"),
+            F.get_json_object("props", "$.k").cast("long").alias("volume"),
+            F.col("ts").alias("event_time"),
+        )
+        q = ev.filter(F.col("event_id") % 2 == 0).select(
+            F.col("event_type").alias("symbol"),
+            (F.col("value") - 0.05).alias("bid_price"),
+            (F.col("value") + 0.05).alias("ask_price"),
+            F.col("ts").alias("event_time"),
+        )
+        return best_quote_per_trade(trades_with_quotes(t, q))
+
+    for label, forced in [("batch_twin_hot90_default", False), ("batch_twin_hot90_forced_split", True)]:
+        with_forced_skew_split(spark, forced)
+        try:
+            best = float("inf")
+            for _ in range(3):
+                df = twin()  # rebuilt each run: no skipped-stage reuse
+                t0 = time.perf_counter()
+                df.count()
+                best = min(best, time.perf_counter() - t0)
+            out[label] = round(best, 3)
+        finally:
+            with_forced_skew_split(spark, False)
+    return out
+
+
 def main() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_json = sys.argv[2] if len(sys.argv) > 2 else None
@@ -206,6 +346,9 @@ def main() -> None:
         results.append(rec)
         print(json.dumps(rec), flush=True)
         rec = {"variant": "skew_join_32x", **probe_skew_join(spark, base, work)}
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+        rec = {"variant": "quote_enrich_skew", **probe_quote_skew(spark, base, work)}
         results.append(rec)
         print(json.dumps(rec), flush=True)
     finally:

@@ -15,8 +15,9 @@ T0 = 1_700_000_100_000
 
 
 def test_tws_variant_builds_plan(spark, tmp_path):
-    """transformWithStateInPandas variant: plan construction + schema
-    (execution requires a matching $SPARK_HOME python — see docstring)."""
+    """transformWithStateInPandas variant: plan construction + schema,
+    with and without the timer-based TTL (execution additionally needs
+    the protobuf 6.x runtime — see tws_runtime_available docstring)."""
     import json
     import os
 
@@ -26,16 +27,113 @@ def test_tws_variant_builds_plan(spark, tmp_path):
     os.makedirs(feed)
     with open(os.path.join(feed, "a.json"), "w") as f:
         f.write(json.dumps({"s": "A", "p": 1.0, "v": 1, "t": T0}) + "\n")
-    out = streaming_latest_prices_tws(read_trade_stream(spark, feed))
-    assert out.isStreaming
-    assert [f.name for f in out.schema.fields] == [
-        "symbol",
-        "last_price",
-        "last_volume",
-        "last_trade_time",
-        "price_change",
-        "price_change_pct",
-    ]
+    for ttl_ms in (None, 30_000):
+        out = streaming_latest_prices_tws(read_trade_stream(spark, feed), ttl_ms=ttl_ms)
+        assert out.isStreaming
+        assert [f.name for f in out.schema.fields] == [
+            "symbol",
+            "last_price",
+            "last_volume",
+            "last_trade_time",
+            "price_change",
+            "price_change_pct",
+        ]
+
+
+def test_default_dispatch_prefers_tws_when_runtime_present(spark, tmp_path, monkeypatch):
+    """streaming_latest_prices routes to transformWithStateInPandas when
+    the TWS protobuf runtime is importable, and to the
+    applyInPandasWithState fallback when it is not."""
+    import json
+    import os
+
+    from real_time_financial_market_data_pipeline_spark.streaming import stateful
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    with open(os.path.join(feed, "a.json"), "w") as f:
+        f.write(json.dumps({"s": "A", "p": 1.0, "v": 1, "t": T0}) + "\n")
+    trades = read_trade_stream(spark, feed)
+
+    def plan_of(df):
+        return df._jdf.queryExecution().analyzed().toString()
+
+    monkeypatch.setattr(stateful, "_TWS_AVAILABLE", True)
+    assert "TransformWithStateInPySpark" in plan_of(stateful.streaming_latest_prices(trades))
+    monkeypatch.setattr(stateful, "_TWS_AVAILABLE", False)
+    assert "FlatMapGroupsInPandasWithState" in plan_of(
+        stateful.streaming_latest_prices(trades)
+    )
+    # in THIS container the probe must resolve to the fallback (no
+    # protobuf runtime); if this ever flips, the eviction test below
+    # starts exercising the TWS path for free
+    monkeypatch.setattr(stateful, "_TWS_AVAILABLE", None)
+    assert stateful.tws_runtime_available() is False
+
+
+def test_idle_symbol_state_ttl_eviction(spark, tmp_path):
+    """With ttl_ms set, a symbol that stays quiet for the TTL has its
+    state evicted: its next trade reports price_change=None exactly like
+    a never-seen symbol (state bounded by ACTIVE symbols, not all
+    symbols ever seen)."""
+    import time
+
+    from real_time_financial_market_data_pipeline_spark.streaming.stateful import streaming_latest_prices
+
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(feed)
+    with open(os.path.join(feed, "b0.json"), "w") as f:
+        f.write(json.dumps({"s": "AAPL", "p": 100.0, "v": 10, "t": T0}) + "\n")
+        f.write(json.dumps({"s": "MSFT", "p": 50.0, "v": 5, "t": T0 + 1_000}) + "\n")
+
+    trades = read_trade_stream(spark, feed)
+    latest = streaming_latest_prices(trades, ttl_ms=1_500)
+    q = (
+        latest.writeStream.format("memory")
+        .queryName("latest_ttl_mem")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        # 1) both symbols land
+        while time.time() < deadline:
+            syms = {
+                r["symbol"] for r in spark.sql("SELECT symbol FROM latest_ttl_mem").collect()
+            }
+            if {"AAPL", "MSFT"} <= syms:
+                break
+            time.sleep(0.25)
+        assert {"AAPL", "MSFT"} <= syms
+        # 2) let the TTL pass with no traffic; empty micro-batches keep
+        #    running (ProcessingTimeTimeout forces them) and fire the
+        #    timeouts that evict both idle keys
+        expiry_wall = time.time() + 1.5 + 2.0
+        while time.time() < expiry_wall:
+            time.sleep(0.25)
+        # 3) MSFT trades again — with state evicted this is a fresh key
+        with open(os.path.join(feed, "b1.json"), "w") as f:
+            f.write(json.dumps({"s": "MSFT", "p": 80.0, "v": 7, "t": T0 + 600_000}) + "\n")
+        fresh = None
+        while time.time() < deadline:
+            rows = spark.sql(
+                "SELECT * FROM latest_ttl_mem WHERE symbol = 'MSFT' AND last_price = 80.0"
+            ).collect()
+            if rows:
+                fresh = rows[0]
+                break
+            time.sleep(0.25)
+        assert fresh is not None, "post-TTL MSFT trade never surfaced"
+        # evicted state ⇒ no previous price ⇒ change is None (would be
+        # 30.0 if the 50.0 state had survived)
+        assert fresh["price_change"] is None
+        assert fresh["price_change_pct"] is None
+        assert fresh["last_volume"] == 7
+    finally:
+        q.stop()
 
 
 def test_latest_prices_state_across_batches(spark, tmp_path):

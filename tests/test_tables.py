@@ -84,3 +84,73 @@ def test_sf_testdata_ts_columns_are_timestamp(spark):
     ]:
         df = load_table(spark, "/root/testdata/sf0.001", name)
         assert dict(df.dtypes)[col] == "timestamp", (name, col)
+
+
+def test_silver_cte_equivalence_random_tables(spark, tmp_path):
+    """Round-5 VERDICT task 6: the hand-maintained DuckDB _TRADES_CTE
+    (serving/queries.py) and the Spark _silver() pipeline are the SAME
+    function — checked on randomized adversarial event tables, so the
+    next dialect drift or testdata-encoding change fails here in
+    seconds instead of via driver CORRECTNESS.
+
+    Hypothesis-style seeded generator (plain random.Random for speed —
+    each example costs a Spark job): tiny symbol pool to force
+    (symbol, ts) dedup collisions, microsecond-only ts differences that
+    collapse to one millisecond key, zero/negative prices and volumes,
+    null/empty/missing JSON props, and timestamps straddling the
+    AS_OF + 5 min validity boundary (inclusive edge included).
+    """
+    import json
+    import random
+    from datetime import datetime, timedelta
+
+    import duckdb
+
+    from real_time_financial_market_data_pipeline_spark.serving.queries import (
+        _TRADES_CTE,
+        _silver,
+    )
+    from tests.oracle_harness import compare
+
+    base = datetime(2024, 1, 15, 10, 0, 0)
+    boundary = datetime(2030, 1, 1, 0, 5, 0)  # AS_OF + 5 min, inclusive
+    ts_pool = (
+        [base + timedelta(seconds=s) for s in (0, 1, 2, 60, 3600, 86_400)]
+        + [base + timedelta(microseconds=u) for u in (1, 500_000, 999_999)]
+        + [boundary - timedelta(seconds=1), boundary, boundary + timedelta(seconds=1)]
+    )
+    props_pool = (
+        [json.dumps({"k": v}) for v in (-5, 0, 3, 17, 2**40)]
+        + ['{"k": null}', "{}", None]
+    )
+    price_pool = [-1.0, 0.0, 0.005, 99.99, 150.25, 1e9]
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        n = 120
+        ids = list(range(n))
+        rng.shuffle(ids)  # dedup tiebreak must pick min event_id, not row order
+        table = pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "ts": pa.array(
+                    [rng.choice(ts_pool) for _ in range(n)], pa.timestamp("us")
+                ),
+                "user_id": pa.array([rng.randrange(50) for _ in range(n)], pa.int64()),
+                "event_type": pa.array([rng.choice("AB") for _ in range(n)]),
+                "value": pa.array([rng.choice(price_pool) for _ in range(n)]),
+                "props": pa.array([rng.choice(props_pool) for _ in range(n)]),
+            }
+        )
+        d = tmp_path / f"gen_{seed}"
+        d.mkdir()
+        pq.write_table(table, str(d / "events.parquet"))
+
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+        problems = compare(
+            _silver(spark, str(d)),
+            con,
+            f"WITH {_TRADES_CTE} SELECT * FROM silver",
+        )
+        assert not problems, f"seed={seed}: {problems}"

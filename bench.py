@@ -161,6 +161,57 @@ def bench_streaming_medallion(
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_streamed_gold_bucketed(spark, sf_dir: str) -> dict[str, float]:
+    """Round-5 VERDICT task 4 evidence: gold built by the STREAMING
+    medallion job, folded + published bucketed-by-symbol
+    (MedallionStreamJob.publish_gold_bucketed), then Q5 served off the
+    result — the same zero-Exchange read batch-materialized gold gets
+    (bench_bucketed_serving), now available to streamed gold.  The drain
+    itself is untimed here (streaming_medallion_* already bench it);
+    timed are the one-off publish (fold + bucketed rewrite + table DDL)
+    and the repeatable serving read it buys."""
+    import shutil
+    import tempfile
+
+    from real_time_financial_market_data_pipeline_spark.pipeline.materialize import latest_bars_from_bucketed
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_trade_stream
+    from real_time_financial_market_data_pipeline_spark.streaming.jobs import MedallionStreamJob
+    from real_time_financial_market_data_pipeline_spark.tables import load_table, trades_from_events
+
+    work = tempfile.mkdtemp(prefix="bench_sgold_")
+    feed, out = os.path.join(work, "feed"), os.path.join(work, "out")
+    table = "bench_streamed_gold_serving"
+    try:
+        trades = trades_from_events(load_table(spark, sf_dir, "events"))
+        trades.selectExpr(
+            "symbol AS s", "price AS p", "volume AS v", "timestamp AS t"
+        ).coalesce(4).write.json(feed)
+        job = MedallionStreamJob(out_dir=out, trigger={"availableNow": True})
+        mgr = job.start(read_trade_stream(spark, feed))  # one-shot drain
+        mgr.await_all(timeout_s=600)
+
+        t0 = time.perf_counter()
+        job.publish_gold_bucketed(spark, "gold_5m", table=table, n_buckets=8)
+        publish_s = round(time.perf_counter() - t0, 3)
+
+        served = latest_bars_from_bucketed(spark, table)
+        plan = served._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" in plan:
+            raise RuntimeError("streamed bucketed serving plan regressed: Exchange present")
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            latest_bars_from_bucketed(spark, table).count()
+            best = min(best, time.perf_counter() - t0)
+        return {
+            "streamed_gold_publish_bucketed": publish_s,
+            "streamed_gold_bucketed_read": round(best, 3),
+        }
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def bench_compaction_read(spark, n_batches: int = 120) -> dict[str, float]:
     """Read-side win of gold auto-compaction (round-3/4 VERDICT task:
     'bench shows bounded read time').  Simulates an update-mode gold
@@ -433,6 +484,10 @@ def main() -> None:
         timings.update(bench_compaction_read(spark))
     except Exception as exc:  # noqa: BLE001
         errors["compaction_read"] = f"{type(exc).__name__}: {exc}".splitlines()[0][:500]
+    try:
+        timings.update(bench_streamed_gold_bucketed(spark, sf_dir))
+    except Exception as exc:  # noqa: BLE001
+        errors["streamed_gold_bucketed"] = f"{type(exc).__name__}: {exc}".splitlines()[0][:500]
     try:
         timings.update(bench_incremental_dedup(spark, sf_dir))
     except Exception as exc:  # noqa: BLE001

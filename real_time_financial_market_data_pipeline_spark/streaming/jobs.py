@@ -100,6 +100,28 @@ class MedallionStreamJob:
                 folded += compact_latest_state(spark, path, list(self.GOLD_KEYS))
         return folded
 
+    def publish_gold_bucketed(
+        self, spark, layer: str = "gold_5m", table: str | None = None, n_buckets: int = 8
+    ) -> str:
+        """Stream-stopped OPTIMIZE that publishes a gold layer's folded
+        snapshot bucketed+sorted by symbol and registers it as external
+        bucketed table `table` — streamed-then-compacted gold then
+        serves Q5/Q6/Q7/day-over-day through the zero-Exchange
+        *_from_bucketed readers exactly like batch-materialized gold
+        (materialize.materialize_gold_bucketed).  Returns the table name."""
+        from real_time_financial_market_data_pipeline_spark.streaming.sinks import compact_gold_bucketed
+
+        table = table or f"{layer}_serving"
+        compact_gold_bucketed(
+            spark,
+            os.path.join(self.out_dir, layer),
+            list(self.GOLD_KEYS),
+            table,
+            n_buckets=n_buckets,
+            sort_cols=["symbol", "window_start"],
+        )
+        return table
+
     def start(self, trades: DataFrame, chained: bool = True, await_timeout_s: float = 600) -> SinkManager:
         """Chained (single-source-scan) medallion by DEFAULT — silver
         reads the bronze table and gold reads silver, so the upstream

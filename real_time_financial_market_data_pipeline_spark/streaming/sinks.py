@@ -225,6 +225,7 @@ def compact_latest_state(
     key_cols: list[str],
     only_below: int | None = None,
     resolve: Callable[[DataFrame], DataFrame] | None = None,
+    snapshot_writer: Callable[[DataFrame, str], None] | None = None,
 ) -> int:
     """Fold an update-mode sink's accumulated `batch_id=<n>` emission
     directories into ONE resolved snapshot directory (per-key latest by
@@ -262,6 +263,11 @@ def compact_latest_state(
     associative reduction (e.g. the quote job's batch-local best-quote
     maxima) pass their re-reduce instead, so the fold is exact for them
     too.
+
+    `snapshot_writer(resolved_df, inprog_path)` overrides HOW the staged
+    snapshot is laid out on disk (default: plain parquet overwrite).
+    compact_gold_bucketed uses it to publish a bucketed+sorted snapshot;
+    the two-phase rename protocol is unchanged either way.
 
     `only_below` bounds the fold to batch directories with id strictly
     below it — the inline-compaction form (parquet_sink compact_every):
@@ -312,7 +318,10 @@ def compact_latest_state(
             resolve(combined) if resolve is not None
             else latest_state_on_read(combined, key_cols)
         )
-        resolved.write.mode("overwrite").parquet(inprog)
+        if snapshot_writer is not None:
+            snapshot_writer(resolved, inprog)
+        else:
+            resolved.write.mode("overwrite").parquet(inprog)
         staged_dir = os.path.join(path, f"_compact_staged_{max_id}")
         os.rename(inprog, staged_dir)  # atomic completeness marker
 
@@ -321,4 +330,132 @@ def compact_latest_state(
         shutil.rmtree(os.path.join(path, d))
         folded += 1
     os.rename(staged_dir, os.path.join(path, f"batch_id={max_id}"))
+    return folded
+
+
+_BUCKET_SPEC_MARKER = "_bucket_spec.json"
+
+
+def _bucketed_layout_ok(snapshot_dir: str, n_buckets: int, bucket_col: str) -> bool:
+    """True when snapshot_dir was written by compact_gold_bucketed with
+    EXACTLY this bucket spec: the _bucket_spec.json marker matches
+    (file-name suffixes alone can't distinguish a 4-bucket layout from
+    an 8-bucket one, and declaring the wrong spec would make Spark
+    silently skip shuffles the data layout doesn't satisfy — wrong
+    results, not just slow ones) and every parquet data file carries a
+    bucket-id suffix (part-...-<uuid>_NNNNN.c...) below n_buckets."""
+    import json
+    import re
+
+    marker = os.path.join(snapshot_dir, _BUCKET_SPEC_MARKER)
+    try:
+        with open(marker) as fh:
+            spec = json.load(fh)
+    except (OSError, ValueError):
+        return False
+    if spec.get("n_buckets") != n_buckets or spec.get("bucket_col") != bucket_col:
+        return False
+    files = [f for f in os.listdir(snapshot_dir) if f.endswith(".parquet")]
+    if not files:
+        return False
+    for f in files:
+        m = re.search(r"_(\d{5})\.c", f)
+        if m is None or int(m.group(1)) >= n_buckets:
+            return False
+    return True
+
+
+def compact_gold_bucketed(
+    spark,
+    path: str,
+    key_cols: list[str],
+    table: str,
+    n_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+    resolve: Callable[[DataFrame], DataFrame] | None = None,
+) -> int:
+    """compact_latest_state for a STREAMED update-mode gold sink whose
+    published snapshot is written bucketed+sorted by the first key and
+    registered as external bucketed table `table` — so a
+    streamed-then-compacted gold gets the same zero-Exchange serving
+    path (materialize.latest_bars_from_bucketed / *_from_bucketed) that
+    materialize_gold_bucketed gives batch gold.
+
+    Layout: the snapshot files are written via bucketBy/sortBy through a
+    throwaway external table at the staging path (bucketing metadata
+    only exists through the catalog), the two-phase rename protocol of
+    compact_latest_state publishes them as `batch_id=<max>`, and the
+    serving table is (re)declared over that directory with the matching
+    CLUSTERED BY / SORTED BY spec.  The batch-dir contract is untouched:
+    stream restarts append delta dirs above the snapshot and
+    latest_state_on_read keeps resolving; re-run this after each drain
+    to fold the new deltas and refresh the serving table.
+
+    Safety: the directory is only declared bucketed after verifying
+    every data file carries a valid bucket-id suffix (files we wrote via
+    bucketBy) — declaring a plain directory bucketed would let the
+    serving plans skip shuffles they actually need.  Run with the
+    stream STOPPED and DRAINED, like compact_latest_state.
+
+    Returns the number of batch directories folded (0 = already compact;
+    the serving table is still refreshed if the snapshot qualifies).
+    """
+    import re
+
+    sort_cols = sort_cols or list(key_cols)
+    bucket_col = key_cols[0]
+    tmp_table = f"{table}__compact_staging"
+
+    def write_bucketed(resolved: DataFrame, inprog: str) -> None:
+        import json
+
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+        (
+            resolved.repartition(n_buckets, bucket_col)
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(n_buckets, bucket_col)
+            .sortBy(*sort_cols)
+            .option("path", inprog)
+            .saveAsTable(tmp_table)
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")  # external: files stay
+        with open(os.path.join(inprog, _BUCKET_SPEC_MARKER), "w") as fh:
+            json.dump({"n_buckets": n_buckets, "bucket_col": bucket_col}, fh)
+
+    folded = compact_latest_state(
+        spark, path, list(key_cols), resolve=resolve, snapshot_writer=write_bucketed
+    )
+
+    snap_dirs = [d for d in os.listdir(path) if re.fullmatch(r"batch_id=\d+", d)]
+    if len(snap_dirs) != 1:
+        raise RuntimeError(
+            f"expected exactly one snapshot dir after compaction, found {snap_dirs}"
+        )
+    snap = os.path.join(path, snap_dirs[0])
+    if not _bucketed_layout_ok(snap, n_buckets, bucket_col):
+        # the sink was already folded by plain compact_latest_state (e.g.
+        # the drain's auto-compaction) — re-lay-out the existing snapshot
+        # bucketed, through the same staged-rename protocol (a crash
+        # between rmtree and the final rename leaves the staged dir,
+        # which the next compact_latest_state call finishes publishing)
+        import shutil
+
+        max_id = int(snap_dirs[0].split("=")[1])
+        inprog = os.path.join(path, "_compact_inprogress")
+        shutil.rmtree(inprog, ignore_errors=True)
+        write_bucketed(spark.read.parquet(snap), inprog)
+        staged = os.path.join(path, f"_compact_staged_{max_id}")
+        os.rename(inprog, staged)
+        shutil.rmtree(snap)
+        os.rename(staged, snap)
+    schema = spark.read.parquet(snap).schema
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(
+        f"CREATE TABLE {table} ({cols}) USING PARQUET "
+        f"CLUSTERED BY ({bucket_col}) "
+        f"SORTED BY ({', '.join(sort_cols)}) INTO {n_buckets} BUCKETS "
+        f"LOCATION '{snap}'"
+    )
     return folded

@@ -111,3 +111,122 @@ def test_bucketed_gold_serves_q6_q7_day_over_day_shuffle_free(spark, tmp_path):
         assert sorted(tuple(r) for r in dod.collect()) == expected
     finally:
         spark.sql("DROP TABLE IF EXISTS gold_5m_bucketed_t2")
+
+
+def test_compact_gold_bucketed_folds_and_registers(spark, tmp_path):
+    """compact_gold_bucketed: fold hand-laid update-mode batch dirs into a
+    bucketed snapshot, register the serving table, and serve Q5
+    zero-Exchange — plus idempotent re-run and the re-layout branch for a
+    snapshot previously folded PLAIN (or with a different bucket spec)."""
+    import pandas as pd
+
+    from real_time_financial_market_data_pipeline_spark.streaming.sinks import (
+        compact_gold_bucketed,
+        compact_latest_state,
+        latest_state_on_read,
+    )
+
+    path = str(tmp_path / "gold_stream")
+    os.makedirs(path)
+    base = pd.Timestamp("2024-01-01 10:00:00")
+
+    def bars(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                rows,
+                columns=[
+                    "symbol", "window_start", "window_end",
+                    "open", "high", "low", "close", "volume",
+                ],
+            )
+        )
+
+    # batch 0 seeds two symbols; batch 2 re-emits AAPL's bar (update mode)
+    bars(
+        [
+            ("AAPL", base, base + pd.Timedelta("5min"), 99.0, 102.0, 98.0, 100.0, 10),
+            ("MSFT", base, base + pd.Timedelta("5min"), 49.0, 51.0, 48.0, 50.0, 5),
+        ]
+    ).write.parquet(os.path.join(path, "batch_id=0"))
+    bars(
+        [("AAPL", base, base + pd.Timedelta("5min"), 99.0, 103.0, 98.0, 101.0, 25)]
+    ).write.parquet(os.path.join(path, "batch_id=2"))
+
+    keys = ["symbol", "window_start", "window_end"]
+    folded = compact_gold_bucketed(spark, path, keys, "gold_stream_serving", n_buckets=4)
+    try:
+        assert folded == 2
+        assert [d for d in os.listdir(path) if d.startswith("batch_id=")] == ["batch_id=2"]
+        served = latest_bars_from_bucketed(spark, "gold_stream_serving", k=5)
+        plan = served._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        got = {(r["symbol"]): r for r in spark.table("gold_stream_serving").collect()}
+        assert got["AAPL"]["close"] == 101.0 and got["AAPL"]["volume"] == 25
+        assert got["MSFT"]["close"] == 50.0
+
+        # idempotent re-run: nothing to fold, table re-registered, same rows
+        assert compact_gold_bucketed(spark, path, keys, "gold_stream_serving", n_buckets=4) == 0
+        assert spark.table("gold_stream_serving").count() == 2
+
+        # different bucket spec: marker mismatch forces a re-layout, never
+        # a silent mis-declared bucketing
+        compact_gold_bucketed(spark, path, keys, "gold_stream_serving", n_buckets=2)
+        plan = (
+            latest_bars_from_bucketed(spark, "gold_stream_serving", k=5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, plan[:2000]
+        assert spark.table("gold_stream_serving").count() == 2
+
+        # plain-folded sink (compact_latest_state) then bucketed publish:
+        # the re-layout branch rewrites the snapshot bucketed
+        path2 = str(tmp_path / "gold_stream2")
+        os.makedirs(path2)
+        bars(
+            [("AAPL", base, base + pd.Timedelta("5min"), 99.0, 102.0, 98.0, 100.0, 10)]
+        ).write.parquet(os.path.join(path2, "batch_id=0"))
+        bars(
+            [("AAPL", base, base + pd.Timedelta("5min"), 99.0, 104.0, 98.0, 102.0, 30)]
+        ).write.parquet(os.path.join(path2, "batch_id=1"))
+        compact_latest_state(spark, path2, keys)  # plain fold
+        compact_gold_bucketed(spark, path2, keys, "gold_stream2_serving", n_buckets=4)
+        rows = spark.table("gold_stream2_serving").collect()
+        assert len(rows) == 1 and rows[0]["close"] == 102.0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS gold_stream_serving")
+        spark.sql("DROP TABLE IF EXISTS gold_stream2_serving")
+
+
+def test_streamed_then_compacted_gold_serving_is_shuffle_free(spark, tmp_path):
+    """Round-5 VERDICT task 4 end-to-end: trades streamed through the
+    medallion job, gold published via publish_gold_bucketed, and Q5
+    served off the result with ZERO Exchange — streamed gold gets the
+    same zero-Exchange serving path as batch-materialized gold."""
+    import json
+
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_trade_stream
+    from real_time_financial_market_data_pipeline_spark.streaming.jobs import MedallionStreamJob
+
+    T0 = 1_700_000_100_000
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    with open(os.path.join(feed, "b0.json"), "w") as f:
+        for i, (s, p, v) in enumerate(
+            [("AAPL", 150.25, 100), ("AAPL", 150.30, 50), ("MSFT", 380.0, 200)]
+        ):
+            f.write(json.dumps({"s": s, "p": p, "v": v, "t": T0 + i * 100}) + "\n")
+
+    job = MedallionStreamJob(out_dir=str(tmp_path / "out"))
+    mgr = job.start(read_trade_stream(spark, feed))
+    assert mgr.await_all(timeout_s=120)
+
+    table = job.publish_gold_bucketed(spark, "gold_5m", n_buckets=4)
+    try:
+        served = latest_bars_from_bucketed(spark, table, k=5)
+        plan = served._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        got = {r["symbol"]: r for r in served.collect()}
+        assert got["AAPL"]["close"] == 150.30 and got["AAPL"]["volume"] == 150
+        assert got["MSFT"]["volume"] == 200
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

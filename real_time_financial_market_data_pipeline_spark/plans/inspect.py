@@ -37,6 +37,37 @@ def scan_read_schemas(df: DataFrame) -> list[str]:
     return re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
 
 
+def scan_tables_and_schemas(df: DataFrame) -> list[tuple[str, str]]:
+    """(source table, untruncated ReadSchema) for each file scan in the
+    plan — the exact pruned column set read from each input.  Used by the
+    plan-snapshot sweep: a refactor that widens a scan (column pruning
+    lost) or adds/drops a scan diffs against the recorded snapshot.
+
+    ReadSchema strings are truncated at spark.sql.maxMetadataStringLength
+    (default 100 chars) in explain output; the conf is raised for the
+    duration of the rendering so the snapshot captures the full schema.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.maxMetadataStringLength"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "100000")
+    try:
+        plan = physical_plan(df)
+    finally:
+        spark.conf.set(key, prev)
+    out: list[tuple[str, str]] = []
+    location = "?"
+    for line in plan.splitlines():
+        line = line.strip()
+        if line.startswith("Location:"):
+            m = re.search(r"\[([^\],]+)", line)
+            location = m.group(1).rstrip("/").rsplit("/", 1)[-1] if m else "?"
+            location = re.sub(r"\.parquet$", "", location)
+        elif line.startswith("ReadSchema:"):
+            out.append((location, line.split("ReadSchema:", 1)[1].strip()))
+    return out
+
+
 def has_broadcast_hash_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in physical_plan(df)
 

@@ -177,3 +177,73 @@ def test_allpairs_whitelist_entries_are_documented():
         "ALLPAIRS_OK entries whose query source does not declare the "
         f"quadratic contract: {undocumented}"
     )
+
+
+# ---------------------------------------------------------------------------
+# recorded plan snapshots (round-5 VERDICT task 7): exact Exchange count +
+# per-scan ReadSchema for every oracle-backed query, diffed against
+# tests/plan_snapshots.json.  The budgets above catch regressions past a
+# bound; the snapshot catches ANY drift — a scan that silently widens, an
+# exchange that appears below the budget line, a scan added or dropped.
+# Regenerate intentionally with: PLAN_SNAPSHOT_UPDATE=1 pytest
+#   tests/test_plan_sweep.py::test_plan_snapshots
+# and review the JSON diff like any other code change.
+# ---------------------------------------------------------------------------
+
+import json
+import os
+
+SNAPSHOT_PATH = os.path.join(os.path.dirname(__file__), "plan_snapshots.json")
+
+
+def _current_plan_snapshot(spark) -> dict:
+    from real_time_financial_market_data_pipeline_spark.plans.inspect import (
+        count_shuffles,
+        scan_tables_and_schemas,
+    )
+    from real_time_financial_market_data_pipeline_spark.serving.queries import ORACLE_SQL
+
+    out = {}
+    for name in sorted(ORACLE_SQL):
+        df = QUERIES[name](spark, SF_DIR)
+        out[name] = {
+            "exchanges": count_shuffles(df),
+            "scans": sorted(f"{t}: {s}" for t, s in scan_tables_and_schemas(df)),
+        }
+    return out
+
+
+def test_plan_snapshots(spark):
+    current = _current_plan_snapshot(spark)
+    if os.environ.get("PLAN_SNAPSHOT_UPDATE") == "1":
+        with open(SNAPSHOT_PATH, "w") as fh:
+            json.dump(current, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        return
+    assert os.path.exists(SNAPSHOT_PATH), (
+        "no recorded snapshot; run PLAN_SNAPSHOT_UPDATE=1 pytest "
+        "tests/test_plan_sweep.py::test_plan_snapshots"
+    )
+    with open(SNAPSHOT_PATH) as fh:
+        recorded = json.load(fh)
+    missing = sorted(set(current) - set(recorded))
+    stale = sorted(set(recorded) - set(current))
+    assert not missing, f"oracle-backed queries without a recorded plan snapshot: {missing}"
+    assert not stale, f"snapshot entries for removed queries: {stale}"
+    diffs = []
+    for name in sorted(current):
+        rec, cur = recorded[name], current[name]
+        if rec == cur:
+            continue
+        lines = [f"{name}:"]
+        if rec["exchanges"] != cur["exchanges"]:
+            lines.append(f"  exchanges: recorded {rec['exchanges']} -> now {cur['exchanges']}")
+        for s in sorted(set(rec["scans"]) - set(cur["scans"])):
+            lines.append(f"  -scan {s}")
+        for s in sorted(set(cur["scans"]) - set(rec["scans"])):
+            lines.append(f"  +scan {s}")
+        diffs.append("\n".join(lines))
+    assert not diffs, (
+        "plan drift vs recorded snapshot (re-pin with PLAN_SNAPSHOT_UPDATE=1 "
+        "only if the change is intentional):\n" + "\n".join(diffs)
+    )

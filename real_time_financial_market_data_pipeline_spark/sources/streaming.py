@@ -105,11 +105,12 @@ def socket_trade_stream(spark: SparkSession, host: str, port: int) -> DataFrame:
     """TCP socket source: one JSON wire record per line — the closest
     built-in stand-in for the reference's WebSocket feed (S2,
     src/producer/finnhub_client.py): a push-based line protocol carrying
-    the same {"s","p","v","t","c"} records.  The WS-specific concerns
-    (auth, subscribe messages, exponential-backoff reconnect,
-    finnhub_client.py:121-133) are client-process duties outside the
-    engine; anything that can speak line-JSON over TCP (e.g. a 10-line
-    websocket->socket bridge) feeds this source.
+    the same {"s","p","v","t","c"} records.  The WS-specific connection
+    lifecycle (exponential-backoff reconnect, subscription cap —
+    finnhub_client.py:121-133) lives in sources/bridge.py (FeedBridge /
+    ReconnectPolicy), which pumps any push transport into spool files
+    for the exactly-once FILE source; this raw socket source remains
+    the minimal direct tap for anything speaking line-JSON over TCP.
 
     The socket source is not replayable and keeps no offsets — dev/test
     only (same caveat Spark's docs attach); production ingest is the

@@ -154,3 +154,65 @@ def test_silver_cte_equivalence_random_tables(spark, tmp_path):
             f"WITH {_TRADES_CTE} SELECT * FROM silver",
         )
         assert not problems, f"seed={seed}: {problems}"
+
+
+def test_ohlcv_cte_equivalence_random_tables(spark, tmp_path):
+    """Companion to the silver-CTE property test for the OTHER
+    hand-maintained dialect fragment, _OHLCV_5M_CTE: random event tables
+    through the Spark gold pipeline (_gold_5m: silver → ohlcv 5m with
+    decimal-cents vwap) vs the DuckDB CTE, typed-exact.
+
+    Pools are tighter than the silver test: prices ≤ 1e4 and volumes
+    ≤ 1e6 keep the cents*volume accumulation far from BIGINT overflow
+    (Spark ANSI mode throws where DuckDB silently widens to HUGEINT —
+    out of the operator's documented domain)."""
+    import json
+    import random
+    from datetime import datetime, timedelta
+
+    import duckdb
+
+    from real_time_financial_market_data_pipeline_spark.serving.queries import (
+        _OHLCV_5M_CTE,
+        _gold_5m,
+    )
+    from tests.oracle_harness import compare
+
+    base = datetime(2024, 1, 15, 10, 0, 0)
+    # straddle 5-minute bucket edges and pack several trades per bucket
+    ts_pool = [
+        base + timedelta(seconds=s)
+        for s in (0, 1, 299, 300, 301, 599, 600, 900, 3600)
+    ] + [base + timedelta(microseconds=u) for u in (1, 999_999)]
+    props_pool = [json.dumps({"k": v}) for v in (0, 1, 250, 1_000_000)] + [None]
+    price_pool = [0.005, 0.01, 7.77, 99.99, 150.25, 10_000.0, 0.0, -3.0]
+
+    for seed in range(3):
+        rng = random.Random(100 + seed)
+        n = 100
+        ids = list(range(n))
+        rng.shuffle(ids)
+        table = pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "ts": pa.array(
+                    [rng.choice(ts_pool) for _ in range(n)], pa.timestamp("us")
+                ),
+                "user_id": pa.array([rng.randrange(9) for _ in range(n)], pa.int64()),
+                "event_type": pa.array([rng.choice("ABC") for _ in range(n)]),
+                "value": pa.array([rng.choice(price_pool) for _ in range(n)]),
+                "props": pa.array([rng.choice(props_pool) for _ in range(n)]),
+            }
+        )
+        d = tmp_path / f"ohlcv_gen_{seed}"
+        d.mkdir()
+        pq.write_table(table, str(d / "events.parquet"))
+
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+        problems = compare(
+            _gold_5m(spark, str(d)),
+            con,
+            f"WITH {_OHLCV_5M_CTE} SELECT * FROM gold_5m",
+        )
+        assert not problems, f"seed={seed}: {problems}"

@@ -73,6 +73,16 @@ def main() -> None:
     gold.groupBy("symbol").agg(F.sum("volume").alias("total_volume")).orderBy(
         "symbol"
     ).show()
+
+    # round-6 serving path: fold the update-mode gold sink into a
+    # bucketed snapshot and serve latest bars with a zero-Exchange read
+    from real_time_financial_market_data_pipeline_spark.pipeline.materialize import latest_bars_from_bucketed
+
+    table = job.publish_gold_bucketed(spark, "gold_5m", n_buckets=4)
+    print(f"bucketed serving table '{table}' (shuffle-free reads):")
+    latest_bars_from_bucketed(spark, table, k=3).orderBy(
+        "symbol", F.desc("window_start")
+    ).limit(6).show(truncate=False)
     spark.stop()
 
 

@@ -174,3 +174,73 @@ def test_latest_prices_state_across_batches(spark, tmp_path):
     assert abs(aapl_last["price_change_pct"] - 10.0) < 1e-9
     msft = by_key["MSFT"][0]
     assert msft["last_price"] == 50.0 and msft["price_change"] is None
+
+
+def test_ttl_bounds_state_under_symbol_churn(spark, tmp_path):
+    """The scale claim behind the TTL (SCALE.md): with a churning symbol
+    universe, state tracks ACTIVE symbols, not symbols-ever-seen.  Eight
+    waves of 5 fresh symbols each (40 distinct keys total) stream
+    through with a TTL shorter than the run; after a settle period the
+    state store must have evicted well below the ever-seen count, while
+    every symbol's row was still emitted (eviction loses no output)."""
+    import time
+
+    from real_time_financial_market_data_pipeline_spark.streaming.stateful import streaming_latest_prices
+
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(feed)
+
+    trades = read_trade_stream(spark, feed)
+    latest = streaming_latest_prices(trades, ttl_ms=1_200)
+    q = (
+        latest.writeStream.format("memory")
+        .queryName("latest_churn_mem")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        n_waves, per_wave = 8, 5
+        for w in range(n_waves):
+            with open(os.path.join(feed, f"wave_{w}.json"), "w") as f:
+                for i in range(per_wave):
+                    f.write(
+                        json.dumps(
+                            {"s": f"CH{w}_{i}", "p": 10.0 + w, "v": 1, "t": T0 + w * 60_000}
+                        )
+                        + "\n"
+                    )
+            time.sleep(0.4)
+
+        deadline = time.time() + 120
+        # every symbol must surface (eviction is about state, not output)
+        total = n_waves * per_wave
+        while time.time() < deadline:
+            seen = {
+                r["symbol"]
+                for r in spark.sql("SELECT symbol FROM latest_churn_mem").collect()
+            }
+            if len(seen) == total:
+                break
+            time.sleep(0.3)
+        assert len(seen) == total, f"only {len(seen)}/{total} symbols emitted"
+
+        # settle: no new data, TTL elapses, empty batches fire timeouts
+        state_rows = None
+        while time.time() < deadline:
+            p = q.lastProgress or {}
+            ops = p.get("stateOperators") or []
+            if ops:
+                state_rows = ops[0].get("numRowsTotal")
+                if state_rows is not None and state_rows <= total // 2:
+                    break
+            time.sleep(0.4)
+        assert state_rows is not None, "no state-operator metrics reported"
+        assert state_rows <= total // 2, (
+            f"state holds {state_rows} rows after settle — TTL eviction is not "
+            f"bounding state (symbols-ever-seen = {total})"
+        )
+    finally:
+        q.stop()

@@ -230,3 +230,91 @@ def test_streamed_then_compacted_gold_serving_is_shuffle_free(spark, tmp_path):
         assert got["MSFT"]["volume"] == 200
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_compact_gold_bucketed_recovers_from_relayout_crash_windows(spark, tmp_path):
+    """The re-layout branch (plain snapshot → bucketed rewrite) shares
+    compact_latest_state's staged-rename protocol; both crash windows
+    must recover on re-run with no data loss:
+      (a) crash after staging, before the old plain snapshot is removed
+          → both dirs on disk; re-run finishes the publish;
+      (b) crash after removal, before the staged rename → only the
+          staged dir on disk; re-run publishes it."""
+    import shutil
+
+    import pandas as pd
+
+    from real_time_financial_market_data_pipeline_spark.streaming.sinks import (
+        compact_gold_bucketed,
+        compact_latest_state,
+    )
+
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    keys = ["symbol", "window_start", "window_end"]
+
+    def seed(path):
+        os.makedirs(path)
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    ("AAPL", base, base + pd.Timedelta("5min"), 99.0, 102.0, 98.0, 100.0, 10),
+                    ("MSFT", base, base + pd.Timedelta("5min"), 49.0, 51.0, 48.0, 50.0, 5),
+                ],
+                columns=[
+                    "symbol", "window_start", "window_end",
+                    "open", "high", "low", "close", "volume",
+                ],
+            )
+        )
+        df.write.parquet(os.path.join(path, "batch_id=0"))
+        df.withColumn("close", df.close + 1).write.parquet(os.path.join(path, "batch_id=3"))
+        compact_latest_state(spark, path, keys)  # plain fold → batch_id=3
+
+    def stage_bucketed(path, n_buckets):
+        """Reproduce the re-layout's staging steps up to the crash point."""
+        snap = os.path.join(path, "batch_id=3")
+        inprog = os.path.join(path, "_compact_inprogress")
+        tmp_table = "crashwin__staging"
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+        (
+            spark.read.parquet(snap)
+            .repartition(n_buckets, "symbol")
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(n_buckets, "symbol")
+            .sortBy("symbol", "window_start")
+            .option("path", inprog)
+            .saveAsTable(tmp_table)
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+        import json as _json
+
+        with open(os.path.join(inprog, "_bucket_spec.json"), "w") as fh:
+            _json.dump({"n_buckets": n_buckets, "bucket_col": "symbol"}, fh)
+        os.rename(inprog, os.path.join(path, "_compact_staged_3"))
+        return snap
+
+    # window (a): staged + plain snapshot both present
+    path_a = str(tmp_path / "gold_a")
+    seed(path_a)
+    stage_bucketed(path_a, n_buckets=4)
+    compact_gold_bucketed(spark, path_a, keys, "crashwin_a_serving", n_buckets=4)
+    try:
+        rows = {r["symbol"]: r for r in spark.table("crashwin_a_serving").collect()}
+        assert rows["AAPL"]["close"] == 101.0 and rows["MSFT"]["close"] == 51.0
+        assert [d for d in os.listdir(path_a) if d.startswith("_compact")] == []
+    finally:
+        spark.sql("DROP TABLE IF EXISTS crashwin_a_serving")
+
+    # window (b): plain snapshot already removed, only the staged dir left
+    path_b = str(tmp_path / "gold_b")
+    seed(path_b)
+    snap_b = stage_bucketed(path_b, n_buckets=4)
+    shutil.rmtree(snap_b)
+    compact_gold_bucketed(spark, path_b, keys, "crashwin_b_serving", n_buckets=4)
+    try:
+        rows = {r["symbol"]: r for r in spark.table("crashwin_b_serving").collect()}
+        assert rows["AAPL"]["close"] == 101.0 and rows["MSFT"]["close"] == 51.0
+        assert [d for d in os.listdir(path_b) if d.startswith("_compact")] == []
+    finally:
+        spark.sql("DROP TABLE IF EXISTS crashwin_b_serving")

@@ -447,6 +447,12 @@ class QuoteEnrichJob:
     # see MedallionStreamJob.compact_every — same dir-count bound for the
     # best_quote partials sink
     compact_every: int | None = 20
+    # RocksDB state store for the join (off-heap, spill-to-disk): at
+    # production scale the symmetric-hash-join state (both watermark
+    # windows of an exchange-wide quote feed) exceeds executor heap —
+    # flip this on there.  Local-measured (SCALE.md): parity on sf0.1
+    # state sizes, so correctness coverage is what the toggle buys here.
+    use_rocksdb_state: bool = False
 
     BEST_QUOTE_KEYS = ("symbol", "trade_time", "price", "volume")
 
@@ -480,6 +486,17 @@ class QuoteEnrichJob:
         if self.shuffle_partitions is not None:
             old_parts = spark.conf.get("spark.sql.shuffle.partitions")
             spark.conf.set("spark.sql.shuffle.partitions", str(self.shuffle_partitions))
+        provider_key = "spark.sql.streaming.stateStore.providerClass"
+        old_provider = None
+        if self.use_rocksdb_state:
+            try:
+                old_provider = spark.conf.get(provider_key)
+            except Exception:
+                old_provider = None
+            spark.conf.set(
+                provider_key,
+                "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+            )
         try:
             sequential = "availableNow" in self.trigger
             mgr = SinkManager()
@@ -548,6 +565,11 @@ class QuoteEnrichJob:
         finally:
             if old_parts is not None:
                 spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+            if self.use_rocksdb_state:
+                if old_provider:
+                    spark.conf.set(provider_key, old_provider)
+                else:
+                    spark.conf.unset(provider_key)
 
 
 def best_quote_view(spark, out_dir: str) -> DataFrame:

@@ -167,3 +167,48 @@ def test_best_quote_partials_across_batches_and_compaction(spark, tmp_path):
     assert job.compact_best_quote(spark) == n_partial_dirs
     rows_after = best_quote_view(spark, out).collect()
     assert [tuple(r) for r in rows_after] == [tuple(r) for r in rows]
+
+
+def test_quote_enrich_rocksdb_state_store_matches_default(spark, tmp_path):
+    """use_rocksdb_state=True runs the stream-stream interval join on the
+    RocksDB state store provider and must produce byte-identical layers
+    to the default provider (the toggle exists for deployments whose
+    join state outgrows executor heap; measured parity at local state
+    sizes is recorded in SCALE.md)."""
+    from real_time_financial_market_data_pipeline_spark.streaming.jobs import QuoteEnrichJob, best_quote_view
+
+    tfeed, qfeed = str(tmp_path / "tfeed"), str(tmp_path / "qfeed")
+    os.makedirs(tfeed)
+    os.makedirs(qfeed)
+    with open(os.path.join(tfeed, "t.json"), "w") as f:
+        f.write(json.dumps({"s": "AAPL", "p": 150.0, "v": 100, "t": T0 + 60_000}) + "\n")
+        f.write(json.dumps({"s": "MSFT", "p": 380.0, "v": 10, "t": T0 + 90_000}) + "\n")
+    with open(os.path.join(qfeed, "q.json"), "w") as f:
+        f.write(json.dumps({"symbol": "AAPL", "bid_price": 149.0, "bid_size": 5,
+                            "ask_price": 151.0, "ask_size": 5, "timestamp": T0}) + "\n")
+        f.write(json.dumps({"symbol": "MSFT", "bid_price": 379.0, "bid_size": 1,
+                            "ask_price": 381.0, "ask_size": 1, "timestamp": T0 + 60_000}) + "\n")
+
+    results = {}
+    for label, rocks in [("default", False), ("rocksdb", True)]:
+        out = str(tmp_path / f"out_{label}")
+        job = QuoteEnrichJob(out_dir=out, use_rocksdb_state=rocks)
+        mgr = job.start(
+            read_trade_stream(spark, tfeed), read_quote_stream(spark, qfeed)
+        )
+        assert mgr.await_all(timeout_s=120)
+        enriched = spark.read.parquet(os.path.join(out, "enriched")).drop("batch_id")
+        results[label] = (
+            sorted(tuple(r) for r in enriched.collect()),
+            sorted(tuple(r) for r in best_quote_view(spark, out).collect()),
+        )
+    assert results["rocksdb"] == results["default"]
+    assert len(results["default"][1]) == 2  # one best quote per trade
+    # the toggle must not leak the provider into the shared session
+    assert (
+        spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+        )
+        != "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )

@@ -318,3 +318,56 @@ def test_compact_gold_bucketed_recovers_from_relayout_crash_windows(spark, tmp_p
         assert [d for d in os.listdir(path_b) if d.startswith("_compact")] == []
     finally:
         spark.sql("DROP TABLE IF EXISTS crashwin_b_serving")
+
+
+def test_publish_refresh_loop_folds_new_deltas(spark, tmp_path):
+    """The operational loop: publish bucketed → stream appends more
+    update-mode deltas above the snapshot → republish.  The refold must
+    combine the bucketed snapshot with the plain new deltas (per-key
+    latest by batch_id), collapse to ONE snapshot at the new max id, and
+    the serving table must reflect the refreshed values."""
+    import pandas as pd
+
+    from real_time_financial_market_data_pipeline_spark.streaming.sinks import compact_gold_bucketed
+
+    path = str(tmp_path / "gold_stream")
+    os.makedirs(path)
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    cols = ["symbol", "window_start", "window_end", "open", "high", "low", "close", "volume"]
+
+    def bars(rows):
+        return spark.createDataFrame(pd.DataFrame(rows, columns=cols))
+
+    keys = ["symbol", "window_start", "window_end"]
+    bars(
+        [
+            ("AAPL", base, base + pd.Timedelta("5min"), 99.0, 102.0, 98.0, 100.0, 10),
+            ("MSFT", base, base + pd.Timedelta("5min"), 49.0, 51.0, 48.0, 50.0, 5),
+        ]
+    ).write.parquet(os.path.join(path, "batch_id=0"))
+    compact_gold_bucketed(spark, path, keys, "refresh_loop_serving", n_buckets=4)
+    try:
+        assert {
+            r["symbol"]: r["close"] for r in spark.table("refresh_loop_serving").collect()
+        } == {"AAPL": 100.0, "MSFT": 50.0}
+
+        # stream restarts and appends two more update batches (plain dirs)
+        bars(
+            [("AAPL", base, base + pd.Timedelta("5min"), 99.0, 103.0, 98.0, 101.0, 20)]
+        ).write.parquet(os.path.join(path, "batch_id=1"))
+        bars(
+            [
+                ("AAPL", base, base + pd.Timedelta("5min"), 99.0, 104.0, 98.0, 102.0, 30),
+                ("GOOG", base, base + pd.Timedelta("5min"), 140.0, 141.0, 139.0, 140.5, 7),
+            ]
+        ).write.parquet(os.path.join(path, "batch_id=4"))
+
+        folded = compact_gold_bucketed(spark, path, keys, "refresh_loop_serving", n_buckets=4)
+        assert folded == 3  # old snapshot + both deltas
+        assert [d for d in os.listdir(path) if d.startswith("batch_id=")] == ["batch_id=4"]
+        got = {r["symbol"]: r for r in spark.table("refresh_loop_serving").collect()}
+        assert got["AAPL"]["close"] == 102.0 and got["AAPL"]["volume"] == 30
+        assert got["MSFT"]["close"] == 50.0  # untouched key survives the refold
+        assert got["GOOG"]["close"] == 140.5  # new key arrives
+    finally:
+        spark.sql("DROP TABLE IF EXISTS refresh_loop_serving")

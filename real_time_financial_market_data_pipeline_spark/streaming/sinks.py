@@ -450,6 +450,20 @@ def compact_gold_bucketed(
         shutil.rmtree(snap)
         os.rename(staged, snap)
     schema = spark.read.parquet(snap).schema
+    # Republish fast-path: when the table already exists with the same
+    # schema and bucket spec, only its LOCATION changes (the snapshot dir
+    # name carries the new max batch id).  ALTER ... SET LOCATION is a
+    # metadata-only catalog update, so concurrent dashboard readers never
+    # observe the table missing — the DROP+CREATE fallback has a window
+    # where a read between the two statements fails.
+    if (
+        spark.catalog.tableExists(table)
+        and spark.table(table).schema == schema
+        and _table_bucket_spec(spark, table) == (n_buckets, [bucket_col])
+    ):
+        spark.sql(f"ALTER TABLE {table} SET LOCATION '{snap}'")
+        spark.sql(f"REFRESH TABLE {table}")  # drop cached file listings
+        return folded
     cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     spark.sql(
@@ -459,3 +473,18 @@ def compact_gold_bucketed(
         f"LOCATION '{snap}'"
     )
     return folded
+
+
+def _table_bucket_spec(spark, table: str) -> tuple[int, list[str]] | None:
+    """(num_buckets, bucket_columns) of a catalog table, or None when the
+    table is unbucketed / metadata can't be read."""
+    try:
+        rows = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+        }
+        n = int(rows["Num Buckets"])
+        cols = [c.strip(" `") for c in rows["Bucket Columns"].strip("[]").split(",")]
+        return n, cols
+    except Exception:
+        return None

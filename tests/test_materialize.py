@@ -362,6 +362,13 @@ def test_publish_refresh_loop_folds_new_deltas(spark, tmp_path):
             ]
         ).write.parquet(os.path.join(path, "batch_id=4"))
 
+        def created_time():
+            return {
+                r["col_name"]: r["data_type"]
+                for r in spark.sql("DESCRIBE TABLE EXTENDED refresh_loop_serving").collect()
+            }.get("Created Time")
+
+        t_created = created_time()
         folded = compact_gold_bucketed(spark, path, keys, "refresh_loop_serving", n_buckets=4)
         assert folded == 3  # old snapshot + both deltas
         assert [d for d in os.listdir(path) if d.startswith("batch_id=")] == ["batch_id=4"]
@@ -369,5 +376,12 @@ def test_publish_refresh_loop_folds_new_deltas(spark, tmp_path):
         assert got["AAPL"]["close"] == 102.0 and got["AAPL"]["volume"] == 30
         assert got["MSFT"]["close"] == 50.0  # untouched key survives the refold
         assert got["GOOG"]["close"] == 140.5  # new key arrives
+        # same spec → republish took the ALTER SET LOCATION fast-path
+        # (metadata-only; table never dropped), visible as a stable
+        # Created Time across the refresh
+        assert created_time() == t_created
+        served = latest_bars_from_bucketed(spark, "refresh_loop_serving", k=5)
+        plan = served._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
     finally:
         spark.sql("DROP TABLE IF EXISTS refresh_loop_serving")

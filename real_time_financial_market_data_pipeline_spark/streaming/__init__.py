@@ -1,4 +1,8 @@
-from real_time_financial_market_data_pipeline_spark.streaming.jobs import MedallionStreamJob
+from real_time_financial_market_data_pipeline_spark.streaming.jobs import (
+    LatestPricesStreamJob,
+    MedallionStreamJob,
+    latest_prices_view,
+)
 from real_time_financial_market_data_pipeline_spark.streaming.sinks import (
     SinkManager,
     compact_gold_bucketed,
@@ -10,6 +14,8 @@ __all__ = [
     "SinkManager",
     "parquet_sink",
     "MedallionStreamJob",
+    "LatestPricesStreamJob",
+    "latest_prices_view",
     "compact_latest_state",
     "compact_gold_bucketed",
 ]

@@ -576,3 +576,102 @@ def best_quote_view(spark, out_dir: str) -> DataFrame:
     """Serving view over QuoteEnrichJob's best_quote layer: per-batch
     partial maxima re-reduced to the global best quote per trade."""
     return _resolve_best_quote(spark.read.parquet(os.path.join(out_dir, "best_quote")))
+
+
+@dataclass
+class LatestPricesStreamJob:
+    """The reference's `latest_prices` serving table, finally populated:
+    schemas/cassandra/keyspace.cql:132-141 declares the table and its
+    upsert statement, but no reference code ever wrote a row to it.
+    Here the cross-batch stateful operator
+    (streaming/stateful.py::streaming_latest_prices — TWS default,
+    applyInPandasWithState fallback, optional idle-symbol TTL) streams
+    into an update-mode parquet sink with the same exactly-once +
+    compaction mechanics as the gold layers:
+
+      latest_prices/   one emission row per updated symbol per
+                       micro-batch in batch_id=<n> dirs; readers
+                       resolve per-symbol latest via latest_prices_view
+                       (the parquet analogue of the Cassandra
+                       primary-key upsert), inline compaction every
+                       compact_every batches bounds reader listings.
+
+    State is O(active symbols) (with ttl_ms) — see SCALE.md.
+    """
+
+    out_dir: str
+    ttl_ms: int | None = None
+    trigger: dict = field(default_factory=lambda: {"availableNow": True})
+    # see MedallionStreamJob.shuffle_partitions
+    shuffle_partitions: int | None = 8
+    # see MedallionStreamJob.compact_every
+    compact_every: int | None = 20
+
+    KEYS = ("symbol",)
+
+    def checkpoints(self) -> str:
+        return os.path.join(self.out_dir, "_checkpoints")
+
+    def table_dir(self) -> str:
+        return os.path.join(self.out_dir, "latest_prices")
+
+    def compact(self, spark) -> int:
+        """Stream-stopped fold of the emission dirs into one snapshot
+        (same two-phase protocol as the gold layers)."""
+        from real_time_financial_market_data_pipeline_spark.streaming.sinks import compact_latest_state
+
+        if not os.path.isdir(self.table_dir()):
+            return 0
+        return compact_latest_state(spark, self.table_dir(), list(self.KEYS))
+
+    def start(self, trades: DataFrame, await_timeout_s: float = 600) -> SinkManager:
+        from real_time_financial_market_data_pipeline_spark.streaming.sinks import parquet_sink
+        from real_time_financial_market_data_pipeline_spark.streaming.stateful import streaming_latest_prices
+
+        spark = trades.sparkSession
+        old_parts = None
+        if self.shuffle_partitions is not None:
+            old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", str(self.shuffle_partitions))
+        try:
+            latest = streaming_latest_prices(trades, ttl_ms=self.ttl_ms)
+            mgr = SinkManager()
+            q = mgr.add(
+                parquet_sink(
+                    latest,
+                    self.table_dir(),
+                    self.checkpoints(),
+                    "latest_prices",
+                    output_mode="update",
+                    trigger=self.trigger,
+                    compact_every=self.compact_every,
+                    compact_keys=list(self.KEYS),
+                )
+            )
+            if "availableNow" in self.trigger and await_timeout_s:
+                if not q.awaitTermination(await_timeout_s):
+                    raise TimeoutError(
+                        "latest_prices did not drain within "
+                        f"{await_timeout_s}s; refusing to compact while "
+                        "the stream is still running"
+                    )
+                if self.compact_every:
+                    self.compact(spark)
+            return mgr
+        finally:
+            if old_parts is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def latest_prices_view(spark, out_dir: str) -> DataFrame:
+    """One row per symbol: the latest emission wins (max batch_id per
+    symbol — the read side of the Cassandra upsert the reference
+    declared).  Valid after at least one non-empty batch; empty frame
+    with the operator's schema otherwise."""
+    from real_time_financial_market_data_pipeline_spark.streaming.sinks import latest_state_on_read
+    from real_time_financial_market_data_pipeline_spark.streaming.stateful import LATEST_OUTPUT_SCHEMA
+
+    path = os.path.join(out_dir, "latest_prices")
+    if not os.path.isdir(path):
+        return spark.createDataFrame([], LATEST_OUTPUT_SCHEMA)
+    return latest_state_on_read(spark.read.parquet(path), ["symbol"])

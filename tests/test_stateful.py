@@ -244,3 +244,50 @@ def test_ttl_bounds_state_under_symbol_churn(spark, tmp_path):
         )
     finally:
         q.stop()
+
+
+def test_latest_prices_stream_job_end_to_end(spark, tmp_path):
+    """LatestPricesStreamJob: the reference's declared-but-unpopulated
+    latest_prices serving table, streamed end-to-end — cross-batch
+    change tracking through the update-mode sink, upsert-on-read view,
+    post-drain compaction, and a replayed restart that is a no-op."""
+    from real_time_financial_market_data_pipeline_spark.streaming.jobs import (
+        LatestPricesStreamJob,
+        latest_prices_view,
+    )
+
+    feed = str(tmp_path / "feed")
+    out = str(tmp_path / "out")
+    os.makedirs(feed)
+    with open(os.path.join(feed, "b0.json"), "w") as f:
+        f.write(json.dumps({"s": "AAPL", "p": 100.0, "v": 10, "t": T0}) + "\n")
+    with open(os.path.join(feed, "b1.json"), "w") as f:
+        f.write(json.dumps({"s": "AAPL", "p": 110.0, "v": 20, "t": T0 + 60_000}) + "\n")
+        f.write(json.dumps({"s": "MSFT", "p": 50.0, "v": 5, "t": T0 + 61_000}) + "\n")
+    os.utime(os.path.join(feed, "b0.json"), (1_700_000_000, 1_700_000_000))
+    os.utime(os.path.join(feed, "b1.json"), (1_700_000_100, 1_700_000_100))
+
+    def run_once():
+        job = LatestPricesStreamJob(out_dir=out)
+        mgr = job.start(read_trade_stream(spark, feed, max_files_per_trigger=1))
+        assert mgr.await_all(timeout_s=120)
+        return job
+
+    job = run_once()
+    view = latest_prices_view(spark, out)
+    rows = {r["symbol"]: r for r in view.collect()}
+    assert set(rows) == {"AAPL", "MSFT"}
+    # AAPL's change spans the batch boundary (state carried across)
+    assert rows["AAPL"]["last_price"] == 110.0 and rows["AAPL"]["price_change"] == 10.0
+    assert rows["MSFT"]["last_price"] == 50.0 and rows["MSFT"]["price_change"] is None
+
+    # post-drain compaction folded the emissions into one snapshot dir
+    dirs = [d for d in os.listdir(job.table_dir()) if d.startswith("batch_id=")]
+    assert len(dirs) == 1
+
+    run_once()  # restart with no new data: checkpointed no-op
+    rows2 = {r["symbol"]: r for r in latest_prices_view(spark, out).collect()}
+    assert {s: r["last_price"] for s, r in rows2.items()} == {"AAPL": 110.0, "MSFT": 50.0}
+
+    # empty-dir contract: a never-started job yields an empty typed frame
+    assert latest_prices_view(spark, str(tmp_path / "nowhere")).count() == 0

@@ -385,3 +385,45 @@ def test_publish_refresh_loop_folds_new_deltas(spark, tmp_path):
         assert "Exchange" not in plan, plan[:2000]
     finally:
         spark.sql("DROP TABLE IF EXISTS refresh_loop_serving")
+
+
+def test_cobucketed_join_is_shuffle_free(spark, tmp_path):
+    """Co-located JOIN leg of the bucketing story: two tables bucketed
+    on symbol with the same bucket count join with ZERO Exchange (the
+    100 TB fact⋈fact case where neither side broadcasts — broadcast is
+    disabled here to force the merge join and prove the scan
+    partitioning alone satisfies both sides)."""
+    bars = _gold_5m(spark, SF_DIR)
+    materialize_gold_bucketed(
+        spark, bars, "cobucket_gold", n_buckets=4, path=str(tmp_path / "g")
+    )
+    stats = bars.groupBy("symbol").agg(
+        F.avg("vwap").alias("avg_vwap"), F.sum("volume").alias("sym_volume")
+    )
+    (
+        stats.repartition(4, "symbol")
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(4, "symbol")
+        .sortBy("symbol")
+        .option("path", str(tmp_path / "s"))
+        .saveAsTable("cobucket_stats")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("cobucket_gold")
+            .join(spark.table("cobucket_stats"), "symbol")
+            .select("symbol", "window_start", "close", "avg_vwap", "sym_volume")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert "SortMergeJoin" in plan, plan[:2000]
+        # values match the recompute join
+        expected = bars.join(stats, "symbol").count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS cobucket_gold")
+        spark.sql("DROP TABLE IF EXISTS cobucket_stats")

@@ -127,3 +127,77 @@ def pii_counts(text_col: Column) -> Column:
         F.size(F.regexp_extract_all(text_col, F.lit(_URL_RE), F.lit(0))).alias("n_urls"),
         F.size(F.regexp_extract_all(text_col, F.lit(_PHONEISH_RE), F.lit(0))).alias("n_phoneish"),
     )
+
+
+# Intra-document repetition metrics — the Gopher/RefinedWeb-style
+# quality rules that catch boilerplate, scraped navigation chrome, and
+# degenerate generations WITHIN one document (cross-document dedup
+# can't see these).  All JVM-side array expressions over a staged
+# line/token array (NOTES.md fact 3: stage the array once, then
+# aggregate — HOF lambdas get no CSE).
+
+
+def _lines(text_col: Column) -> Column:
+    """Non-empty trimmed lines."""
+    return F.filter(
+        F.transform(F.split(text_col, r"\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+
+
+def repetition_metrics(text_col: Column) -> Column:
+    """struct(dup_line_ratio, top_line_ratio, dup_2gram_ratio) — the
+    within-document repetition profile:
+
+      dup_line_ratio   1 - distinct_lines/lines — share of lines that
+                       repeat an earlier line (nav chrome, boilerplate)
+      top_line_ratio   occurrences of the most frequent line / lines —
+                       a single spammed line dominates the doc
+      dup_2gram_ratio  1 - distinct_2grams/2grams over word tokens —
+                       degenerate repetition below line granularity
+
+    All ratios in [0, 1]; 0 for docs too short to measure (no lines /
+    fewer than two tokens).  Curation keeps docs under a threshold
+    (RefinedWeb drops dup_line_ratio > 0.3); thresholds belong to the
+    pipeline, the metric is the operator.
+    """
+    lines = _lines(text_col)
+    n_lines = F.size(lines)
+    dup_line = F.when(
+        n_lines > 0,
+        1.0 - F.size(F.array_distinct(lines)) / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+    # top-line frequency via aggregate over the distinct lines: for each
+    # distinct line count its occurrences, take the max
+    top_count = F.aggregate(
+        F.array_distinct(lines),
+        F.lit(0),
+        lambda acc, d: F.greatest(
+            acc, F.size(F.filter(lines, lambda l: l == d))
+        ),
+    )
+    top_line = F.when(
+        n_lines > 0, top_count / n_lines.cast("double")
+    ).otherwise(F.lit(0.0))
+
+    toks = tokens(text_col)
+    n_toks = F.size(toks)
+    grams = F.when(
+        n_toks >= 2,
+        F.transform(
+            F.slice(toks, 1, n_toks - 1),
+            lambda t, i: F.concat_ws(" ", t, F.element_at(toks, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_grams = F.size(grams)
+    dup_gram = F.when(
+        n_grams > 0,
+        1.0 - F.size(F.array_distinct(grams)) / n_grams.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+    return F.struct(
+        F.round(dup_line, 9).alias("dup_line_ratio"),
+        F.round(top_line, 9).alias("top_line_ratio"),
+        F.round(dup_gram, 9).alias("dup_2gram_ratio"),
+    )

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from real_time_financial_market_data_pipeline_spark.functions.text import (
+    repetition_metrics,
     detect_lang,
     doc_fingerprint,
     quality_score,
@@ -44,6 +45,9 @@ class DocStreamJob:
     # mask emails/URLs/phone-like runs in curated text (raw/ keeps the
     # original for audit)
     redact: bool = True
+    # intra-doc repetition gate (functions.text.repetition_metrics);
+    # RefinedWeb drops > 0.3 duplicate-line share
+    max_dup_line_ratio: float = 0.3
     trigger: dict = field(default_factory=lambda: {"availableNow": True})
 
     def checkpoints(self) -> str:
@@ -59,11 +63,18 @@ class DocStreamJob:
             quality_score(F.col("text")).alias("quality"),
             detect_lang(F.col("text")).alias("lang_guess"),
             doc_fingerprint(F.col("text")).alias("fingerprint"),
+            repetition_metrics(F.col("text")).alias("repetition"),
         )
         # exact streaming dedup on content fingerprint: the FIRST arrival
         # survives; state bounded by the watermark horizon
         deduped = enriched.dropDuplicatesWithinWatermark(["fingerprint"])
-        gated = deduped.filter(F.col("quality") >= self.quality_min)
+        # quality gate + intra-doc repetition gate (RefinedWeb-style:
+        # boilerplate/nav-chrome docs fail on dup_line_ratio even when
+        # their token-level quality score looks fine)
+        gated = deduped.filter(
+            (F.col("quality") >= self.quality_min)
+            & (F.col("repetition.dup_line_ratio") <= self.max_dup_line_ratio)
+        )
         if self.redact:
             gated = gated.withColumn("text", redact_pii(F.col("text")))
         curated = train_val_test_split(

@@ -330,3 +330,45 @@ def test_cross_corpus_decontamination(spark):
     kept = {r["doc_id"] for r in clean.collect()}
     assert 3 in kept and 1 not in kept
     assert kept <= {2, 3}        # doc 2 may or may not clear the threshold
+
+
+def test_repetition_metrics(spark):
+    """Intra-document repetition profile (Gopher/RefinedWeb-style
+    quality rules): duplicate-line, dominant-line, and duplicate-2gram
+    ratios — exact values on crafted docs, zero on too-short docs."""
+    from real_time_financial_market_data_pipeline_spark.functions.text import repetition_metrics
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "home | products\nhome | products\nactual content here",
+                    "buy now buy now buy now",
+                    "",
+                    "one line of perfectly normal prose",
+                ],
+            }
+        )
+    )
+    rows = {
+        r["doc_id"]: r["m"]
+        for r in docs.select("doc_id", repetition_metrics(F.col("text")).alias("m")).collect()
+    }
+    # doc 0: 3 lines, one repeated → dup 1/3, top 2/3; the repeated line
+    # also repeats one of the 6 bigrams (home-products twice) → 1/6
+    assert abs(rows[0]["dup_line_ratio"] - 1 / 3) < 1e-9
+    assert abs(rows[0]["top_line_ratio"] - 2 / 3) < 1e-9
+    assert abs(rows[0]["dup_2gram_ratio"] - 1 / 6) < 1e-9
+    # doc 1: single spammy line → line ratios trivial, but 2gram dup high:
+    # tokens [buy now x3] → 5 bigrams, 2 distinct → 0.6
+    assert rows[1]["dup_line_ratio"] == 0.0
+    assert rows[1]["top_line_ratio"] == 1.0
+    assert abs(rows[1]["dup_2gram_ratio"] - 0.6) < 1e-9
+    # doc 2: empty → all zeros (measurable-domain contract)
+    assert tuple(rows[2]) == (0.0, 0.0, 0.0)
+    # doc 3: clean prose → no repetition signal beyond the 1-line top ratio
+    assert rows[3]["dup_line_ratio"] == 0.0 and rows[3]["dup_2gram_ratio"] == 0.0

@@ -441,6 +441,9 @@ def test_doc_stream_curation(spark, tmp_path):
         {"doc_id": 2, "text": good, "lang": "en", "source": "b"},      # exact dup of 1
         {"doc_id": 3, "text": "!!! ??? !!!", "lang": "en", "source": "a"},  # junk
         {"doc_id": 4, "text": good + " truly unique tail email bob@example.com okay", "lang": "en", "source": "a"},
+        # boilerplate: a perfectly fluent line spammed 6x — token-level
+        # quality passes, the intra-doc repetition gate must catch it
+        {"doc_id": 5, "text": "\n".join(["the cat sat on the mat and it was happy to rest in the sun"] * 6), "lang": "en", "source": "a"},
     ]
     with open(os.path.join(feed, "f.json"), "w") as f:
         for d in docs:
@@ -451,12 +454,16 @@ def test_doc_stream_curation(spark, tmp_path):
     assert mgr.await_all(timeout_s=120)
 
     raw = spark.read.parquet(os.path.join(out, "raw"))
-    assert raw.count() == 4  # audit layer keeps everything
-    assert {"n_tokens", "quality", "lang_guess", "fingerprint"} <= set(raw.columns)
+    assert raw.count() == 5  # audit layer keeps everything
+    assert {"n_tokens", "quality", "lang_guess", "fingerprint", "repetition"} <= set(raw.columns)
+    raw5 = raw.filter(F.col("doc_id") == 5).collect()[0]
+    assert raw5["quality"] >= 0.5            # fluent line: quality passes...
+    assert raw5["repetition"]["dup_line_ratio"] > 0.3  # ...repetition doesn't
 
     curated = spark.read.parquet(os.path.join(out, "curated"))
     ids = {r["doc_id"] for r in curated.select("doc_id").collect()}
     assert 3 not in ids                      # junk gated by quality
+    assert 5 not in ids                      # boilerplate gated by repetition
     assert len(ids & {1, 2}) == 1            # dup family collapsed to one
     assert 4 in ids
     # split is present, valued, and derived from doc_id (stable)

@@ -565,3 +565,101 @@ def decontamination_certificate(
         family, "planted_contamination_survived",
         F.col(id_col), (F.col(id_col) - id_offset), F.lit(1.0), F.lit(0.0),
     )
+
+
+def repetition_certificate(docs: DataFrame, sample_mod: int = 1) -> DataFrame:
+    """Certify functions.text.repetition_metrics: the operator computes
+    its three ratios with JVM array expressions (split/array_distinct/
+    aggregate over a staged token array); this certificate re-derives
+    every ratio through a fully independent RELATIONAL path — explode
+    lines and posexplode tokens, form bigrams by a positional self-join,
+    then two-level groupBy counts — and emits a violation for any doc
+    where the formulations disagree beyond 1e-9.
+
+    Linear in corpus size (explode + hash aggregates, no all-pairs);
+    `sample_mod` thins the certified docs at larger scale factors."""
+    from real_time_financial_market_data_pipeline_spark.functions.text import repetition_metrics, tokens
+
+    base = docs.filter(F.col("doc_id") % sample_mod == 0).select("doc_id", "text")
+    observed = base.select(
+        "doc_id", repetition_metrics(F.col("text")).alias("m")
+    ).select(
+        "doc_id",
+        F.col("m.dup_line_ratio").alias("o_dup_line"),
+        F.col("m.top_line_ratio").alias("o_top_line"),
+        F.col("m.dup_2gram_ratio").alias("o_dup_gram"),
+    )
+
+    # independent path 1: lines, relationally
+    lines = base.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), r"\n")).alias("line"),
+    ).select("doc_id", F.trim("line").alias("line")).filter(F.col("line") != "")
+    line_counts = lines.groupBy("doc_id", "line").count()
+    line_stats = line_counts.groupBy("doc_id").agg(
+        F.sum("count").alias("n_lines"),
+        F.count("*").alias("n_distinct"),
+        F.max("count").alias("top_count"),
+    )
+
+    # independent path 2: bigrams via positional self-join over tokens
+    toks = base.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok"))
+    nxt = toks.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("tok").alias("tok2")
+    )
+    grams = toks.join(nxt, ["doc_id", "pos"]).select(
+        "doc_id", F.concat_ws(" ", "tok", "tok2").alias("gram")
+    )
+    gram_counts = grams.groupBy("doc_id", "gram").count()
+    gram_stats = gram_counts.groupBy("doc_id").agg(
+        F.sum("count").alias("n_grams"),
+        F.count("*").alias("n_gram_distinct"),
+    )
+
+    expected = (
+        base.select("doc_id")
+        .join(line_stats, "doc_id", "left")
+        .join(gram_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(
+                    1.0 - F.col("n_distinct") / F.col("n_lines").cast("double"),
+                    F.lit(0.0),
+                ),
+                9,
+            ).alias("e_dup_line"),
+            F.round(
+                F.coalesce(
+                    F.col("top_count") / F.col("n_lines").cast("double"), F.lit(0.0)
+                ),
+                9,
+            ).alias("e_top_line"),
+            F.round(
+                F.coalesce(
+                    1.0 - F.col("n_gram_distinct") / F.col("n_grams").cast("double"),
+                    F.lit(0.0),
+                ),
+                9,
+            ).alias("e_dup_gram"),
+        )
+    )
+
+    both = observed.join(expected, "doc_id")
+    out = empty_violations(docs.sparkSession)
+    for kind, o, e in [
+        ("dup_line_ratio", "o_dup_line", "e_dup_line"),
+        ("top_line_ratio", "o_top_line", "e_top_line"),
+        ("dup_2gram_ratio", "o_dup_gram", "e_dup_gram"),
+    ]:
+        v = _viol(
+            both.filter(F.abs(F.col(o) - F.col(e)) > 1e-9),
+            "repetition_metrics",
+            kind,
+            F.col("doc_id"),
+            F.lit(None),
+            F.col(o),
+            F.col(e),
+        )
+        out = out.unionByName(v)
+    return out

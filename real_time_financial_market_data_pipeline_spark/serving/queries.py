@@ -2037,9 +2037,10 @@ def q_approx_soundness_certificates(spark: SparkSession, sf_dir: str) -> DataFra
     """Driver-visible soundness certificate for every approximate /
     hash-seeded family (round-2 VERDICT task 3): unions the violation
     sets of knn_lsh, knn_ivf, embedding_near_dups_lsh,
-    minhash_near_dups, simhash_near_dups, price_path_correlation_blocked
-    and media_decode_features, plus the COMPLETENESS legs (recall floors
-    on sampled exact top-k; planted-duplicate recovery).  Each family's
+    minhash_near_dups, simhash_near_dups, price_path_correlation_blocked,
+    media_decode_features and repetition_metrics, plus the COMPLETENESS
+    legs (recall floors on sampled exact top-k; planted-duplicate
+    recovery).  Each family's
     invariants are recomputed through an independent expression path
     (operators/certify.py); the oracle is the EMPTY relation, so the
     driver's rows+schema+hash comparison certifies "zero violations" at
@@ -2059,6 +2060,7 @@ def q_approx_soundness_certificates(spark: SparkSession, sf_dir: str) -> DataFra
         minhash_certificate,
         pair_cosine_certificate,
         planted_duplicate_certificate,
+        repetition_certificate,
         simhash_certificate,
     )
     from real_time_financial_market_data_pipeline_spark.operators.multimodal import synthesize_media
@@ -2111,6 +2113,11 @@ def q_approx_soundness_certificates(spark: SparkSession, sf_dir: str) -> DataFra
             _pin(q_media_decode_features(spark, sf_dir)),
             synthesize_media(docs, "doc_id", "text"),
         ),
+        # round 6: repetition_metrics certified against an independent
+        # relational re-derivation (explode + positional self-join +
+        # two-level groupBy) — array-expression vs relational
+        # formulations must agree ratio-for-ratio on every sampled doc
+        repetition_certificate(docs),
         # COMPLETENESS legs (round-3/4 VERDICT task 5): soundness alone
         # never catches a recall regression — these do.  Floors sit
         # below the measured per-query operating points at sf0.01/sf0.1

@@ -221,3 +221,46 @@ def test_decontamination_certificate_green_and_fires_on_missed_drop(spark, monke
     viol = decontamination_certificate(train, bench, qualify=qual).collect()
     assert len(viol) == n_plants
     assert all(r["kind"] == "planted_contamination_survived" for r in viol)
+
+
+def test_repetition_certificate_green_and_fires_on_skewed_metric(spark, monkeypatch):
+    """repetition_certificate: the array-expression operator and the
+    independent relational re-derivation agree on real docs AND on edge
+    docs (empty text, one token, duplicate-only); a perturbed operator
+    (ratios nudged by 0.001) fires per-doc violations."""
+    import pandas as pd
+
+    from real_time_financial_market_data_pipeline_spark.functions import text as text_fns
+    from real_time_financial_market_data_pipeline_spark.operators import certify
+
+    assert certify.repetition_certificate(_docs(spark)).count() == 0
+
+    edge = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "",
+                    "word",
+                    "same line\nsame line\nsame line",
+                    "a b a b a b a b",
+                ],
+            }
+        )
+    )
+    assert certify.repetition_certificate(edge).count() == 0
+
+    real = text_fns.repetition_metrics
+
+    def skewed(col):
+        m = real(col)
+        return F.struct(
+            (m["dup_line_ratio"] + 0.001).alias("dup_line_ratio"),
+            m["top_line_ratio"].alias("top_line_ratio"),
+            m["dup_2gram_ratio"].alias("dup_2gram_ratio"),
+        )
+
+    monkeypatch.setattr(text_fns, "repetition_metrics", skewed)
+    viol = certify.repetition_certificate(edge).collect()
+    assert len(viol) == 4  # every doc's dup_line_ratio off by 0.001
+    assert all(r["kind"] == "dup_line_ratio" for r in viol)

@@ -86,8 +86,11 @@ PLAN_BUDGET: dict[str, tuple[int, bool, int]] = {
     "bpe_token_stats": (0, False, 0),
     # re-pinned round 5 (+22 shuffles, +24 pushed scans): the recall-floor,
     # planted-duplicate and decontamination completeness legs added five
-    # certificate pipelines to the union
-    "approx_soundness_certificates": (54, True, 49),
+    # certificate pipelines to the union; re-pinned round 6 (+7 shuffles,
+    # +11 pushed scans): the repetition_metrics leg re-derives three
+    # ratios relationally (explode + positional self-join + two-level
+    # groupBy)
+    "approx_soundness_certificates": (61, True, 60),
     "decontaminated_docs": (4, True, 3),
     "minhash_near_dups": (1, True, 0),
     "simhash_near_dups": (1, True, 2),

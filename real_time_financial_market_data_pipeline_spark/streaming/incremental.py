@@ -47,7 +47,6 @@ motivation as the gold sink's auto-compaction.
 from __future__ import annotations
 
 import os
-import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Window
@@ -96,38 +95,25 @@ class IncrementalDedupJob:
         `only_below=<max>` and a replay overwrites only its own delta.
 
         Returns total directories folded."""
-        from real_time_financial_market_data_pipeline_spark.streaming.sinks import compact_latest_state
+        from real_time_financial_market_data_pipeline_spark.streaming.sinks import (
+            committed_fold_bound,
+            compact_latest_state,
+        )
 
         keys = {
             "corpus": ["doc_id"],
             "index_bands": ["id", "band"],
             "index_sigs": ["id"],
         }
+        commit_log = os.path.join(self.checkpoints(), "incremental_dedup")
         folded = 0
         for table, key_cols in keys.items():
             path = os.path.join(self.out_dir, table)
             if not os.path.isdir(path):
                 continue
-            ids = [
-                int(d.split("=")[1])
-                for d in os.listdir(path)
-                if re.fullmatch(r"batch_id=\d+", d)
-            ]
-            if not ids:
-                continue
-            max_id = max(ids)
-            bound = None if self._batch_committed(max_id) else max_id
+            bound = committed_fold_bound(path, commit_log)
             folded += compact_latest_state(spark, path, key_cols, only_below=bound)
         return folded
-
-    def _batch_committed(self, batch_id: int) -> bool:
-        """True iff the streaming checkpoint's commit log covers
-        `batch_id` — i.e. that micro-batch can never be replayed."""
-        return os.path.isfile(
-            os.path.join(
-                self.checkpoints(), "incremental_dedup", "commits", str(batch_id)
-            )
-        )
 
     def _read_prior(self, spark, table: str, batch_id: int) -> DataFrame | None:
         """Partition-pruned read of a table's batches STRICTLY BELOW the

@@ -86,18 +86,37 @@ class MedallionStreamJob:
     def checkpoints(self) -> str:
         return os.path.join(self.out_dir, "_checkpoints")
 
+    def _gold_commit_logs(self, layer: str) -> list[str]:
+        """Checkpoint locations of the queries that can write `layer` —
+        both topologies' names, since fan-out and chained runs share the
+        sink directory but checkpoint under different query names."""
+        return [
+            os.path.join(self.checkpoints(), layer),
+            os.path.join(self.checkpoints(), f"chained_{layer}"),
+        ]
+
     def compact_gold(self, spark) -> int:
         """Fold each gold layer's accumulated update-mode emissions into
         one resolved snapshot directory (stream-stopped form; called
         automatically after sequential availableNow drains, callable any
-        time the gold queries are stopped)."""
-        from real_time_financial_market_data_pipeline_spark.streaming.sinks import compact_latest_state
+        time the gold queries are stopped — INCLUDING stopped-by-crash:
+        the checkpoint commit log bounds the fold so an uncommitted
+        replayable tail batch keeps its own delta dir and the restart's
+        replay can never clobber folded history, exactly like
+        IncrementalDedupJob.compact)."""
+        from real_time_financial_market_data_pipeline_spark.streaming.sinks import (
+            committed_fold_bound,
+            compact_latest_state,
+        )
 
         folded = 0
         for layer in ("gold_5m", "gold_1h"):
             path = os.path.join(self.out_dir, layer)
             if os.path.isdir(path):
-                folded += compact_latest_state(spark, path, list(self.GOLD_KEYS))
+                bound = committed_fold_bound(path, self._gold_commit_logs(layer))
+                folded += compact_latest_state(
+                    spark, path, list(self.GOLD_KEYS), only_below=bound
+                )
         return folded
 
     def publish_gold_bucketed(
@@ -119,6 +138,7 @@ class MedallionStreamJob:
             table,
             n_buckets=n_buckets,
             sort_cols=["symbol", "window_start"],
+            commit_log_dirs=self._gold_commit_logs(layer),
         )
         return table
 
@@ -460,13 +480,27 @@ class QuoteEnrichJob:
         return os.path.join(self.out_dir, "_checkpoints")
 
     def compact_best_quote(self, spark) -> int:
-        from real_time_financial_market_data_pipeline_spark.streaming.sinks import compact_latest_state
+        """Stream-stopped fold of the best-quote partials (re-reduced,
+        not per-key-latest).  Crash-safe for stopped-by-crash streams:
+        the quotes_enriched commit log bounds the fold so an uncommitted
+        replayable tail keeps its own delta dir (committed_fold_bound)."""
+        from real_time_financial_market_data_pipeline_spark.streaming.sinks import (
+            committed_fold_bound,
+            compact_latest_state,
+        )
 
         path = os.path.join(self.out_dir, "best_quote")
         if not os.path.isdir(path):
             return 0
+        bound = committed_fold_bound(
+            path, os.path.join(self.checkpoints(), "quotes_enriched")
+        )
         return compact_latest_state(
-            spark, path, list(self.BEST_QUOTE_KEYS), resolve=_resolve_best_quote
+            spark,
+            path,
+            list(self.BEST_QUOTE_KEYS),
+            only_below=bound,
+            resolve=_resolve_best_quote,
         )
 
     def start(
@@ -617,12 +651,23 @@ class LatestPricesStreamJob:
 
     def compact(self, spark) -> int:
         """Stream-stopped fold of the emission dirs into one snapshot
-        (same two-phase protocol as the gold layers)."""
-        from real_time_financial_market_data_pipeline_spark.streaming.sinks import compact_latest_state
+        (same two-phase protocol as the gold layers, same
+        uncommitted-tail guard: an emission batch whose checkpoint
+        commit is missing stays out of the fold so its replay can't
+        clobber the snapshot)."""
+        from real_time_financial_market_data_pipeline_spark.streaming.sinks import (
+            committed_fold_bound,
+            compact_latest_state,
+        )
 
         if not os.path.isdir(self.table_dir()):
             return 0
-        return compact_latest_state(spark, self.table_dir(), list(self.KEYS))
+        bound = committed_fold_bound(
+            self.table_dir(), os.path.join(self.checkpoints(), "latest_prices")
+        )
+        return compact_latest_state(
+            spark, self.table_dir(), list(self.KEYS), only_below=bound
+        )
 
     def start(self, trades: DataFrame, await_timeout_s: float = 600) -> SinkManager:
         from real_time_financial_market_data_pipeline_spark.streaming.sinks import parquet_sink

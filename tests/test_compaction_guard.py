@@ -1,0 +1,305 @@
+"""Uncommitted-tail-batch guard for ALL stream-stopped compaction entry
+points (round-6 VERDICT task 1).
+
+The hazard, per layer: a crash BETWEEN the sink write and the checkpoint
+commit leaves the highest on-disk `batch_id=<max>` dir replayable.  A
+manual compact in that state must NOT fold history into a snapshot
+published under that same dir name — the restart's replay would
+overwrite it with one batch's delta, silently losing everything else.
+`sinks.committed_fold_bound` (hoisted from IncrementalDedupJob) proves
+commit via the checkpoint commit log and bounds the fold otherwise;
+these tests drive the crash → manual compact → restart-and-replay
+sequence end-to-end for the gold, best-quote, and latest-prices layers
+(mirroring tests/test_incremental.py::
+test_compact_with_uncommitted_tail_survives_replay).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import pytest
+
+from real_time_financial_market_data_pipeline_spark.sources.streaming import read_quote_stream, read_trade_stream
+from real_time_financial_market_data_pipeline_spark.streaming.sinks import committed_fold_bound, latest_state_on_read
+
+T0 = 1_700_000_100_000  # fixed epoch ms
+
+
+def _write_jsonl(dirpath: str, name: str, recs: list[dict]) -> None:
+    os.makedirs(dirpath, exist_ok=True)
+    with open(os.path.join(dirpath, name), "w") as f:
+        for rec in recs:
+            f.write(json.dumps(rec) + "\n")
+
+
+def _batch_ids(path: str) -> set[int]:
+    return {
+        int(d.split("=")[1])
+        for d in os.listdir(path)
+        if re.fullmatch(r"batch_id=\d+", d)
+    }
+
+
+def _crash_before_commit(ckpt_query_dir: str, batch_id: int) -> None:
+    """Rewind the checkpoint to a crash mid-`batch_id`, between the sink
+    write and the checkpoint commit: commits < batch_id, offsets ≤
+    batch_id (the offsets entry for a batch is written before it runs;
+    the next batch's entry only after this one commits — so a real
+    crash leaves offsets exactly one ahead of commits).  A restart from
+    this state replays `batch_id` itself."""
+    for log, keep_max in (("commits", batch_id - 1), ("offsets", batch_id)):
+        d = os.path.join(ckpt_query_dir, log)
+        for f in os.listdir(d):
+            name = f.lstrip(".").removesuffix(".crc")
+            if name.isdigit() and int(name) > keep_max:
+                os.remove(os.path.join(d, f))
+
+
+def _sorted_rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+# ---------------------------------------------------------------------------
+# unit: the shared bound helper
+# ---------------------------------------------------------------------------
+
+
+def test_committed_fold_bound_unit(tmp_path):
+    path = str(tmp_path / "layer")
+    ck_a = str(tmp_path / "ck" / "query_a")
+    ck_b = str(tmp_path / "ck" / "query_b")
+
+    # no sink dir at all / no batch dirs → nothing to bound
+    assert committed_fold_bound(path, ck_a) is None
+    os.makedirs(path)
+    assert committed_fold_bound(path, ck_a) is None
+
+    for i in (0, 1, 2):
+        os.makedirs(os.path.join(path, f"batch_id={i}"))
+
+    # no commit log exists anywhere → no proof → bound the tail
+    assert committed_fold_bound(path, ck_a) == 2
+    assert committed_fold_bound(path, [ck_a, ck_b]) == 2
+
+    # commit log exists but lacks the tail commit → bound
+    os.makedirs(os.path.join(ck_a, "commits"))
+    for i in (0, 1):
+        open(os.path.join(ck_a, "commits", str(i)), "w").close()
+    assert committed_fold_bound(path, ck_a) == 2
+
+    # tail committed in the only existing log → fold everything
+    open(os.path.join(ck_a, "commits", "2"), "w").close()
+    assert committed_fold_bound(path, ck_a) is None
+    assert committed_fold_bound(path, [ck_a, ck_b]) is None  # b doesn't exist
+
+    # a SECOND existing log that lacks the commit → conservative bound
+    os.makedirs(os.path.join(ck_b, "commits"))
+    assert committed_fold_bound(path, [ck_a, ck_b]) == 2
+    open(os.path.join(ck_b, "commits", "2"), "w").close()
+    assert committed_fold_bound(path, [ck_a, ck_b]) is None
+
+
+# ---------------------------------------------------------------------------
+# e2e: gold layers (MedallionStreamJob.compact_gold)
+# ---------------------------------------------------------------------------
+
+
+def _run_medallion(spark, feed, out):
+    from real_time_financial_market_data_pipeline_spark.streaming.jobs import MedallionStreamJob
+
+    job = MedallionStreamJob(out_dir=out, compact_every=None)  # no auto-fold
+    mgr = job.start(read_trade_stream(spark, feed))
+    assert mgr.await_all(timeout_s=180)
+    return job
+
+
+def test_compact_gold_with_uncommitted_tail_survives_replay(spark, tmp_path):
+    feed, out = str(tmp_path / "feed"), str(tmp_path / "out")
+    _write_jsonl(feed, "b0.json", [
+        {"s": "AAPL", "p": 150.0, "v": 100, "t": T0},
+        {"s": "MSFT", "p": 380.0, "v": 10, "t": T0 + 1000},
+    ])
+    job = _run_medallion(spark, feed, out)
+    # second drain with new data → a second gold micro-batch dir
+    _write_jsonl(feed, "b1.json", [
+        {"s": "AAPL", "p": 151.0, "v": 50, "t": T0 + 2000},
+        {"s": "NVDA", "p": 900.0, "v": 5, "t": T0 + 3000},
+    ])
+    job = _run_medallion(spark, feed, out)
+
+    gold_dir = os.path.join(out, "gold_5m")
+    keys = list(job.GOLD_KEYS)
+    expected = _sorted_rows(
+        latest_state_on_read(spark.read.parquet(gold_dir), keys)
+    )
+    tail = max(_batch_ids(gold_dir))
+    assert len(_batch_ids(gold_dir)) >= 2, "need a foldable prefix + tail"
+
+    _crash_before_commit(
+        os.path.join(out, "_checkpoints", "chained_gold_5m"), tail
+    )
+    # manual compact with the stream stopped-by-crash: must bound the fold
+    job.compact_gold(spark)
+    assert tail in _batch_ids(gold_dir), "uncommitted tail was folded away"
+
+    # restart → the tail batch replays; history must be intact afterwards
+    job = _run_medallion(spark, feed, out)
+    assert _sorted_rows(
+        latest_state_on_read(spark.read.parquet(gold_dir), keys)
+    ) == expected
+
+    # commit log complete again: a follow-up compact folds fully
+    assert job.compact_gold(spark) > 0
+    assert len(_batch_ids(gold_dir)) == 1
+    assert _sorted_rows(
+        latest_state_on_read(spark.read.parquet(gold_dir), keys)
+    ) == expected
+
+
+# ---------------------------------------------------------------------------
+# e2e: best-quote partials (QuoteEnrichJob.compact_best_quote)
+# ---------------------------------------------------------------------------
+
+
+def test_compact_best_quote_with_uncommitted_tail_survives_replay(spark, tmp_path):
+    from real_time_financial_market_data_pipeline_spark.streaming.jobs import QuoteEnrichJob, best_quote_view
+
+    tfeed, qfeed = str(tmp_path / "tfeed"), str(tmp_path / "qfeed")
+    out = str(tmp_path / "out")
+
+    def drain():
+        job = QuoteEnrichJob(out_dir=out, compact_every=None)
+        mgr = job.start(
+            read_trade_stream(spark, tfeed), read_quote_stream(spark, qfeed)
+        )
+        assert mgr.await_all(timeout_s=180)
+        return job
+
+    _write_jsonl(tfeed, "t0.json", [{"s": "AAPL", "p": 150.0, "v": 100, "t": T0 + 60_000}])
+    _write_jsonl(qfeed, "q0.json", [{
+        "symbol": "AAPL", "bid_price": 149.0, "bid_size": 5,
+        "ask_price": 151.0, "ask_size": 5, "timestamp": T0,
+    }])
+    job = drain()
+    _write_jsonl(tfeed, "t1.json", [{"s": "MSFT", "p": 380.0, "v": 10, "t": T0 + 60_000}])
+    _write_jsonl(qfeed, "q1.json", [{
+        "symbol": "MSFT", "bid_price": 379.0, "bid_size": 1,
+        "ask_price": 381.0, "ask_size": 1, "timestamp": T0 + 30_000,
+    }])
+    job = drain()
+
+    best_dir = os.path.join(out, "best_quote")
+    expected = _sorted_rows(best_quote_view(spark, out))
+    tail = max(_batch_ids(best_dir))
+    assert len(_batch_ids(best_dir)) >= 2
+
+    _crash_before_commit(os.path.join(out, "_checkpoints", "quotes_enriched"), tail)
+    job.compact_best_quote(spark)
+    assert tail in _batch_ids(best_dir), "uncommitted tail was folded away"
+
+    job = drain()  # replay the tail batch
+    assert _sorted_rows(best_quote_view(spark, out)) == expected
+
+    assert job.compact_best_quote(spark) > 0
+    assert len(_batch_ids(best_dir)) == 1
+    assert _sorted_rows(best_quote_view(spark, out)) == expected
+
+
+# ---------------------------------------------------------------------------
+# e2e: latest-prices serving layer (LatestPricesStreamJob.compact)
+# ---------------------------------------------------------------------------
+
+
+def test_latest_prices_compact_with_uncommitted_tail_survives_replay(spark, tmp_path):
+    from real_time_financial_market_data_pipeline_spark.streaming.jobs import (
+        LatestPricesStreamJob,
+        latest_prices_view,
+    )
+
+    feed, out = str(tmp_path / "feed"), str(tmp_path / "out")
+
+    def drain():
+        job = LatestPricesStreamJob(out_dir=out, compact_every=None)
+        mgr = job.start(read_trade_stream(spark, feed))
+        assert mgr.await_all(timeout_s=180)
+        return job
+
+    _write_jsonl(feed, "b0.json", [
+        {"s": "AAPL", "p": 150.0, "v": 100, "t": T0},
+        {"s": "MSFT", "p": 380.0, "v": 10, "t": T0 + 1000},
+    ])
+    job = drain()
+    _write_jsonl(feed, "b1.json", [
+        {"s": "AAPL", "p": 152.0, "v": 30, "t": T0 + 5000},
+    ])
+    job = drain()
+
+    table_dir = job.table_dir()
+    expected = _sorted_rows(latest_prices_view(spark, out))
+    tail = max(_batch_ids(table_dir))
+    assert len(_batch_ids(table_dir)) >= 2
+
+    _crash_before_commit(os.path.join(out, "_checkpoints", "latest_prices"), tail)
+    job.compact(spark)
+    assert tail in _batch_ids(table_dir), "uncommitted tail was folded away"
+
+    job = drain()  # replay
+    assert _sorted_rows(latest_prices_view(spark, out)) == expected
+
+    assert job.compact(spark) > 0
+    assert len(_batch_ids(table_dir)) == 1
+    assert _sorted_rows(latest_prices_view(spark, out)) == expected
+
+
+# ---------------------------------------------------------------------------
+# compact_gold_bucketed: guarded publish + empty-layer diagnostics
+# ---------------------------------------------------------------------------
+
+
+def test_compact_gold_bucketed_guards_uncommitted_tail(spark, tmp_path):
+    """The bucketed publish must fold/serve only the COMMITTED frontier:
+    the uncommitted tail keeps its delta dir and its rows stay out of
+    the serving table until the replay commits them."""
+    from real_time_financial_market_data_pipeline_spark.streaming.sinks import compact_gold_bucketed
+
+    path = str(tmp_path / "gold")
+    ck = str(tmp_path / "ck" / "q")
+    os.makedirs(os.path.join(ck, "commits"))
+    for i, sym in enumerate(["AAPL", "MSFT", "NVDA"]):
+        spark.createDataFrame(
+            [(sym, float(i))], "symbol string, price double"
+        ).write.parquet(os.path.join(path, f"batch_id={i}"))
+    for i in (0, 1):  # batch 2 wrote its dir but never committed
+        open(os.path.join(ck, "commits", str(i)), "w").close()
+
+    folded = compact_gold_bucketed(
+        spark, path, ["symbol"], "guarded_gold_serving", n_buckets=2,
+        commit_log_dirs=ck,
+    )
+    assert folded == 2  # batches 0 and 1 only
+    assert 2 in _batch_ids(path), "uncommitted tail was folded away"
+    served = {r["symbol"] for r in spark.table("guarded_gold_serving").collect()}
+    assert served == {"AAPL", "MSFT"}  # committed frontier only
+
+    # replay commits batch 2 → next publish folds it in
+    open(os.path.join(ck, "commits", "2"), "w").close()
+    compact_gold_bucketed(
+        spark, path, ["symbol"], "guarded_gold_serving", n_buckets=2,
+        commit_log_dirs=ck,
+    )
+    assert _batch_ids(path) == {2}
+    served = {r["symbol"] for r in spark.table("guarded_gold_serving").collect()}
+    assert served == {"AAPL", "MSFT", "NVDA"}
+    spark.sql("DROP TABLE IF EXISTS guarded_gold_serving")
+
+
+def test_compact_gold_bucketed_empty_layer_clear_error(spark, tmp_path):
+    from real_time_financial_market_data_pipeline_spark.streaming.sinks import compact_gold_bucketed
+
+    path = str(tmp_path / "never_written")
+    os.makedirs(path)
+    with pytest.raises(FileNotFoundError, match="no committed batch directory"):
+        compact_gold_bucketed(spark, path, ["symbol"], "never_serving")

@@ -168,26 +168,44 @@ def repetition_metrics(text_col: Column) -> Column:
         1.0 - F.size(F.array_distinct(lines)) / n_lines.cast("double"),
     ).otherwise(F.lit(0.0))
 
-    # top-line frequency via aggregate over the distinct lines: for each
-    # distinct line count its occurrences, take the max
-    top_count = F.aggregate(
-        F.array_distinct(lines),
-        F.lit(0),
-        lambda acc, d: F.greatest(
-            acc, F.size(F.filter(lines, lambda l: l == d))
+    # top-line frequency: sort the lines, then ONE linear run-length
+    # pass — the longest run of equal adjacent lines IS the max
+    # occurrence count.  O(L log L) per doc vs the
+    # aggregate-over-distinct x filter-scan form, which was
+    # O(lines x distinct_lines) and went quadratic on pathological
+    # multi-hundred-thousand-line documents (round-6 VERDICT item 2).
+    # `prev` starts at "" — never a line value (_lines drops empties).
+    run_state = F.aggregate(
+        F.array_sort(lines),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, l: F.struct(
+            l.alias("prev"),
+            F.when(l == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(l == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
         ),
     )
     top_line = F.when(
-        n_lines > 0, top_count / n_lines.cast("double")
+        n_lines > 0, run_state["best"] / n_lines.cast("double")
     ).otherwise(F.lit(0.0))
 
+    # bigrams via zip_with over two slices: the lambda sees both tokens
+    # directly, so NO outer array is referenced inside it.  The previous
+    # transform + element_at(toks, i+2) form re-evaluated the full
+    # tokenization per element (HOF lambdas get no CSE — NOTES.md), i.e.
+    # O(T) regex splits of the whole document per token: quadratic.
     toks = tokens(text_col)
     n_toks = F.size(toks)
     grams = F.when(
         n_toks >= 2,
-        F.transform(
+        F.zip_with(
             F.slice(toks, 1, n_toks - 1),
-            lambda t, i: F.concat_ws(" ", t, F.element_at(toks, i + 2)),
+            F.slice(toks, 2, n_toks - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
     n_grams = F.size(grams)

@@ -574,11 +574,16 @@ def repetition_certificate(docs: DataFrame, sample_mod: int = 1) -> DataFrame:
     every ratio through a fully independent RELATIONAL path — explode
     lines and posexplode tokens, form bigrams by a positional self-join,
     then two-level groupBy counts — and emits a violation for any doc
-    where the formulations disagree beyond 1e-9.
+    where the formulations disagree beyond 1e-9.  Both the line split
+    and the word tokenization are spelled out INLINE here rather than
+    imported from functions.text, so a code-level regression in the
+    operator's helpers cannot silently propagate into the reference
+    legs (the DEFINITION of a token is of course shared — only
+    derivation independence is claimed).
 
     Linear in corpus size (explode + hash aggregates, no all-pairs);
     `sample_mod` thins the certified docs at larger scale factors."""
-    from real_time_financial_market_data_pipeline_spark.functions.text import repetition_metrics, tokens
+    from real_time_financial_market_data_pipeline_spark.functions.text import repetition_metrics
 
     base = docs.filter(F.col("doc_id") % sample_mod == 0).select("doc_id", "text")
     observed = base.select(
@@ -603,7 +608,11 @@ def repetition_certificate(docs: DataFrame, sample_mod: int = 1) -> DataFrame:
     )
 
     # independent path 2: bigrams via positional self-join over tokens
-    toks = base.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok"))
+    # (tokenization re-derived inline — see docstring)
+    inline_tokens = F.filter(
+        F.split(F.lower(F.col("text")), r"[^a-z0-9]+"), lambda t: t != ""
+    )
+    toks = base.select("doc_id", F.posexplode(inline_tokens).alias("pos", "tok"))
     nxt = toks.select(
         "doc_id", (F.col("pos") - 1).alias("pos"), F.col("tok").alias("tok2")
     )

@@ -34,8 +34,15 @@ MAX_SYMBOLS = 50  # reference finnhub_client subscription cap
 
 @dataclass(frozen=True)
 class ReconnectPolicy:
-    """Exponential backoff `min(base_s * 2^attempt, cap_s)` — the
-    reference's reconnect schedule (min(2^n, 300) with base 1 s)."""
+    """Exponential backoff `min(base_s * 2^attempt, cap_s)` — the SAME
+    SHAPE as the reference's schedule (min(2^retry_count, 300) s), not
+    the identical ladder: the reference's retry_count starts at 1 (first
+    delay 2 s) and resets on successful connection, while this policy
+    starts at `base_s` (attempt 0) and the bridge resets on the first
+    healthy LINE — the lazy-iterator transport contract cannot observe
+    "connected" before a line arrives, and resetting on lines is
+    stricter for endpoints that accept connections then immediately
+    drop them."""
 
     base_s: float = 1.0
     cap_s: float = 300.0
@@ -75,7 +82,8 @@ class FeedBridge:
     Consecutive-failure counting: each successful line resets the
     attempt counter, so a long-lived connection that drops reconnects
     at base delay, while a flapping endpoint backs off geometrically to
-    the cap — the reference client's exact behavior.
+    the cap — the reference client's behavior in shape (see
+    ReconnectPolicy for where the concrete ladders differ).
 
     `max_consecutive_failures` bounds retry-forever (None = retry until
     `stop` is set); `stop.wait(delay)` makes shutdown prompt even
@@ -91,7 +99,20 @@ class FeedBridge:
     def __post_init__(self) -> None:
         os.makedirs(self.spool_dir, exist_ok=True)
         self.stats: dict = {"connects": 0, "failures": 0, "lines": 0, "delays": []}
-        self._seq = 0
+        # Seed the spool sequence PAST any files already present: Spark's
+        # file source tracks processed files BY NAME, so a bridge
+        # restarted into an existing spool_dir that re-used feed-000000
+        # would silently overwrite data the source considers done — the
+        # overwritten lines would never be read (silent loss across
+        # bridge process restarts).
+        import re
+
+        existing = [
+            int(m.group(1))
+            for f in os.listdir(self.spool_dir)
+            if (m := re.fullmatch(r"feed-(\d+)\.json", f))
+        ]
+        self._seq = max(existing, default=-1) + 1
         self._buf: list[str] = []
 
     # -- spool management ---------------------------------------------------

@@ -73,6 +73,13 @@ def tws_runtime_available() -> bool:
     before it can initialize — a failed import here is the same
     STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE the query would die
     with at start(), caught cheaply at plan time instead.
+
+    SCOPE: this probes the DRIVER's Python environment only.  In local
+    mode (and any homogeneous deployment image) driver == executor, so
+    the probe is decisive; on a heterogeneous cluster where executors
+    lack the protobuf runtime the probe can pass and the query still
+    dies at start with the same error — pass prefer_tws=False to
+    streaming_latest_prices there instead of relying on this check.
     """
     global _TWS_AVAILABLE
     if _TWS_AVAILABLE is None:

@@ -147,3 +147,30 @@ def test_stop_event_interrupts_backoff_promptly(tmp_path):
     t.join(timeout=5)
     assert not t.is_alive()
     assert bridge.stats["lines"] >= 1
+
+
+def test_bridge_restart_never_overwrites_existing_spool_files(tmp_path):
+    """A bridge process restarted into an existing spool_dir must seed
+    its sequence past the files already there: Spark's file source
+    tracks processed files BY NAME, so re-using feed-000000.json would
+    overwrite data the source considers done — lines lost silently."""
+
+    def run_once(payloads):
+        def connect():
+            yield from payloads
+
+        FeedBridge(connect, str(tmp_path / "spool"), rotate_lines=2).run()
+
+    run_once([_wire(i) for i in range(4)])  # feed-000000/000001
+    first = sorted(os.listdir(tmp_path / "spool"))
+    assert first == ["feed-000000.json", "feed-000001.json"]
+
+    run_once([_wire(i) for i in range(4, 8)])  # restart: must continue
+    files = sorted(os.listdir(tmp_path / "spool"))
+    assert files == [f"feed-{i:06d}.json" for i in range(4)]
+
+    lines = []
+    for f in files:
+        with open(os.path.join(tmp_path / "spool", f)) as fh:
+            lines += fh.read().splitlines()
+    assert lines == [_wire(i) for i in range(8)]  # nothing overwritten

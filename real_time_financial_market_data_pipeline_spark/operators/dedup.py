@@ -631,3 +631,162 @@ def decontaminate(
         train, benchmark, id_col=id_col, text_col=text_col, threshold=threshold, **minhash_kwargs
     ).select(F.col("left_id").alias(id_col))
     return train.join(matches, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Substring-level exact dedup — cross-document repeated SPANS
+# ---------------------------------------------------------------------------
+# Doc-level dedup (exact fingerprint, MinHash, SimHash above) cannot see
+# a 20-line boilerplate block shared by otherwise-distinct documents —
+# the span family ("Deduplicating Training Data Makes Language Models
+# Better", Lee et al. 2022) finds repeated token SPANS across documents.
+# The suffix-array formulation of the paper is replaced by a
+# Spark-native one: fingerprint every k-token window (map-side fan-out),
+# equi-join fingerprints across documents (shuffle on the hash key,
+# never all-pairs), and merge adjacent matched windows into maximal
+# spans with the diagonal/island trick (one windowed pass per matched
+# pair) — every stage is a built-in relational op.
+
+
+def span_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """(id, pos, fp): xxhash64 fingerprint of every k-token window of
+    every document; `pos` is the 1-based token position of the window
+    start.  Map-side only (tokenize + posexplode — no shuffle); O(n·k)
+    work per document.  The token array is STAGED as a projected column
+    before the transform so the lambda's slice reads an attribute, not a
+    re-evaluated expression (see shingles_of)."""
+    staged = df.select(
+        F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("_toks")
+    )
+    n = F.size("_toks")
+    win_hashes = F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda i: F.xxhash64(F.concat_ws("\x1f", F.slice(F.col("_toks"), i, k))),
+    )
+    return (
+        staged.filter(n >= k)
+        .select("id", F.posexplode(win_hashes).alias("pos0", "fp"))
+        .select("id", (F.col("pos0") + 1).alias("pos"), "fp")
+    )
+
+
+def repeated_span_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_span_tokens: int | None = None,
+    max_fp_docs: int | None = None,
+) -> DataFrame:
+    """Maximal repeated token spans between document pairs:
+    (id_a, id_b, start_a, start_b, span_tokens) with id_a < id_b, start
+    positions 1-based in token space, span_tokens >= min_span_tokens
+    (default k).
+
+    Plan shape: window fingerprints equi-joined on fp across documents
+    (candidates only ever come from hash-key buckets), then maximal
+    runs: matched windows of a pair lie on diagonals (pos_a - pos_b
+    constant along a shared span), and within a diagonal consecutive
+    positions collapse via the island trick (pos_a - row_number) into
+    one group whose size + k - 1 is the span length in tokens.
+
+    Scale: linear in corpus size for bounded fingerprint frequency.  A
+    fingerprint occurring in f documents yields O(f²) candidate rows —
+    exactly the LSH-bucket blowup — so at corpus scale pass
+    `max_fp_docs` to exclude ultra-common windows from PAIR enumeration
+    (frequency is one hash-agg).  Spans dropped by the cap are by
+    definition corpus-wide boilerplate: find them with `common_spans`,
+    which aggregates per fingerprint and never enumerates pairs.
+
+    Distinct spans repeated WITHIN one pair (or overlapping spans from
+    internal repetition) appear as separate rows — each maximal run on
+    its diagonal.  Fingerprints are 64-bit hashes, so a span row is
+    wrong only under an xxhash64 collision (~2⁻⁶⁴ per candidate);
+    certify.span_certificate re-extracts both sides and would surface
+    one."""
+    from pyspark.sql import Window
+
+    min_span = min_span_tokens if min_span_tokens is not None else k
+    fps = span_fingerprints(df, id_col=id_col, text_col=text_col, k=k)
+    if max_fp_docs is not None:
+        common = (
+            fps.groupBy("fp")
+            .agg(F.count_distinct("id").alias("_df"))
+            .filter(F.col("_df") > max_fp_docs)
+            .select("fp")
+        )
+        fps = fps.join(common, "fp", "left_anti")
+    l = fps.select(F.col("id").alias("id_a"), F.col("pos").alias("pos_a"), "fp")
+    r = fps.select(F.col("id").alias("id_b"), F.col("pos").alias("pos_b"), "fp")
+    cand = (
+        l.join(r, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pos_a", "pos_b")
+        .withColumn("diag", F.col("pos_a") - F.col("pos_b"))
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    runs = cand.withColumn("_island", F.col("pos_a") - F.row_number().over(w))
+    return (
+        runs.groupBy("id_a", "id_b", "diag", "_island")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).cast("long").alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_span)
+        .select("id_a", "id_b", "start_a", "start_b", "span_tokens")
+    )
+
+
+def common_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-wide repeated k-token spans WITHOUT pair enumeration:
+    (fp, n_docs, n_occurrences, rep_id, rep_pos, span_text) for every
+    window fingerprint present in >= min_docs distinct documents, with
+    a deterministic representative (min (id, pos)) re-extracted as
+    text.  One hash-agg + one equi-join back for the representative —
+    O(corpus) regardless of how many documents share the span, which is
+    precisely the case where repeated_span_pairs' pair form explodes.
+    The scale path for "find the navigation chrome shared by 10M
+    pages"; feed the result to a masking/excision step keyed on
+    (rep fingerprint match) rather than on pairs."""
+    fps = span_fingerprints(df, id_col=id_col, text_col=text_col, k=k)
+    stats = (
+        fps.groupBy("fp")
+        .agg(
+            F.count_distinct("id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(F.struct("id", "pos")).alias("_rep"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select(
+            "fp",
+            "n_docs",
+            "n_occurrences",
+            F.col("_rep.id").alias("rep_id"),
+            F.col("_rep.pos").alias("rep_pos"),
+        )
+    )
+    staged = df.select(
+        F.col(id_col).alias("rep_id"), _tokens(F.col(text_col)).alias("_toks")
+    )
+    return stats.join(staged, "rep_id").select(
+        "fp",
+        "n_docs",
+        "n_occurrences",
+        "rep_id",
+        "rep_pos",
+        F.concat_ws(" ", F.slice(F.col("_toks"), F.col("rep_pos"), k)).alias(
+            "span_text"
+        ),
+    )

@@ -2038,7 +2038,8 @@ def q_approx_soundness_certificates(spark: SparkSession, sf_dir: str) -> DataFra
     hash-seeded family (round-2 VERDICT task 3): unions the violation
     sets of knn_lsh, knn_ivf, embedding_near_dups_lsh,
     minhash_near_dups, simhash_near_dups, price_path_correlation_blocked,
-    media_decode_features and repetition_metrics, plus the COMPLETENESS
+    media_decode_features, repetition_metrics and repeated_spans, plus
+    the COMPLETENESS
     legs (recall floors on sampled exact top-k; planted-duplicate
     recovery).  Each family's
     invariants are recomputed through an independent expression path
@@ -2062,6 +2063,7 @@ def q_approx_soundness_certificates(spark: SparkSession, sf_dir: str) -> DataFra
         planted_duplicate_certificate,
         repetition_certificate,
         simhash_certificate,
+        span_certificate,
     )
     from real_time_financial_market_data_pipeline_spark.operators.multimodal import synthesize_media
     from real_time_financial_market_data_pipeline_spark.operators.similarity import embedding_near_dup_pairs
@@ -2118,6 +2120,10 @@ def q_approx_soundness_certificates(spark: SparkSession, sf_dir: str) -> DataFra
         # two-level groupBy) — array-expression vs relational
         # formulations must agree ratio-for-ratio on every sampled doc
         repetition_certificate(docs),
+        # round 7: substring-level span dedup — soundness (every reported
+        # span re-extracts identically on both sides) + planted shared
+        # blocks recovered between every planted pair; bounded subcorpus
+        span_certificate(docs),
         # COMPLETENESS legs (round-3/4 VERDICT task 5): soundness alone
         # never catches a recall regression — these do.  Floors sit
         # below the measured per-query operating points at sf0.01/sf0.1

@@ -264,3 +264,34 @@ def test_repetition_certificate_green_and_fires_on_skewed_metric(spark, monkeypa
     viol = certify.repetition_certificate(edge).collect()
     assert len(viol) == 4  # every doc's dup_line_ratio off by 0.001
     assert all(r["kind"] == "dup_line_ratio" for r in viol)
+
+
+def test_span_certificate_green_and_fires_on_broken_operator(spark, monkeypatch):
+    """span_certificate: zero violations on real docs; a span operator
+    that mis-reports start_b fires span_extract_mismatch, and one that
+    returns nothing fires planted_span_missed for every planted pair."""
+    from real_time_financial_market_data_pipeline_spark.operators import certify, dedup
+
+    assert certify.span_certificate(_docs(spark)).count() == 0
+
+    real = dedup.repeated_span_pairs
+
+    def shifted(df, **kw):
+        out = real(df, **kw)
+        return out.withColumn("start_b", F.col("start_b") + 1)
+
+    monkeypatch.setattr(dedup, "repeated_span_pairs", shifted)
+    viol = certify.span_certificate(_docs(spark)).collect()
+    assert viol and all(
+        r["kind"] in ("span_extract_mismatch", "planted_span_missed") for r in viol
+    )
+    assert any(r["kind"] == "span_extract_mismatch" for r in viol)
+
+    monkeypatch.setattr(
+        dedup,
+        "repeated_span_pairs",
+        lambda df, **kw: real(df, **kw).filter(F.lit(False)),
+    )
+    viol = certify.span_certificate(_docs(spark)).collect()
+    assert len(viol) == 3  # C(3,2) planted pairs all missed
+    assert all(r["kind"] == "planted_span_missed" for r in viol)

@@ -400,3 +400,62 @@ def test_repetition_metrics_linear_on_50k_line_doc(spark):
     )
     assert abs(m["dup_line_ratio"] - (1 - 40_001 / 50_000)) < 1e-9
     assert abs(m["top_line_ratio"] - 10_000 / 50_000) < 1e-9
+
+
+def test_repeated_span_pairs_exact(spark):
+    """Substring-level dedup (Lee et al. 2022 span family, Spark-native:
+    window fingerprints -> fp equi-join -> diagonal run-merge): exact
+    maximal spans on crafted docs, including a block repeated TWICE in
+    one doc (two diagonal runs against each partner)."""
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import common_spans, repeated_span_pairs
+
+    block = "the quick brown fox jumps over the lazy dog again and again"  # 12 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + block + " delta epsilon"),
+            (2, "one two three four " + block + " five six"),
+            (3, "completely different text with no shared content at all here"),
+            (4, "prefix " + block + " middle stuff " + block + " suffix"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        map(tuple, repeated_span_pairs(docs, k=4).collect())
+    )
+    assert rows == [
+        (1, 2, 4, 5, 12),     # block at token 4 of doc1, token 5 of doc2
+        (1, 4, 4, 2, 12),     # ...vs doc4's first occurrence (token 2)
+        (1, 4, 4, 16, 12),    # ...and its second (token 16)
+        (2, 4, 5, 2, 12),
+        (2, 4, 5, 16, 12),
+    ]
+
+    # min_span_tokens prunes; doc 3 never appears anywhere
+    assert repeated_span_pairs(docs, k=4, min_span_tokens=13).count() == 0
+
+    # the aggregate (non-pair) form: the full block fp spans 3 docs with
+    # 4 occurrences, deterministic representative, text re-extracted
+    cs = common_spans(docs, k=12, min_docs=2).collect()
+    full = [r for r in cs if r["span_text"] == block]
+    assert len(full) == 1
+    assert full[0]["n_docs"] == 3 and full[0]["n_occurrences"] == 4
+    assert full[0]["rep_id"] == 1 and full[0]["rep_pos"] == 4
+
+
+def test_repeated_span_pairs_max_fp_docs_cap(spark):
+    """The pair-enumeration frequency cap: a window present in more
+    documents than max_fp_docs is excluded from PAIR generation (the
+    O(f²) blowup guard); common_spans still reports it."""
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import common_spans, repeated_span_pairs
+
+    boiler = "subscribe to our newsletter now"  # 5 tokens, in every doc
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} body text {i} " + boiler) for i in range(6)],
+        "doc_id long, text string",
+    )
+    uncapped = repeated_span_pairs(docs, k=5, min_span_tokens=5)
+    assert uncapped.count() == 15  # all C(6,2) pairs share the block
+    capped = repeated_span_pairs(docs, k=5, min_span_tokens=5, max_fp_docs=3)
+    assert capped.count() == 0     # excluded from pair enumeration
+    cs = common_spans(docs, k=5, min_docs=4).collect()
+    assert any(r["span_text"] == boiler and r["n_docs"] == 6 for r in cs)

@@ -90,7 +90,10 @@ PLAN_BUDGET: dict[str, tuple[int, bool, int]] = {
     # +11 pushed scans): the repetition_metrics leg re-derives three
     # ratios relationally (explode + positional self-join + two-level
     # groupBy)
-    "approx_soundness_certificates": (61, True, 60),
+    # re-pinned round 7: +2 exchanges / +2 filtered scans from the
+    # span_certificate leg (fp equi-join + run-merge window on the
+    # bounded planted subcorpus)
+    "approx_soundness_certificates": (63, True, 62),
     "decontaminated_docs": (4, True, 3),
     "minhash_near_dups": (1, True, 0),
     "simhash_near_dups": (1, True, 2),

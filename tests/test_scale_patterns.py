@@ -194,3 +194,23 @@ def test_aqe_skew_split_activates_on_hot_key_join(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_repeated_span_pairs_plan_is_equijoin_only(spark):
+    """The span-dedup plan must generate candidates through the fp
+    equi-join (shuffle hash/sort-merge), never a cross product, and
+    stay within its shuffle budget: fingerprint join (2 exchanges) +
+    frequency-cap anti-join (reuses the fp key) + run-merge window +
+    final span aggregate.  Pinned so a refactor that degrades the join
+    to a nested loop or adds an accidental exchange fails here."""
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import repeated_span_pairs
+    from real_time_financial_market_data_pipeline_spark.plans.inspect import count_shuffles, physical_plan
+    from real_time_financial_market_data_pipeline_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    spans = repeated_span_pairs(docs, k=8, max_fp_docs=50)
+    plan = physical_plan(spans)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert count_shuffles(spans) <= 6

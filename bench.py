@@ -212,6 +212,67 @@ def bench_streamed_gold_bucketed(spark, sf_dir: str) -> dict[str, float]:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_latest_prices_bucketed(spark, sf_dir: str) -> dict[str, float]:
+    """Round-6 VERDICT task 6 evidence: the latest_prices serving table
+    streamed end-to-end (LatestPricesStreamJob drain), then folded +
+    published bucketed-by-symbol (publish_bucketed) — the Q8 dashboard
+    scan becomes a plain zero-Exchange table read instead of a
+    latest_state_on_read shuffle per read.  Timed: the drain, the
+    one-off publish, and both read paths (resolve-on-read vs bucketed
+    table) so the serving speedup is visible in one place."""
+    import shutil
+    import tempfile
+
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_trade_stream
+    from real_time_financial_market_data_pipeline_spark.streaming.jobs import (
+        LatestPricesStreamJob,
+        latest_prices_view,
+    )
+    from real_time_financial_market_data_pipeline_spark.tables import load_table, trades_from_events
+
+    work = tempfile.mkdtemp(prefix="bench_lprices_")
+    feed, out = os.path.join(work, "feed"), os.path.join(work, "out")
+    table = "bench_latest_prices_serving"
+    try:
+        trades = trades_from_events(load_table(spark, sf_dir, "events"))
+        trades.selectExpr(
+            "symbol AS s", "price AS p", "volume AS v", "timestamp AS t"
+        ).coalesce(4).write.json(feed)
+        job = LatestPricesStreamJob(out_dir=out)
+        t0 = time.perf_counter()
+        mgr = job.start(read_trade_stream(spark, feed))
+        mgr.await_all(timeout_s=600)
+        drain_s = round(time.perf_counter() - t0, 3)
+
+        best_view = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            latest_prices_view(spark, out).count()
+            best_view = min(best_view, time.perf_counter() - t0)
+
+        t0 = time.perf_counter()
+        job.publish_bucketed(spark, table=table)
+        publish_s = round(time.perf_counter() - t0, 3)
+
+        plan = spark.table(table)._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" in plan:
+            raise RuntimeError("latest_prices bucketed serving plan regressed: Exchange present")
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spark.table(table).count()
+            best = min(best, time.perf_counter() - t0)
+        return {
+            "latest_prices_stream_drain": drain_s,
+            "latest_prices_view_read": round(best_view, 3),
+            "latest_prices_publish_bucketed": publish_s,
+            "latest_prices_bucketed_read": round(best, 3),
+        }
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def bench_compaction_read(spark, n_batches: int = 120) -> dict[str, float]:
     """Read-side win of gold auto-compaction (round-3/4 VERDICT task:
     'bench shows bounded read time').  Simulates an update-mode gold
@@ -488,6 +549,10 @@ def main() -> None:
         timings.update(bench_streamed_gold_bucketed(spark, sf_dir))
     except Exception as exc:  # noqa: BLE001
         errors["streamed_gold_bucketed"] = f"{type(exc).__name__}: {exc}".splitlines()[0][:500]
+    try:
+        timings.update(bench_latest_prices_bucketed(spark, sf_dir))
+    except Exception as exc:  # noqa: BLE001
+        errors["latest_prices_bucketed"] = f"{type(exc).__name__}: {exc}".splitlines()[0][:500]
     try:
         timings.update(bench_incremental_dedup(spark, sf_dir))
     except Exception as exc:  # noqa: BLE001

@@ -669,6 +669,31 @@ class LatestPricesStreamJob:
             spark, self.table_dir(), list(self.KEYS), only_below=bound
         )
 
+    def publish_bucketed(
+        self, spark, table: str = "latest_prices_serving", n_buckets: int = 8
+    ) -> str:
+        """Stream-stopped OPTIMIZE that folds the emission dirs and
+        publishes the snapshot bucketed by symbol as external table
+        `table` — the same compact_gold_bucketed machinery the gold
+        layers use, unifying the two compaction flavors.  The snapshot
+        is already RESOLVED (one row per symbol), so the Q8 dashboard
+        scan is a plain zero-Exchange table read — no
+        latest_state_on_read shuffle per read — and symbol-keyed
+        joins/aggregations over it skip their exchange too.  Carries
+        the uncommitted-tail guard via the latest_prices commit log."""
+        from real_time_financial_market_data_pipeline_spark.streaming.sinks import compact_gold_bucketed
+
+        compact_gold_bucketed(
+            spark,
+            self.table_dir(),
+            list(self.KEYS),
+            table,
+            n_buckets=n_buckets,
+            sort_cols=["symbol"],
+            commit_log_dirs=os.path.join(self.checkpoints(), "latest_prices"),
+        )
+        return table
+
     def start(self, trades: DataFrame, await_timeout_s: float = 600) -> SinkManager:
         from real_time_financial_market_data_pipeline_spark.streaming.sinks import parquet_sink
         from real_time_financial_market_data_pipeline_spark.streaming.stateful import streaming_latest_prices

@@ -291,3 +291,63 @@ def test_latest_prices_stream_job_end_to_end(spark, tmp_path):
 
     # empty-dir contract: a never-started job yields an empty typed frame
     assert latest_prices_view(spark, str(tmp_path / "nowhere")).count() == 0
+
+
+def test_latest_prices_bucketed_publish_serves_shuffle_free(spark, tmp_path):
+    """publish_bucketed (round-6 VERDICT task 6): the compacted
+    latest_prices snapshot republished as a symbol-bucketed serving
+    table.  The snapshot is already resolved (one row per symbol), so
+    the Q8 dashboard scan is a plain table read with ZERO exchanges —
+    no latest_state_on_read shuffle per read — and a symbol-keyed
+    aggregate over it also plans without an exchange (bucketing
+    satisfies the required distribution).  Values must match the
+    resolve-on-read view exactly, including after a restart appends a
+    new delta and the table is republished."""
+    from real_time_financial_market_data_pipeline_spark.plans.inspect import count_shuffles, physical_plan
+    from real_time_financial_market_data_pipeline_spark.streaming.jobs import (
+        LatestPricesStreamJob,
+        latest_prices_view,
+    )
+
+    feed = str(tmp_path / "feed")
+    out = str(tmp_path / "out")
+    os.makedirs(feed)
+    with open(os.path.join(feed, "b0.json"), "w") as f:
+        f.write(json.dumps({"s": "AAPL", "p": 100.0, "v": 10, "t": T0}) + "\n")
+        f.write(json.dumps({"s": "MSFT", "p": 50.0, "v": 5, "t": T0 + 1000}) + "\n")
+
+    def run_once():
+        job = LatestPricesStreamJob(out_dir=out)
+        mgr = job.start(read_trade_stream(spark, feed))
+        assert mgr.await_all(timeout_s=120)
+        return job
+
+    job = run_once()
+    table = job.publish_bucketed(spark, table="latest_prices_serving_t")
+    try:
+        served = spark.table(table)
+        assert count_shuffles(served) == 0  # plain scan, already resolved
+        assert {r["symbol"]: r["last_price"] for r in served.collect()} == {
+            "AAPL": 100.0,
+            "MSFT": 50.0,
+        }
+        # symbol-keyed aggregate rides the bucketing: no Exchange
+        agg = served.groupBy("symbol").count()
+        assert count_shuffles(agg) == 0, physical_plan(agg, "simple")
+
+        # new data -> restart appends a delta above the snapshot; the
+        # view resolves it, and a republish folds + swaps the LOCATION
+        with open(os.path.join(feed, "b1.json"), "w") as f:
+            f.write(json.dumps({"s": "AAPL", "p": 120.0, "v": 7, "t": T0 + 60_000}) + "\n")
+        job = run_once()
+        assert {
+            r["symbol"]: r["last_price"]
+            for r in latest_prices_view(spark, out).collect()
+        } == {"AAPL": 120.0, "MSFT": 50.0}
+        job.publish_bucketed(spark, table="latest_prices_serving_t")
+        assert {
+            r["symbol"]: r["last_price"] for r in spark.table(table).collect()
+        } == {"AAPL": 120.0, "MSFT": 50.0}
+        assert count_shuffles(spark.table(table)) == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS latest_prices_serving_t")

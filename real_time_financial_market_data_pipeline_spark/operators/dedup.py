@@ -790,3 +790,65 @@ def common_spans(
             "span_text"
         ),
     )
+
+
+def excise_common_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Apply the span-dedup treatment ("Deduplicating Training Data
+    Makes Language Models Better": training should see each repeated
+    span ONCE): remove every occurrence of the given corpus-common
+    spans from the documents EXCEPT the canonical representative
+    occurrence chosen by `common_spans` (its min-(id, pos) rep).
+
+    `spans` is `common_spans` output (fp, rep_id, rep_pos, ...) — or
+    any (fp, rep_id, rep_pos) selection of windows to excise.
+
+    Returns (id_col, text_col, excised_tokens): the rebuilt text with
+    covered tokens dropped, and how many were dropped (0 for untouched
+    docs — every input row is preserved).
+
+    Plan: re-fingerprint the windows (map-side), equi-join to the
+    excised fp set, drop the representative occurrence, aggregate
+    covered token positions per doc (flatten k-sequences, distinct),
+    and rebuild text by filtering the staged token array — one shuffle
+    for the fp join, one for the per-doc aggregate.  The per-doc
+    covered-position array is bounded by the doc's own token count, so
+    memory stays O(doc) per row; the rebuild's membership test is
+    O(tokens × covered) per doc, fine for web-scale docs (a doc that is
+    MOSTLY boilerplate is cheaper to drop than to excise — filter on
+    excised_tokens/token ratio downstream).
+
+    Note the reconstruction is in TOKEN space (lowercased, punctuation
+    collapsed to single spaces) — the right currency for training-data
+    pipelines whose tokenizer consumes the same normalization; keep the
+    original column alongside if byte-exact provenance matters."""
+    fps = span_fingerprints(df, id_col=id_col, text_col=text_col, k=k)
+    hits = fps.join(
+        spans.select("fp", "rep_id", "rep_pos"), "fp"
+    ).filter(~((F.col("id") == F.col("rep_id")) & (F.col("pos") == F.col("rep_pos"))))
+    covered = hits.groupBy("id").agg(
+        F.array_distinct(
+            F.flatten(
+                F.collect_list(F.sequence(F.col("pos"), F.col("pos") + k - 1))
+            )
+        ).alias("_covered")
+    )
+    staged = df.select(
+        F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("_toks")
+    )
+    joined = staged.join(covered, "id", "left").withColumn(
+        "_covered", F.coalesce(F.col("_covered"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.col("_toks"), lambda t, i: ~F.array_contains(F.col("_covered"), i + 1)
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.concat_ws(" ", kept).alias(text_col),
+        (F.size("_toks") - F.size(kept)).cast("long").alias("excised_tokens"),
+    )

@@ -459,3 +459,37 @@ def test_repeated_span_pairs_max_fp_docs_cap(spark):
     assert capped.count() == 0     # excluded from pair enumeration
     cs = common_spans(docs, k=5, min_docs=4).collect()
     assert any(r["span_text"] == boiler and r["n_docs"] == 6 for r in cs)
+
+
+def test_excise_common_spans_keeps_one_occurrence(spark):
+    """The span-dedup TREATMENT: every occurrence of a corpus-common
+    span is removed except the canonical representative (min (id, pos))
+    — the rep doc keeps the block verbatim, the others lose exactly it,
+    untouched docs pass through with excised_tokens=0."""
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import common_spans, excise_common_spans
+
+    block = "standard legal disclaimer text block here"  # 6 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words then " + block + " and a tail"),
+            (2, "different document start " + block + " different end"),
+            (3, block + " leading this one"),
+            (4, "nothing shared in this document at all"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = common_spans(docs, k=6, min_docs=2)
+    out = {r["doc_id"]: r for r in excise_common_spans(docs, spans, k=6).collect()}
+
+    assert len(out) == 4  # every input row preserved
+    # representative = min (id, pos) = doc 1 → keeps the block
+    assert out[1]["text"] == "intro words then " + block + " and a tail"
+    assert out[1]["excised_tokens"] == 0
+    # the other carriers lose exactly the 6 block tokens
+    assert out[2]["text"] == "different document start different end"
+    assert out[2]["excised_tokens"] == 6
+    assert out[3]["text"] == "leading this one"
+    assert out[3]["excised_tokens"] == 6
+    # untouched doc passes through (token-space normalization)
+    assert out[4]["text"] == "nothing shared in this document at all"
+    assert out[4]["excised_tokens"] == 0

@@ -369,3 +369,58 @@ def test_signature_jaccard_estimator_properties(spark, tokens_a, drop):
     b1 = {(r["band"], r["bhash"]) for r in bands_df.filter(F.col("id") == 1).collect()}
     b2 = {(r["band"], r["bhash"]) for r in bands_df.filter(F.col("id") == 2).collect()}
     assert b1 == b2
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), max_size=20),
+        min_size=2,
+        max_size=5,
+    ),
+    k=st.integers(min_value=2, max_value=4),
+)
+def test_repeated_span_pairs_matches_naive(spark, docs, k):
+    """repeated_span_pairs (fp equi-join + diagonal run-merge) must
+    equal the brute-force definition — all matched k-windows grouped by
+    diagonal, consecutive positions merged into maximal runs — for ANY
+    corpus over a tiny alphabet (which forces shared spans, internal
+    repetition, and overlapping diagonals)."""
+    from collections import defaultdict
+
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import repeated_span_pairs
+
+    def naive(a, b):
+        by_diag = defaultdict(list)
+        for i in range(len(a) - k + 1):
+            for j in range(len(b) - k + 1):
+                if a[i : i + k] == b[j : j + k]:
+                    by_diag[i - j].append(i)
+        out = set()
+        for d, poss in by_diag.items():
+            poss.sort()
+            start = prev = poss[0]
+            for p in poss[1:] + [None]:
+                if p == prev + 1:
+                    prev = p
+                else:
+                    out.add((start + 1, start - d + 1, prev - start + k))
+                    if p is not None:
+                        start = prev = p
+        return out
+
+    expected = set()
+    for ia in range(len(docs)):
+        for ib in range(ia + 1, len(docs)):
+            for s_a, s_b, n in naive(docs[ia], docs[ib]):
+                expected.add((ia, ib, s_a, s_b, n))
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["start_a"], r["start_b"], r["span_tokens"])
+        for r in repeated_span_pairs(df, k=k).collect()
+    }
+    assert got == expected

@@ -1,0 +1,83 @@
+"""Measured scaling evidence for the substring-span dedup family
+(round 7): run repeated_span_pairs (capped) and common_spans over the
+REAL documents corpora at sf0.001 / sf0.01 / sf0.1 — three genuinely
+different corpora, 10x apart — and report rows, output sizes, wall
+time, and the t ~ rows^alpha scaling exponent over the largest span.
+
+Replicating one corpus k-fold would be the WRONG probe here: replicas
+share almost every window with their source, so pair output grows
+quadratically in the replication factor by construction — genuine
+repetition, not operator cost.  Distinct corpora isolate the
+operator's own scaling.
+
+Usage: python scripts/span_scale_probe.py [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from real_time_financial_market_data_pipeline_spark.operators.dedup import common_spans, repeated_span_pairs
+from real_time_financial_market_data_pipeline_spark.session import get_spark
+from real_time_financial_market_data_pipeline_spark.tables import load_table
+
+
+def main() -> None:
+    out_json = sys.argv[1] if len(sys.argv) > 1 else None
+    spark = get_spark(app_name="span_scale_probe")
+    results = []
+    try:
+        for sf in ("sf0.001", "sf0.01", "sf0.1"):
+            docs = load_table(spark, f"/root/testdata/{sf}", "documents")
+            n_docs = docs.count()
+
+            t0 = time.perf_counter()
+            n_pairs = repeated_span_pairs(docs, k=8, max_fp_docs=50).count()
+            pairs_s = round(time.perf_counter() - t0, 3)
+
+            t0 = time.perf_counter()
+            n_common = common_spans(docs, k=8, min_docs=2).count()
+            common_s = round(time.perf_counter() - t0, 3)
+
+            rec = {
+                "sf": sf,
+                "docs": n_docs,
+                "span_pairs": n_pairs,
+                "pairs_s": pairs_s,
+                "common_rows": n_common,
+                "common_s": common_s,
+            }
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
+
+        r_small, r_big = results[1], results[2]  # 10x span, past fixed overhead
+        rec = {
+            "variant": "scaling_exponent_sf0.01_sf0.1",
+            "pairs_alpha": round(
+                math.log(r_big["pairs_s"] / r_small["pairs_s"])
+                / math.log(r_big["docs"] / r_small["docs"]),
+                3,
+            ),
+            "common_alpha": round(
+                math.log(r_big["common_s"] / r_small["common_s"])
+                / math.log(r_big["docs"] / r_small["docs"]),
+                3,
+            ),
+        }
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+    finally:
+        spark.stop()
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

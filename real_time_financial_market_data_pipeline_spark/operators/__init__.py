@@ -2,9 +2,12 @@ from real_time_financial_market_data_pipeline_spark.operators.ohlcv import ohlcv
 from real_time_financial_market_data_pipeline_spark.operators.latest import latest_prices
 from real_time_financial_market_data_pipeline_spark.operators.topk import top_k_per_group
 from real_time_financial_market_data_pipeline_spark.operators.dedup import (
+    common_spans,
     exact_dedup,
+    excise_common_spans,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
+    repeated_span_pairs,
     simhash_signatures,
 )
 from real_time_financial_market_data_pipeline_spark.operators.asof import asof_join
@@ -20,6 +23,9 @@ __all__ = [
     "latest_prices",
     "top_k_per_group",
     "exact_dedup",
+    "common_spans",
+    "excise_common_spans",
+    "repeated_span_pairs",
     "minhash_near_dup_pairs",
     "ngram_jaccard_pairs",
     "simhash_signatures",

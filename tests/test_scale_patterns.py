@@ -208,9 +208,19 @@ def test_repeated_span_pairs_plan_is_equijoin_only(spark):
     from real_time_financial_market_data_pipeline_spark.tables import load_table
     from tests.conftest import SF_DIR
 
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import common_spans, excise_common_spans
+
     docs = load_table(spark, SF_DIR, "documents")
     spans = repeated_span_pairs(docs, k=8, max_fp_docs=50)
     plan = physical_plan(spans)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert count_shuffles(spans) <= 6
+
+    # the aggregate + treatment forms share the budget discipline
+    cs = common_spans(docs, k=8, min_docs=2)
+    assert "CartesianProduct" not in physical_plan(cs)
+    assert count_shuffles(cs) <= 3  # fp agg + representative equi-join
+    ex = excise_common_spans(docs, cs, k=8)
+    assert "CartesianProduct" not in physical_plan(ex)
+    assert count_shuffles(ex) <= 7  # spans input + fp join + per-doc agg

@@ -483,6 +483,19 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["bucketed_serving"] = f"{type(exc).__name__}: {exc}".splitlines()[0][:500]
 
+    # substring-span dedup (round 7): pair form capped + aggregate form
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import common_spans, repeated_span_pairs
+    from real_time_financial_market_data_pipeline_spark.tables import load_table as _lt
+
+    _guard("span_dedup_pairs", lambda: _min_of_2(
+        lambda: repeated_span_pairs(
+            _lt(spark, sf_dir, "documents"), k=8, max_fp_docs=50
+        ).count()
+    ))
+    _guard("span_common", lambda: _min_of_2(
+        lambda: common_spans(_lt(spark, sf_dir, "documents"), k=8, min_docs=2).count()
+    ))
+
     # per-strategy kNN split (round-2 VERDICT task 7): the knn_bruteforce
     # HEADLINE slot times BOTH strategies together (frozen for
     # round-over-round diffability); these secondary entries attribute

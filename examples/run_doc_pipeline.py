@@ -63,6 +63,22 @@ def main() -> None:
     ).orderBy("split").show()
     print("redaction check (doc 102):")
     curated.filter(F.col("doc_id") == 102).select("doc_id", "text").show(truncate=60)
+
+    # substring-span dedup treatment (round 7): every doc shares the
+    # LOREM boilerplate prefix — find it corpus-wide (no pair
+    # enumeration) and excise all but the canonical occurrence, the
+    # Lee et al. 2022 "train on each span once" rule
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import common_spans, excise_common_spans
+
+    spans = common_spans(curated, k=8, min_docs=5)
+    excised = excise_common_spans(curated.select("doc_id", "text"), spans, k=8)
+    print("span excision (shared boilerplate collapsed to one occurrence):")
+    excised.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("excised_tokens").alias("tokens_excised"),
+        F.sum(F.when(F.col("excised_tokens") > 0, 1).otherwise(0)).alias("docs_touched"),
+    ).show()
+    excised.orderBy("doc_id").select("doc_id", "text").show(3, truncate=60)
     spark.stop()
 
 

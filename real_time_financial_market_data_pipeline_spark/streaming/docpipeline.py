@@ -107,3 +107,43 @@ class DocStreamJob:
             )
         )
         return mgr
+
+    def excise_spans(
+        self,
+        spark,
+        k: int = 8,
+        min_docs: int = 5,
+        max_fp_docs: int | None = None,
+    ) -> str:
+        """Stream-stopped span-dedup pass over the curated table (the
+        Lee et al. 2022 treatment): find corpus-common k-token spans
+        with `common_spans` (per-fingerprint aggregate — no pair
+        enumeration) and rewrite each document with every occurrence
+        excised EXCEPT the canonical representative, into
+        `curated_excised/` (same split partitioning, so a training
+        job swaps the directory and nothing else).
+
+        Inherently a batch OPTIMIZE, not a streaming stage: "common
+        across the corpus" is a two-pass property no single micro-batch
+        can see.  Run it after a drain, like the compactions; re-runs
+        overwrite (idempotent).  Returns the output path.
+
+        `min_docs` tunes what counts as boilerplate; `max_fp_docs`
+        (optional) additionally SKIPS ultra-common spans from excision
+        cost accounting — normally unnecessary since excision never
+        enumerates pairs.
+        """
+        from real_time_financial_market_data_pipeline_spark.operators.dedup import common_spans, excise_common_spans
+
+        curated_dir = os.path.join(self.out_dir, "curated")
+        out_path = os.path.join(self.out_dir, "curated_excised")
+        curated = spark.read.parquet(curated_dir)
+        spans = common_spans(curated, k=k, min_docs=min_docs)
+        if max_fp_docs is not None:
+            spans = spans.filter(F.col("n_docs") <= max_fp_docs)
+        rewritten = excise_common_spans(
+            curated.select("doc_id", "text"), spans, k=k
+        )
+        out = curated.drop("text").join(rewritten, "doc_id")
+        out.write.mode("overwrite").partitionBy("split").parquet(out_path)
+        return out_path

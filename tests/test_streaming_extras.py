@@ -506,3 +506,49 @@ def test_rocksdb_state_store_executes(spark, tmp_path):
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
     )
+
+
+def test_doc_stream_excise_spans_post_drain(spark, tmp_path):
+    """DocStreamJob.excise_spans: the stream-stopped span-dedup pass
+    rewrites curated docs with corpus-common spans excised (keep-one
+    rule), preserving every row, the metric columns, and the split
+    partition layout a training job consumes."""
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+    from real_time_financial_market_data_pipeline_spark.streaming.docpipeline import DocStreamJob
+
+    boiler = (
+        "copyright notice all rights reserved by the example company "
+        "and its subsidiaries worldwide in every region"
+    )  # 16 tokens, will be shared by every doc
+    feed = str(tmp_path / "feed")
+    out = str(tmp_path / "out")
+    os.makedirs(feed)
+    with open(os.path.join(feed, "f.json"), "w") as f:
+        for i in range(8):
+            text = (
+                f"document {i} body talks about subject {i * 3} in detail "
+                f"with several honest sentences of its own material here "
+                + boiler
+            )
+            f.write(json.dumps({"doc_id": i, "text": text, "lang": "en", "source": "a"}) + "\n")
+
+    job = DocStreamJob(out_dir=out)
+    mgr = job.start(read_doc_stream(spark, feed))
+    assert mgr.await_all(timeout_s=120)
+    curated = spark.read.parquet(os.path.join(out, "curated"))
+    n = curated.count()
+    assert n == 8
+
+    path = job.excise_spans(spark, k=8, min_docs=5)
+    excised = spark.read.parquet(path)
+    assert excised.count() == n                       # every row preserved
+    assert {"split", "quality", "n_tokens", "excised_tokens"} <= set(excised.columns)
+    rows = {r["doc_id"]: r for r in excised.collect()}
+    keepers = [d for d, r in rows.items() if boiler in r["text"]]
+    assert keepers == [0]                             # canonical rep only
+    touched = [d for d, r in rows.items() if r["excised_tokens"] > 0]
+    assert sorted(touched) == list(range(1, 8))
+    for d in range(1, 8):                             # own material intact
+        assert f"document {d} body talks about subject {d * 3}" in rows[d]["text"]
+    # split partition dirs exist on disk (training-job layout)
+    assert any(p.startswith("split=") for p in os.listdir(path))

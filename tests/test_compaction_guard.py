@@ -303,3 +303,48 @@ def test_compact_gold_bucketed_empty_layer_clear_error(spark, tmp_path):
     os.makedirs(path)
     with pytest.raises(FileNotFoundError, match="no committed batch directory"):
         compact_gold_bucketed(spark, path, ["symbol"], "never_serving")
+
+
+def test_staged_recovery_respects_uncommitted_tail(spark, tmp_path):
+    """Crash DURING a guarded fold's publish phase (staged dir exists,
+    old dirs not yet deleted) while the tail batch is still
+    replayable: the re-run must finish publishing the staged snapshot
+    over the in-scope dirs only, leaving the tail delta untouched —
+    and a later unguarded fold (tail committed) folds everything."""
+    from real_time_financial_market_data_pipeline_spark.streaming.sinks import (
+        committed_fold_bound,
+        compact_latest_state,
+        latest_state_on_read,
+    )
+
+    path = str(tmp_path / "layer")
+    ck = str(tmp_path / "ck" / "q")
+    os.makedirs(os.path.join(ck, "commits"))
+    for i, price in enumerate([10.0, 11.0, 12.0]):
+        spark.createDataFrame(
+            [("AAPL", price)], "symbol string, price double"
+        ).write.parquet(os.path.join(path, f"batch_id={i}"))
+    for i in (0, 1):  # batch 2 uncommitted (replayable)
+        open(os.path.join(ck, "commits", str(i)), "w").close()
+
+    # hand-build the crash state: staged snapshot of the in-scope fold
+    # (batches 0-1 -> per-key latest = 11.0) exists, old dirs remain
+    bound = committed_fold_bound(path, ck)
+    assert bound == 2
+    staged = os.path.join(path, "_compact_staged_1")
+    spark.createDataFrame(
+        [("AAPL", 11.0, 1)], "symbol string, price double, batch_id int"
+    ).write.parquet(staged)
+
+    folded = compact_latest_state(spark, path, ["symbol"], only_below=bound)
+    assert folded == 2  # finished the staged publish over batches 0-1
+    assert _batch_ids(path) == {1, 2}  # snapshot + untouched tail
+    resolved = latest_state_on_read(spark.read.parquet(path), ["symbol"]).collect()
+    assert resolved[0]["price"] == 12.0  # tail still wins resolve-on-read
+
+    # tail commits (replay finished) -> full fold collapses to one dir
+    open(os.path.join(ck, "commits", "2"), "w").close()
+    assert committed_fold_bound(path, ck) is None
+    compact_latest_state(spark, path, ["symbol"])
+    assert _batch_ids(path) == {2}
+    assert spark.read.parquet(path).collect()[0]["price"] == 12.0

@@ -849,6 +849,13 @@ def excise_common_spans(
     )
     return joined.select(
         F.col("id").alias(id_col),
-        F.concat_ws(" ", kept).alias(text_col),
-        (F.size("_toks") - F.size(kept)).cast("long").alias("excised_tokens"),
+        # null text stays null (token-space rebuild of nothing is
+        # nothing, not ""); size() returns -1 on null, hence the guard
+        F.when(F.col("_toks").isNull(), F.lit(None).cast("string"))
+        .otherwise(F.concat_ws(" ", kept))
+        .alias(text_col),
+        F.when(F.col("_toks").isNull(), F.lit(0))
+        .otherwise(F.size("_toks") - F.size(kept))
+        .cast("long")
+        .alias("excised_tokens"),
     )

@@ -493,3 +493,13 @@ def test_excise_common_spans_keeps_one_occurrence(spark):
     # untouched doc passes through (token-space normalization)
     assert out[4]["text"] == "nothing shared in this document at all"
     assert out[4]["excised_tokens"] == 0
+
+    # null text stays null (not coerced to "")
+    with_null = docs.unionByName(
+        docs.sparkSession.createDataFrame([(9, None)], "doc_id long, text string")
+    )
+    out9 = {
+        r["doc_id"]: r
+        for r in excise_common_spans(with_null, spans, k=6).collect()
+    }[9]
+    assert out9["text"] is None and out9["excised_tokens"] == 0

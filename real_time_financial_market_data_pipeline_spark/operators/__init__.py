@@ -3,6 +3,7 @@ from real_time_financial_market_data_pipeline_spark.operators.latest import late
 from real_time_financial_market_data_pipeline_spark.operators.topk import top_k_per_group
 from real_time_financial_market_data_pipeline_spark.operators.dedup import (
     common_spans,
+    decontaminate_spans,
     exact_dedup,
     excise_common_spans,
     minhash_near_dup_pairs,
@@ -24,6 +25,7 @@ __all__ = [
     "top_k_per_group",
     "exact_dedup",
     "common_spans",
+    "decontaminate_spans",
     "excise_common_spans",
     "repeated_span_pairs",
     "minhash_near_dup_pairs",

@@ -757,3 +757,47 @@ def span_certificate(
         F.col("id_a"), F.col("id_b"), F.lit(0.0), F.lit(float(len(block_words))),
     )
     return mismatches.unionByName(missed)
+
+
+def span_decontamination_certificate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    k: int = 13,
+    plant_below: int = 10,
+    family: str = "decontaminate_spans",
+) -> DataFrame:
+    """RECOVERY certificate for the span-level decontamination rule:
+    EMBED a verbatim k+spare-token window of each benchmark doc (from a
+    bounded subcorpus) inside a synthetic filler training page; every
+    planted page must be flagged by span_contaminated_ids and dropped
+    by decontaminate_spans.  Deterministic (identical windows hash
+    identically), so a miss is a broken-fingerprint defect, not noise.
+    Cost: |plant| synthetic pages through one fp equi-join — O(1)
+    relative to corpus size."""
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import decontaminate_spans
+
+    bench = (
+        benchmark.filter(F.col("doc_id") < plant_below)
+        .select("doc_id", "text")
+        .withColumn("_toks", F.split(F.lower(F.col("text")), r"[^a-z0-9]+"))
+        .withColumn("_toks", F.filter(F.col("_toks"), lambda t: t != ""))
+        .filter(F.size("_toks") >= k + 2)  # enough for a robust window
+    )
+    filler = " ".join(f"xqzfill{i} pad{i * 3}" for i in range(30))
+    planted = bench.select(
+        (F.col("doc_id") + F.lit(20_000_000_000)).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit(filler),
+            F.concat_ws(" ", F.slice(F.col("_toks"), 1, k + 2)),
+            F.lit(filler),
+        ).alias("text"),
+    )
+    survivors = decontaminate_spans(
+        planted, benchmark.filter(F.col("doc_id") < plant_below), k=k
+    )
+    return _viol(
+        survivors,
+        family, "planted_embedding_survived",
+        F.col("doc_id"), F.lit(None), F.lit(1.0), F.lit(0.0),
+    )

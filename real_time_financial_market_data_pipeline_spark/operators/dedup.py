@@ -859,3 +859,60 @@ def excise_common_spans(
         .cast("long")
         .alias("excised_tokens"),
     )
+
+
+def span_contaminated_ids(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 13,
+    min_windows: int = 1,
+) -> DataFrame:
+    """Training documents containing a verbatim k-token window of any
+    benchmark document — the GPT-3-style n-gram overlap decontamination
+    rule (k=13 there), which catches PARTIAL contamination (a benchmark
+    question embedded inside an otherwise-unrelated page) that
+    doc-level near-dup matching (`minhash_cross_corpus_pairs`)
+    structurally cannot see.
+
+    Returns (id_col, matched_windows, matched_benchmark_docs) for every
+    train doc with >= min_windows distinct matched window positions.
+    Plan: both sides window-fingerprinted map-side, one equi-join on
+    the 64-bit fp (never |train| x |benchmark|), one hash-agg — linear
+    in each corpus.  `min_windows > 1` trades recall for robustness to
+    hash-collision noise / generic k-token phrases."""
+    t = span_fingerprints(train, id_col=id_col, text_col=text_col, k=k)
+    b = span_fingerprints(benchmark, id_col=id_col, text_col=text_col, k=k)
+    matched = t.join(
+        b.select(F.col("fp"), F.col("id").alias("_bench_id")).distinct(), "fp"
+    )
+    return (
+        matched.groupBy("id")
+        .agg(
+            F.count_distinct("pos").alias("matched_windows"),
+            F.count_distinct("_bench_id").alias("matched_benchmark_docs"),
+        )
+        .filter(F.col("matched_windows") >= min_windows)
+        .select(
+            F.col("id").alias(id_col), "matched_windows", "matched_benchmark_docs"
+        )
+    )
+
+
+def decontaminate_spans(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 13,
+    min_windows: int = 1,
+) -> DataFrame:
+    """Drop training documents flagged by `span_contaminated_ids` —
+    the span-level companion to `decontaminate` (doc-level minhash):
+    run BOTH at corpus scale; minhash catches paraphrased/reordered
+    near-copies, the span rule catches short verbatim embeddings."""
+    flagged = span_contaminated_ids(
+        train, benchmark, id_col=id_col, text_col=text_col, k=k, min_windows=min_windows
+    ).select(id_col)
+    return train.join(flagged, id_col, "left_anti")

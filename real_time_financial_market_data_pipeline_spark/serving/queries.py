@@ -2064,6 +2064,7 @@ def q_approx_soundness_certificates(spark: SparkSession, sf_dir: str) -> DataFra
         repetition_certificate,
         simhash_certificate,
         span_certificate,
+        span_decontamination_certificate,
     )
     from real_time_financial_market_data_pipeline_spark.operators.multimodal import synthesize_media
     from real_time_financial_market_data_pipeline_spark.operators.similarity import embedding_near_dup_pairs
@@ -2124,6 +2125,12 @@ def q_approx_soundness_certificates(spark: SparkSession, sf_dir: str) -> DataFra
         # span re-extracts identically on both sides) + planted shared
         # blocks recovered between every planted pair; bounded subcorpus
         span_certificate(docs),
+        # round 7: span-level (GPT-3 n-gram rule) decontamination —
+        # benchmark windows EMBEDDED verbatim in synthetic filler pages
+        # must always be flagged and dropped; bounded subcorpus
+        span_decontamination_certificate(
+            _decontam_train(docs), _decontam_benchmark(docs)
+        ),
         # COMPLETENESS legs (round-3/4 VERDICT task 5): soundness alone
         # never catches a recall regression — these do.  Floors sit
         # below the measured per-query operating points at sf0.01/sf0.1

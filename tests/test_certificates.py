@@ -295,3 +295,19 @@ def test_span_certificate_green_and_fires_on_broken_operator(spark, monkeypatch)
     viol = certify.span_certificate(_docs(spark)).collect()
     assert len(viol) == 3  # C(3,2) planted pairs all missed
     assert all(r["kind"] == "planted_span_missed" for r in viol)
+
+
+def test_span_decontamination_certificate_green_and_fires(spark, monkeypatch):
+    """span_decontamination_certificate: zero violations with the real
+    rule; a no-op decontaminator leaves every planted page and fires
+    one planted_embedding_survived per plant."""
+    from real_time_financial_market_data_pipeline_spark.operators import certify, dedup
+    from real_time_financial_market_data_pipeline_spark.serving import queries as Q
+
+    train = Q._decontam_train(_docs(spark))
+    bench = Q._decontam_benchmark(_docs(spark))
+    assert certify.span_decontamination_certificate(train, bench).count() == 0
+
+    monkeypatch.setattr(dedup, "decontaminate_spans", lambda t, b, **kw: t)
+    viol = certify.span_decontamination_certificate(train, bench).collect()
+    assert viol and all(r["kind"] == "planted_embedding_survived" for r in viol)

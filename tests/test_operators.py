@@ -503,3 +503,48 @@ def test_excise_common_spans_keeps_one_occurrence(spark):
         for r in excise_common_spans(with_null, spans, k=6).collect()
     }[9]
     assert out9["text"] is None and out9["excised_tokens"] == 0
+
+
+def test_span_level_decontamination(spark):
+    """GPT-3-style n-gram-overlap decontamination: a benchmark question
+    embedded VERBATIM inside an otherwise-unrelated training page is
+    flagged and dropped — partial contamination doc-level near-dup
+    matching cannot see (the page's shingle set barely overlaps the
+    benchmark doc's)."""
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import (
+        decontaminate_spans,
+        minhash_cross_corpus_pairs,
+        span_contaminated_ids,
+    )
+
+    question = (
+        "what is the capital city of the country directly north of the "
+        "river that flows through the oldest bridge in europe"
+    )  # 21 tokens
+    filler = " ".join(f"filler{i} content{i*3} words{i*7}" for i in range(40))
+    train = spark.createDataFrame(
+        [
+            (1, filler + " " + question + " " + filler),  # embedded verbatim
+            (2, "a perfectly clean training document about cooking pasta "
+                "with tomatoes and basil in a large pot of salted water"),
+        ],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(100, question + " answer choices follow below")],
+        "doc_id long, text string",
+    )
+
+    flagged = span_contaminated_ids(train, benchmark, k=13).collect()
+    assert [r["doc_id"] for r in flagged] == [1]
+    assert flagged[0]["matched_windows"] >= 21 - 13 + 1 - 4  # most windows hit
+    assert flagged[0]["matched_benchmark_docs"] == 1
+
+    kept = {r["doc_id"] for r in decontaminate_spans(train, benchmark, k=13).collect()}
+    assert kept == {2}
+
+    # the doc-level near-dup rule does NOT see this contamination: the
+    # embedding is a tiny fraction of doc 1's shingles, far below any
+    # usable Jaccard threshold — which is exactly why the span rule exists
+    doclevel = minhash_cross_corpus_pairs(train, benchmark, threshold=0.5)
+    assert doclevel.count() == 0

@@ -90,10 +90,12 @@ PLAN_BUDGET: dict[str, tuple[int, bool, int]] = {
     # +11 pushed scans): the repetition_metrics leg re-derives three
     # ratios relationally (explode + positional self-join + two-level
     # groupBy)
-    # re-pinned round 7: +2 exchanges / +2 filtered scans from the
-    # span_certificate leg (fp equi-join + run-merge window on the
-    # bounded planted subcorpus)
-    "approx_soundness_certificates": (63, True, 62),
+    # re-pinned round 7 (twice): +2 exchanges / +2 filtered scans from
+    # the span_certificate leg (fp equi-join + run-merge window on the
+    # bounded planted subcorpus), then +4/+3 from the span-level
+    # decontamination leg (two fp fingerprint sides + flag agg +
+    # anti-join, bounded planted pages)
+    "approx_soundness_certificates": (67, True, 65),
     "decontaminated_docs": (4, True, 3),
     "minhash_near_dups": (1, True, 0),
     "simhash_near_dups": (1, True, 2),

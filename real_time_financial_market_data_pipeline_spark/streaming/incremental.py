@@ -71,6 +71,16 @@ class IncrementalDedupJob:
     threshold: float = 0.5
     shingle_n: int = 3
     near_dup: bool = True
+    # Span-level benchmark decontamination at INGEST (the GPT-3 n-gram
+    # rule, streaming form): path to a fingerprint index built by
+    # `build_benchmark_span_index` — every batch drops docs containing a
+    # verbatim decontam_k-token window of any benchmark doc BEFORE they
+    # enter the corpus (cheaper than a post-hoc sweep, and the corpus is
+    # clean from the first byte).  Per-batch cost: map-side window
+    # hashing of the batch + one equi-join against the static index —
+    # flat in corpus size.  None disables.
+    benchmark_fp_dir: str | None = None
+    decontam_k: int = 13
     trigger: dict = field(default_factory=lambda: {"availableNow": True})
 
     def checkpoints(self) -> str:
@@ -147,6 +157,22 @@ class IncrementalDedupJob:
                 batch = batch.join(
                     prior_corpus.select("fingerprint"), "fingerprint", "left_anti"
                 )
+
+            # 2b. span-level benchmark decontamination at ingest: drop
+            # docs containing any verbatim k-token benchmark window
+            if self.benchmark_fp_dir is not None:
+                from real_time_financial_market_data_pipeline_spark.operators.dedup import span_fingerprints
+
+                bench_fps = spark.read.parquet(self.benchmark_fp_dir)
+                hit = (
+                    span_fingerprints(
+                        batch.select("doc_id", "text"), k=self.decontam_k
+                    )
+                    .join(bench_fps.select("fp"), "fp")
+                    .select(F.col("id").alias("doc_id"))
+                    .distinct()
+                )
+                batch = batch.join(hit, "doc_id", "left_anti")
 
             if self.near_dup:
                 bands_df = banded_signatures(
@@ -261,3 +287,27 @@ def corpus_view(spark, out_dir: str, empty_schema=None) -> DataFrame:
             "empty frame with your doc schema."
         )
     return spark.read.parquet(path)
+
+
+def build_benchmark_span_index(
+    benchmark: DataFrame,
+    out_dir: str,
+    k: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Materialize the distinct span fingerprints of a benchmark corpus
+    as the static index `IncrementalDedupJob.benchmark_fp_dir` consumes
+    (one column `fp bigint` — the smallest thing the per-batch
+    decontamination join can read).  Rebuild whenever the benchmark set
+    changes; the ingest job picks the new index up on its next batch.
+    Returns the number of distinct fingerprints written."""
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import span_fingerprints
+
+    fps = (
+        span_fingerprints(benchmark, id_col=id_col, text_col=text_col, k=k)
+        .select("fp")
+        .distinct()
+    )
+    fps.write.mode("overwrite").parquet(out_dir)
+    return benchmark.sparkSession.read.parquet(out_dir).count()

@@ -234,3 +234,58 @@ def test_views_on_never_written_output(spark, tmp_path):
     assert empty.count() == 0
     with pytest.raises(FileNotFoundError, match="empty_schema"):
         corpus_view(spark, out)
+
+
+def test_ingest_time_span_decontamination(spark, tmp_path):
+    """Span-level benchmark decontamination at INGEST: a training doc
+    embedding a verbatim 13-token benchmark window never enters the
+    corpus; clean docs do; a crash-replay restart reproduces the same
+    decision (the gate is deterministic and inside the idempotent
+    batch write)."""
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+    from real_time_financial_market_data_pipeline_spark.streaming.incremental import build_benchmark_span_index
+
+    question = (
+        "which ancient city stood at the mouth of the river crossing "
+        "seven hills beneath the old citadel walls"
+    )  # 18 tokens
+    bench_df = spark.createDataFrame(
+        [(900, question + " choose the best answer")], "doc_id long, text string"
+    )
+    bench_dir = str(tmp_path / "bench_fp")
+    n_fp = build_benchmark_span_index(bench_df, bench_dir, k=13)
+    assert n_fp > 0
+
+    filler = " ".join(f"page{i} words{i * 3} here{i * 7}" for i in range(30))
+    feed, out = str(tmp_path / "feed"), str(tmp_path / "out")
+    _write_doc_feed(
+        feed,
+        [
+            [
+                {"doc_id": 1, "text": LONG_A},
+                {"doc_id": 2, "text": filler + " " + question + " " + filler},
+            ],
+            [{"doc_id": 3, "text": LONG_B}],
+        ],
+    )
+
+    def drain():
+        docs = read_doc_stream(spark, feed, max_files_per_trigger=1)
+        job = IncrementalDedupJob(out_dir=out, benchmark_fp_dir=bench_dir)
+        q = job.start(docs.select("doc_id", "text"))
+        assert q.awaitTermination(180)
+
+    drain()
+    kept = sorted(r["doc_id"] for r in corpus_view(spark, out).collect())
+    assert kept == [1, 3]  # contaminated doc 2 never entered
+
+    # crash before the last commit -> replay must decide identically
+    commits = os.path.join(out, "_checkpoints", "incremental_dedup", "commits")
+    newest = max((d for d in os.listdir(commits) if d.isdigit()), key=int)
+    for f in (newest, f".{newest}.crc"):
+        p = os.path.join(commits, f)
+        if os.path.exists(p):
+            os.remove(p)
+    drain()
+    kept = sorted(r["doc_id"] for r in corpus_view(spark, out).collect())
+    assert kept == [1, 3]

@@ -424,3 +424,52 @@ def test_repeated_span_pairs_matches_naive(spark, docs, k):
         for r in repeated_span_pairs(df, k=k).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc"]), max_size=16),
+        min_size=2,
+        max_size=5,
+    ),
+)
+def test_excise_common_spans_invariants(spark, docs):
+    """The keep-one excision treatment, on ANY corpus: (a) every
+    common-span text survives AT MOST once corpus-wide (the rep may
+    itself be destroyed by an overlapping span's excision — 'exactly
+    once' is NOT guaranteed, 'at most' is); (b) docs carrying no
+    common window are byte-identical in token space; (c) excised_tokens
+    equals the token-count delta and is never negative."""
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import common_spans, excise_common_spans
+
+    k = 3
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    spans = common_spans(df, k=k, min_docs=2).localCheckpoint(eager=True)
+    span_texts = {r["span_text"] for r in spans.collect()}
+    out = {r["doc_id"]: r for r in excise_common_spans(df, spans, k=k).collect()}
+
+    def windows(toks):
+        return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+    # (a) each common span's text survives at most once corpus-wide
+    from collections import Counter
+
+    survived = Counter()
+    for r in out.values():
+        for w in windows(r["text"].split() if r["text"] else []):
+            if w in span_texts:
+                survived[w] += 1
+    assert all(n <= 1 for n in survived.values()), survived
+
+    # (b)/(c) per-doc accounting
+    for i, toks in enumerate(docs):
+        row = out[i]
+        got_toks = row["text"].split() if row["text"] else []
+        assert row["excised_tokens"] == len(toks) - len(got_toks)
+        assert row["excised_tokens"] >= 0
+        if not any(w in span_texts for w in windows(toks)):
+            assert got_toks == toks  # untouched doc is identical

@@ -660,6 +660,8 @@ def span_fingerprints(
     work per document.  The token array is STAGED as a projected column
     before the transform so the lambda's slice reads an attribute, not a
     re-evaluated expression (see shingles_of)."""
+    if k < 1:
+        raise ValueError(f"window size k must be >= 1 (got {k})")
     staged = df.select(
         F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("_toks")
     )

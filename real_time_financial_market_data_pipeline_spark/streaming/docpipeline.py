@@ -137,6 +137,12 @@ class DocStreamJob:
 
         curated_dir = os.path.join(self.out_dir, "curated")
         out_path = os.path.join(self.out_dir, "curated_excised")
+        if not os.path.isdir(curated_dir):
+            raise FileNotFoundError(
+                f"{curated_dir} does not exist — the curation stream never "
+                "wrote a batch (or out_dir is wrong); drain DocStreamJob "
+                "before running the excision pass"
+            )
         curated = spark.read.parquet(curated_dir)
         spans = common_spans(curated, k=k, min_docs=min_docs)
         if max_fp_docs is not None:

@@ -433,6 +433,11 @@ def test_repeated_span_pairs_exact(spark):
     # min_span_tokens prunes; doc 3 never appears anywhere
     assert repeated_span_pairs(docs, k=4, min_span_tokens=13).count() == 0
 
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window size k"):
+        repeated_span_pairs(docs, k=0).count()
+
     # the aggregate (non-pair) form: the full block fp spans 3 docs with
     # 4 occurrences, deterministic representative, text re-extracted
     cs = common_spans(docs, k=12, min_docs=2).collect()

@@ -760,7 +760,6 @@ def span_certificate(
 
 
 def span_decontamination_certificate(
-    train: DataFrame,
     benchmark: DataFrame,
     k: int = 13,
     plant_below: int = 10,

@@ -2128,9 +2128,7 @@ def q_approx_soundness_certificates(spark: SparkSession, sf_dir: str) -> DataFra
         # round 7: span-level (GPT-3 n-gram rule) decontamination —
         # benchmark windows EMBEDDED verbatim in synthetic filler pages
         # must always be flagged and dropped; bounded subcorpus
-        span_decontamination_certificate(
-            _decontam_train(docs), _decontam_benchmark(docs)
-        ),
+        span_decontamination_certificate(_decontam_benchmark(docs)),
         # COMPLETENESS legs (round-3/4 VERDICT task 5): soundness alone
         # never catches a recall regression — these do.  Floors sit
         # below the measured per-query operating points at sf0.01/sf0.1

@@ -304,10 +304,9 @@ def test_span_decontamination_certificate_green_and_fires(spark, monkeypatch):
     from real_time_financial_market_data_pipeline_spark.operators import certify, dedup
     from real_time_financial_market_data_pipeline_spark.serving import queries as Q
 
-    train = Q._decontam_train(_docs(spark))
     bench = Q._decontam_benchmark(_docs(spark))
-    assert certify.span_decontamination_certificate(train, bench).count() == 0
+    assert certify.span_decontamination_certificate(bench).count() == 0
 
     monkeypatch.setattr(dedup, "decontaminate_spans", lambda t, b, **kw: t)
-    viol = certify.span_decontamination_certificate(train, bench).collect()
+    viol = certify.span_decontamination_certificate(bench).collect()
     assert viol and all(r["kind"] == "planted_embedding_survived" for r in viol)

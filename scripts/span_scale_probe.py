@@ -56,6 +56,44 @@ def main() -> None:
             results.append(rec)
             print(json.dumps(rec), flush=True)
 
+        # ---- worst-case-repetition leg: replicate sf0.01 docs K-fold
+        # (distinct ids).  Every window is now in >= K docs — the regime
+        # where pair enumeration explodes O(K²) per window BY DESIGN of
+        # the data.  The designed behavior: the frequency cap excludes
+        # such windows from pair generation (flat cost), and the
+        # aggregate form scales ~linearly in corpus size no matter how
+        # common the spans are.
+        from pyspark.sql import functions as F
+
+        base = load_table(spark, "/root/testdata/sf0.01", "documents")
+        for reps in (4, 16):
+            repl = base
+            for i in range(1, reps):
+                repl = repl.unionByName(
+                    base.withColumn(
+                        "doc_id", F.col("doc_id") + F.lit(i * 10_000_000)
+                    )
+                )
+            repl = repl.localCheckpoint(eager=True)
+            n_docs = repl.count()
+
+            t0 = time.perf_counter()
+            n_pairs = repeated_span_pairs(repl, k=8, max_fp_docs=3).count()
+            capped_s = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            n_common = common_spans(repl, k=8, min_docs=2).count()
+            common_s = round(time.perf_counter() - t0, 3)
+            rec = {
+                "variant": f"replicated_{reps}x_worst_case_repetition",
+                "docs": n_docs,
+                "capped_pairs": n_pairs,
+                "capped_pairs_s": capped_s,
+                "common_rows": n_common,
+                "common_s": common_s,
+            }
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
+
         r_small, r_big = results[1], results[2]  # 10x span, past fixed overhead
         rec = {
             "variant": "scaling_exponent_sf0.01_sf0.1",

@@ -817,18 +817,29 @@ def excise_common_spans(
     Plan: re-fingerprint the windows (map-side), equi-join to the
     excised fp set, drop the representative occurrence, aggregate
     covered token positions per doc (flatten k-sequences, distinct),
-    and rebuild text by filtering the staged token array — one shuffle
-    for the fp join, one for the per-doc aggregate.  The per-doc
-    covered-position array is bounded by the doc's own token count, so
-    memory stays O(doc) per row; the rebuild's membership test is
-    O(tokens × covered) per doc, fine for web-scale docs (a doc that is
-    MOSTLY boilerplate is cheaper to drop than to excise — filter on
-    excised_tokens/token ratio downstream).
+    and rebuild text from the kept positions — one shuffle for the fp
+    join, one for the per-doc aggregate.  The per-doc covered-position
+    array is bounded by the doc's own token count, so memory stays
+    O(doc) per row; the rebuild is `array_except` over positions
+    (hash-based, O(tokens + covered) per doc) followed by O(1)
+    element_at lookups — linear even for a document that is mostly
+    boilerplate.
 
     Note the reconstruction is in TOKEN space (lowercased, punctuation
     collapsed to single spaces) — the right currency for training-data
     pipelines whose tokenizer consumes the same normalization; keep the
-    original column alongside if byte-exact provenance matters."""
+    original column alongside if byte-exact provenance matters.
+
+    SPLICE ARTIFACT (inherent to cut-and-concatenate excision, same as
+    the suffix-array treatment's "discontinuities"): removing an
+    interior occurrence joins its flanking tokens, which can form NEW
+    k-grams — degenerately even the excised span itself (e.g. removing
+    the middle [aa aa bb] from "aa aa [aa aa bb] bb" leaves
+    "aa aa bb").  The guarantee is exact POSITIONAL deletion (every
+    non-representative occurrence's tokens are removed; property-
+    tested), not k-gram absence; pipelines that must avoid splice
+    artifacts should split documents at excision boundaries instead
+    (compose with operators.chunking)."""
     fps = span_fingerprints(df, id_col=id_col, text_col=text_col, k=k)
     hits = fps.join(
         spans.select("fp", "rep_id", "rep_pos"), "fp"
@@ -846,9 +857,15 @@ def excise_common_spans(
     joined = staged.join(covered, "id", "left").withColumn(
         "_covered", F.coalesce(F.col("_covered"), F.array().cast("array<int>"))
     )
-    kept = F.filter(
-        F.col("_toks"), lambda t, i: ~F.array_contains(F.col("_covered"), i + 1)
-    )
+    # kept positions = all positions minus covered (array_except keeps
+    # the FIRST array's order, so ascending); sequence(1, 0) would be
+    # DESCENDING [1, 0] — hence the n >= 1 guard for empty token arrays
+    n = F.size("_toks")
+    kept_pos = F.when(
+        n >= 1,
+        F.array_except(F.sequence(F.lit(1), n), F.col("_covered")),
+    ).otherwise(F.array().cast("array<int>"))
+    kept = F.transform(kept_pos, lambda p: F.element_at(F.col("_toks"), p))
     return joined.select(
         F.col("id").alias(id_col),
         # null text stays null (token-space rebuild of nothing is

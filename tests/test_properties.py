@@ -435,12 +435,13 @@ def test_repeated_span_pairs_matches_naive(spark, docs, k):
     ),
 )
 def test_excise_common_spans_invariants(spark, docs):
-    """The keep-one excision treatment, on ANY corpus: (a) every
-    common-span text survives AT MOST once corpus-wide (the rep may
-    itself be destroyed by an overlapping span's excision — 'exactly
-    once' is NOT guaranteed, 'at most' is); (b) docs carrying no
-    common window are byte-identical in token space; (c) excised_tokens
-    equals the token-count delta and is never negative."""
+    """The keep-one excision treatment, on ANY corpus: the output is
+    EXACTLY the input with every non-representative occurrence's token
+    positions deleted (full deterministic reconstruction against a
+    Python reference — this also pins the documented splice artifact:
+    flanks joining may re-form k-grams, but never resurrect deleted
+    POSITIONS), plus excised_tokens accounting and untouched-doc
+    identity."""
     from real_time_financial_market_data_pipeline_spark.operators.dedup import common_spans, excise_common_spans
 
     k = 3
@@ -449,26 +450,31 @@ def test_excise_common_spans_invariants(spark, docs):
         "doc_id long, text string",
     )
     spans = common_spans(df, k=k, min_docs=2).localCheckpoint(eager=True)
-    span_texts = {r["span_text"] for r in spans.collect()}
+    span_rows = spans.collect()
     out = {r["doc_id"]: r for r in excise_common_spans(df, spans, k=k).collect()}
 
     def windows(toks):
         return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
 
-    # (a) each common span's text survives at most once corpus-wide
-    from collections import Counter
+    # Python reference: covered = every occurrence of every common span
+    # EXCEPT that span's one (rep_id, rep_pos) representative window
+    covered: dict[int, set] = {i: set() for i in range(len(docs))}
+    for sr in span_rows:
+        target = sr["span_text"]
+        for i, toks in enumerate(docs):
+            for pos0, w in enumerate(windows(toks)):
+                pos = pos0 + 1  # operator positions are 1-based
+                if w == target and not (
+                    i == sr["rep_id"] and pos == sr["rep_pos"]
+                ):
+                    covered[i].update(range(pos, pos + k))
 
-    survived = Counter()
-    for r in out.values():
-        for w in windows(r["text"].split() if r["text"] else []):
-            if w in span_texts:
-                survived[w] += 1
-    assert all(n <= 1 for n in survived.values()), survived
-
-    # (b)/(c) per-doc accounting
+    span_texts = {sr["span_text"] for sr in span_rows}
     for i, toks in enumerate(docs):
         row = out[i]
         got_toks = row["text"].split() if row["text"] else []
+        expected = [t for p, t in enumerate(toks, 1) if p not in covered[i]]
+        assert got_toks == expected, (i, got_toks, expected)
         assert row["excised_tokens"] == len(toks) - len(got_toks)
         assert row["excised_tokens"] >= 0
         if not any(w in span_texts for w in windows(toks)):

@@ -714,6 +714,21 @@ def span_certificate(
     plant = base.orderBy("doc_id").limit(plant_ids).select(
         "doc_id", F.concat_ws(" ", F.col("text"), F.lit(block)).alias("text")
     )
+    # vacuity guard: with < 2 planted docs there are NO expected pairs and
+    # the recovery leg would pass without exercising the operator at all —
+    # a mis-sized subcorpus must read as a violation, not as green
+    n_planted = plant.count()
+    if n_planted < 2:
+        return _viol(
+            spark.range(1),
+            family,
+            "planted_set_empty",
+            F.lit(None),
+            F.lit(None),
+            F.lit(float(n_planted)),
+            F.lit(float(plant_ids)),
+        )
+
     corpus = base.join(
         plant.select("doc_id"), "doc_id", "left_anti"
     ).unionByName(plant).localCheckpoint(eager=True)
@@ -792,6 +807,19 @@ def span_decontamination_certificate(
             F.lit(filler),
         ).alias("text"),
     )
+    # vacuity guard: if every benchmark doc under plant_below has fewer
+    # than k+2 tokens, the planted frame is EMPTY and zero violations
+    # would mean "never exercised", not "clean" — surface it as red
+    if planted.isEmpty():
+        return _viol(
+            benchmark.sparkSession.range(1),
+            family,
+            "planted_set_empty",
+            F.lit(None),
+            F.lit(None),
+            F.lit(0.0),
+            F.lit(1.0),
+        )
     survivors = decontaminate_spans(
         planted, benchmark.filter(F.col("doc_id") < plant_below), k=k
     )

@@ -464,6 +464,16 @@ def compact_gold_bucketed(
     uncommitted replayable tail) — there is nothing publishable yet.
     """
     import re
+    import shutil
+
+    # a crash between the refold branch's rename(snap, trash) and its
+    # rmtree(trash) strands the OLD snapshot under _compact_trash — and
+    # nothing below revisits it unless a future call happens to refold,
+    # so it could double the layer's disk footprint indefinitely.  The
+    # staged dir (or the published snapshot) always holds the full data
+    # by the time trash exists, so trash is never recovery state: drop
+    # it unconditionally at entry, like the stale-inprog cleanup.
+    shutil.rmtree(os.path.join(path, "_compact_trash"), ignore_errors=True)
 
     sort_cols = sort_cols or list(key_cols)
     bucket_col = key_cols[0]

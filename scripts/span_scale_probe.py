@@ -95,15 +95,19 @@ def main() -> None:
             print(json.dumps(rec), flush=True)
 
         r_small, r_big = results[1], results[2]  # 10x span, past fixed overhead
+        # timings are rounded to 3 decimals, so a sub-ms stage reads 0.0
+        # — clamp before log() or the exponent crashes after all the
+        # measurements already succeeded
+        _eps = lambda t: max(t, 1e-3)
         rec = {
             "variant": "scaling_exponent_sf0.01_sf0.1",
             "pairs_alpha": round(
-                math.log(r_big["pairs_s"] / r_small["pairs_s"])
+                math.log(_eps(r_big["pairs_s"]) / _eps(r_small["pairs_s"]))
                 / math.log(r_big["docs"] / r_small["docs"]),
                 3,
             ),
             "common_alpha": round(
-                math.log(r_big["common_s"] / r_small["common_s"])
+                math.log(_eps(r_big["common_s"]) / _eps(r_small["common_s"]))
                 / math.log(r_big["docs"] / r_small["docs"]),
                 3,
             ),

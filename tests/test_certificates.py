@@ -310,3 +310,28 @@ def test_span_decontamination_certificate_green_and_fires(spark, monkeypatch):
     monkeypatch.setattr(dedup, "decontaminate_spans", lambda t, b, **kw: t)
     viol = certify.span_decontamination_certificate(bench).collect()
     assert viol and all(r["kind"] == "planted_embedding_survived" for r in viol)
+
+
+def test_span_certificates_not_vacuous_when_nothing_plantable(spark):
+    """A mis-sized subcorpus must read as a violation, not as green:
+    both span certificates emit a dedicated planted_set_empty row when
+    the planted frame would be empty (round-8 ADVICE)."""
+    from real_time_financial_market_data_pipeline_spark.operators import certify
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    viol = certify.span_certificate(empty).collect()
+    assert len(viol) == 1 and viol[0]["kind"] == "planted_set_empty"
+
+    one = spark.createDataFrame(
+        [(1, "only one document here so no pair is plantable at all ok")],
+        "doc_id long, text string",
+    )
+    viol = certify.span_certificate(one).collect()
+    assert len(viol) == 1 and viol[0]["kind"] == "planted_set_empty"
+
+    # every benchmark doc under plant_below shorter than k+2 tokens
+    tiny = spark.createDataFrame(
+        [(1, "too short"), (2, "also tiny")], "doc_id long, text string"
+    )
+    viol = certify.span_decontamination_certificate(tiny).collect()
+    assert len(viol) == 1 and viol[0]["kind"] == "planted_set_empty"

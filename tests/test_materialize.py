@@ -192,6 +192,18 @@ def test_compact_gold_bucketed_folds_and_registers(spark, tmp_path):
         compact_gold_bucketed(spark, path2, keys, "gold_stream2_serving", n_buckets=4)
         rows = spark.table("gold_stream2_serving").collect()
         assert len(rows) == 1 and rows[0]["close"] == 102.0
+
+        # stranded _compact_trash (crash between the refold branch's
+        # rename(snap, trash) and rmtree(trash)) is removed at entry —
+        # without the entry cleanup it would persist indefinitely and
+        # double the layer's disk footprint (round-8 ADVICE)
+        trash = os.path.join(path2, "_compact_trash")
+        os.makedirs(trash)
+        with open(os.path.join(trash, "stale.parquet"), "w") as f:
+            f.write("junk")
+        compact_gold_bucketed(spark, path2, keys, "gold_stream2_serving", n_buckets=4)
+        assert not os.path.exists(trash)
+        assert spark.table("gold_stream2_serving").count() == 1
     finally:
         spark.sql("DROP TABLE IF EXISTS gold_stream_serving")
         spark.sql("DROP TABLE IF EXISTS gold_stream2_serving")

@@ -814,6 +814,15 @@ def excise_common_spans(
     covered tokens dropped, and how many were dropped (0 for untouched
     docs — every input row is preserved).
 
+    Overlapping span families (round-8 ADVICE): positions covered by ANY
+    representative occurrence are PROTECTED — subtracted from the
+    covered set — so a non-representative occurrence of span X that
+    overlaps span Y's canonical occurrence inside Y's rep doc cannot
+    delete tokens out of it.  Every excised span's content therefore
+    survives at least once, intact, at its canonical (rep_id, rep_pos);
+    the price is that the overlapping part of X's occurrence survives
+    there too (deleting it would destroy Y's only kept copy).
+
     Plan: re-fingerprint the windows (map-side), equi-join to the
     excised fp set, drop the representative occurrence, aggregate
     covered token positions per doc (flatten k-sequences, distinct),
@@ -841,15 +850,23 @@ def excise_common_spans(
     artifacts should split documents at excision boundaries instead
     (compose with operators.chunking)."""
     fps = span_fingerprints(df, id_col=id_col, text_col=text_col, k=k)
-    hits = fps.join(
-        spans.select("fp", "rep_id", "rep_pos"), "fp"
-    ).filter(~((F.col("id") == F.col("rep_id")) & (F.col("pos") == F.col("rep_pos"))))
-    covered = hits.groupBy("id").agg(
-        F.array_distinct(
-            F.flatten(
-                F.collect_list(F.sequence(F.col("pos"), F.col("pos") + k - 1))
-            )
-        ).alias("_covered")
+    hits = fps.join(spans.select("fp", "rep_id", "rep_pos"), "fp")
+    is_rep = (F.col("id") == F.col("rep_id")) & (F.col("pos") == F.col("rep_pos"))
+    win = F.sequence(F.col("pos"), F.col("pos") + k - 1)
+    # one aggregate computes both position sets per doc (collect_list
+    # skips the null branch of the unmatched when()); covered minus
+    # protected = the overlapping-rep guarantee documented above
+    covered = (
+        hits.groupBy("id")
+        .agg(
+            F.array_distinct(
+                F.flatten(F.collect_list(F.when(~is_rep, win)))
+            ).alias("_cov_raw"),
+            F.array_distinct(
+                F.flatten(F.collect_list(F.when(is_rep, win)))
+            ).alias("_protected"),
+        )
+        .select("id", F.array_except("_cov_raw", "_protected").alias("_covered"))
     )
     staged = df.select(
         F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("_toks")

@@ -437,11 +437,13 @@ def test_repeated_span_pairs_matches_naive(spark, docs, k):
 def test_excise_common_spans_invariants(spark, docs):
     """The keep-one excision treatment, on ANY corpus: the output is
     EXACTLY the input with every non-representative occurrence's token
-    positions deleted (full deterministic reconstruction against a
-    Python reference — this also pins the documented splice artifact:
-    flanks joining may re-form k-grams, but never resurrect deleted
-    POSITIONS), plus excised_tokens accounting and untouched-doc
-    identity."""
+    positions deleted, EXCEPT positions protected by any representative
+    occurrence (overlapping-rep guarantee, round-8 ADVICE) — full
+    deterministic reconstruction against a Python reference.  This also
+    pins the documented splice artifact (flanks joining may re-form
+    k-grams, but never resurrect deleted POSITIONS), excised_tokens
+    accounting, untouched-doc identity, and that every excised span's
+    canonical occurrence survives INTACT in its rep doc."""
     from real_time_financial_market_data_pipeline_spark.operators.dedup import common_spans, excise_common_spans
 
     k = 3
@@ -456,26 +458,37 @@ def test_excise_common_spans_invariants(spark, docs):
     def windows(toks):
         return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
 
-    # Python reference: covered = every occurrence of every common span
-    # EXCEPT that span's one (rep_id, rep_pos) representative window
+    # Python reference: covered = every non-representative occurrence of
+    # every common span, MINUS positions of any representative window
     covered: dict[int, set] = {i: set() for i in range(len(docs))}
+    protected: dict[int, set] = {i: set() for i in range(len(docs))}
     for sr in span_rows:
         target = sr["span_text"]
         for i, toks in enumerate(docs):
             for pos0, w in enumerate(windows(toks)):
                 pos = pos0 + 1  # operator positions are 1-based
-                if w == target and not (
-                    i == sr["rep_id"] and pos == sr["rep_pos"]
-                ):
-                    covered[i].update(range(pos, pos + k))
+                if w == target:
+                    if i == sr["rep_id"] and pos == sr["rep_pos"]:
+                        protected[i].update(range(pos, pos + k))
+                    else:
+                        covered[i].update(range(pos, pos + k))
 
     span_texts = {sr["span_text"] for sr in span_rows}
     for i, toks in enumerate(docs):
         row = out[i]
         got_toks = row["text"].split() if row["text"] else []
-        expected = [t for p, t in enumerate(toks, 1) if p not in covered[i]]
+        drop = covered[i] - protected[i]
+        expected = [t for p, t in enumerate(toks, 1) if p not in drop]
         assert got_toks == expected, (i, got_toks, expected)
         assert row["excised_tokens"] == len(toks) - len(got_toks)
         assert row["excised_tokens"] >= 0
         if not any(w in span_texts for w in windows(toks)):
             assert got_toks == toks  # untouched doc is identical
+
+    # canonical-occurrence survival: the rep window's k positions are all
+    # kept and contiguous in the input, so the span text must re-appear
+    # verbatim in the rep doc's output — the guarantee the pre-protection
+    # form could not make under overlapping span families
+    for sr in span_rows:
+        rep_out = out[sr["rep_id"]]["text"].split() if out[sr["rep_id"]]["text"] else []
+        assert sr["span_text"] in windows(rep_out), (sr, rep_out)

@@ -10,6 +10,7 @@ from real_time_financial_market_data_pipeline_spark.operators.dedup import (
     ngram_jaccard_pairs,
     repeated_span_pairs,
     simhash_signatures,
+    split_excise_common_spans,
 )
 from real_time_financial_market_data_pipeline_spark.operators.asof import asof_join
 from real_time_financial_market_data_pipeline_spark.operators.similarity import (
@@ -27,6 +28,7 @@ __all__ = [
     "common_spans",
     "decontaminate_spans",
     "excise_common_spans",
+    "split_excise_common_spans",
     "repeated_span_pairs",
     "minhash_near_dup_pairs",
     "ngram_jaccard_pairs",

@@ -897,6 +897,109 @@ def excise_common_spans(
     )
 
 
+def split_excise_common_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    keep_representative: bool = True,
+) -> DataFrame:
+    """Splice-SAFE span excision: instead of concatenating the flanks
+    around each removed occurrence (`excise_common_spans`, whose
+    cut-and-concatenate can re-form k-grams across the seam — see its
+    SPLICE ARTIFACT note), SPLIT the document at every excision into
+    separate chunk rows.  Each output chunk is a contiguous run of kept
+    token positions, i.e. a verbatim substring of the original document
+    in token space — so NO k-gram can exist in any chunk that was not
+    already present at the same place in the input, and in particular no
+    excised span can re-form.  This is the operator form of the escape
+    hatch the concatenating treatment's docstring points at; compose
+    with operators.chunking.chunk_documents downstream to cut the
+    surviving pieces to context length.
+
+    `spans` is `common_spans` output (fp, rep_id, rep_pos, ...).  With
+    `keep_representative=True` (default) each span's canonical
+    (rep_id, rep_pos) occurrence — and any position protected by a rep
+    occurrence, same overlapping-family rule as `excise_common_spans` —
+    stays embedded intact inside its chunk; with False EVERY occurrence
+    is excised and the spans' content survives nowhere.
+
+    Returns (id_col, chunk_idx, token_start, text_col, n_tokens):
+    chunk_idx numbers a doc's chunks 0.. in order, token_start is the
+    chunk's 1-based token position in the ORIGINAL document (provenance
+    for audits and for re-aligning with span reports).  Untouched docs
+    yield exactly one chunk (the whole document, token-normalized);
+    fully-excised and empty/null docs yield no rows.
+
+    Plan shape: identical shuffles to `excise_common_spans` (one fp
+    equi-join, one per-doc covered aggregate) — the segmentation itself
+    is pure map-side array work: kept positions via array_except, run
+    boundaries via null-safe neighbor comparison over the STAGED kept
+    array (attribute reference, not a re-evaluated expression — the
+    HOF-CSE rule), segments zipped and fanned out with posexplode, each
+    chunk sliced straight from the staged token array.  O(tokens) per
+    document, no per-segment scan of the whole array."""
+    fps = span_fingerprints(df, id_col=id_col, text_col=text_col, k=k)
+    hits = fps.join(spans.select("fp", "rep_id", "rep_pos"), "fp")
+    is_rep = (F.col("id") == F.col("rep_id")) & (F.col("pos") == F.col("rep_pos"))
+    win = F.sequence(F.col("pos"), F.col("pos") + k - 1)
+    if keep_representative:
+        covered = (
+            hits.groupBy("id")
+            .agg(
+                F.array_distinct(
+                    F.flatten(F.collect_list(F.when(~is_rep, win)))
+                ).alias("_cov_raw"),
+                F.array_distinct(
+                    F.flatten(F.collect_list(F.when(is_rep, win)))
+                ).alias("_protected"),
+            )
+            .select("id", F.array_except("_cov_raw", "_protected").alias("_covered"))
+        )
+    else:
+        covered = hits.groupBy("id").agg(
+            F.array_distinct(F.flatten(F.collect_list(win))).alias("_covered")
+        )
+    staged = df.select(
+        F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("_toks")
+    )
+    joined = staged.join(covered, "id", "left").withColumn(
+        "_covered", F.coalesce(F.col("_covered"), F.array().cast("array<int>"))
+    )
+    n = F.size("_toks")
+    kept_pos = F.when(
+        n >= 1,
+        F.array_except(F.sequence(F.lit(1), n), F.col("_covered")),
+    ).otherwise(F.array().cast("array<int>"))
+    staged2 = joined.select("id", "_toks", kept_pos.alias("_kept"))
+    # run boundaries: a kept position starts a segment when its
+    # predecessor position is absent (get() is 0-based and NULL-safe out
+    # of bounds, so the first/last elements fall out of the coalesce)
+    kept = F.col("_kept")
+    seg_starts = F.filter(
+        kept, lambda p, i: F.coalesce(F.get(kept, i - 1) != p - 1, F.lit(True))
+    )
+    seg_ends = F.filter(
+        kept, lambda p, i: F.coalesce(F.get(kept, i + 1) != p + 1, F.lit(True))
+    )
+    segs = F.zip_with(
+        seg_starts, seg_ends, lambda s, e: F.struct(s.alias("s"), (e - s + 1).alias("n"))
+    )
+    return (
+        staged2.select("id", "_toks", F.posexplode(segs).alias("chunk_idx", "_seg"))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("_seg.s").cast("long").alias("token_start"),
+            F.concat_ws(
+                " ", F.slice(F.col("_toks"), F.col("_seg.s"), F.col("_seg.n"))
+            ).alias(text_col),
+            F.col("_seg.n").cast("long").alias("n_tokens"),
+        )
+    )
+
+
 def span_contaminated_ids(
     train: DataFrame,
     benchmark: DataFrame,

@@ -114,6 +114,7 @@ class DocStreamJob:
         k: int = 8,
         min_docs: int = 5,
         max_fp_docs: int | None = None,
+        mode: str = "concat",
     ) -> str:
         """Stream-stopped span-dedup pass over the curated table (the
         Lee et al. 2022 treatment): find corpus-common k-token spans
@@ -132,11 +133,32 @@ class DocStreamJob:
         (optional) additionally SKIPS ultra-common spans from excision
         cost accounting — normally unnecessary since excision never
         enumerates pairs.
-        """
-        from real_time_financial_market_data_pipeline_spark.operators.dedup import common_spans, excise_common_spans
 
+        `mode` picks the treatment (round-8 VERDICT task 1):
+        - "concat" (default): `excise_common_spans` — one row per doc,
+          flanks joined; carries the documented splice artifact (new
+          k-grams can form across the seam) but preserves row identity.
+          Output: `curated_excised/`.
+        - "split": `split_excise_common_spans` — documents split at
+          every excision into chunk rows (doc_id, chunk_idx,
+          token_start, text, n_tokens); NO k-gram can form that was not
+          in the original, at the price of a fan-out schema.  Compose
+          with operators.chunking downstream for context-length cuts.
+          Output: `curated_excised_split/` (separate directory so both
+          treatments can coexist; a training job points at whichever
+          guarantee it needs).
+        """
+        from real_time_financial_market_data_pipeline_spark.operators.dedup import (
+            common_spans,
+            excise_common_spans,
+            split_excise_common_spans,
+        )
+
+        if mode not in ("concat", "split"):
+            raise ValueError(f"mode must be 'concat' or 'split' (got {mode!r})")
         curated_dir = os.path.join(self.out_dir, "curated")
-        out_path = os.path.join(self.out_dir, "curated_excised")
+        suffix = "curated_excised" if mode == "concat" else "curated_excised_split"
+        out_path = os.path.join(self.out_dir, suffix)
         if not os.path.isdir(curated_dir):
             raise FileNotFoundError(
                 f"{curated_dir} does not exist — the curation stream never "
@@ -147,9 +169,16 @@ class DocStreamJob:
         spans = common_spans(curated, k=k, min_docs=min_docs)
         if max_fp_docs is not None:
             spans = spans.filter(F.col("n_docs") <= max_fp_docs)
-        rewritten = excise_common_spans(
-            curated.select("doc_id", "text"), spans, k=k
-        )
+        if mode == "concat":
+            rewritten = excise_common_spans(
+                curated.select("doc_id", "text"), spans, k=k
+            )
+        else:
+            # curated already carries a DOC-level n_tokens metric; the
+            # chunk-level count joins in as chunk_tokens
+            rewritten = split_excise_common_spans(
+                curated.select("doc_id", "text"), spans, k=k
+            ).withColumnRenamed("n_tokens", "chunk_tokens")
         out = curated.drop("text").join(rewritten, "doc_id")
         out.write.mode("overwrite").partitionBy("split").parquet(out_path)
         return out_path

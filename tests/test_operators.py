@@ -510,6 +510,62 @@ def test_excise_common_spans_keeps_one_occurrence(spark):
     assert out9["text"] is None and out9["excised_tokens"] == 0
 
 
+def test_split_excise_common_spans_is_splice_safe(spark):
+    """The splice-safe treatment (round-8 VERDICT task 1), pinned on the
+    concatenating form's own docstring counterexample: excising the
+    middle occurrence of 'aa aa bb' from 'aa aa aa aa bb bb' by
+    cut-and-concatenate RE-FORMS the excised span; the split form emits
+    the flanks as separate chunks and provably cannot."""
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import (
+        common_spans,
+        excise_common_spans,
+        split_excise_common_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "aa aa bb"), (1, "aa aa aa aa bb bb")], "doc_id long, text string"
+    )
+    spans = common_spans(docs, k=3, min_docs=2)
+    assert [r["span_text"] for r in spans.collect()] == ["aa aa bb"]
+
+    # the concatenating form exhibits the documented artifact
+    concat = {r["doc_id"]: r["text"] for r in excise_common_spans(docs, spans, k=3).collect()}
+    assert concat[1] == "aa aa bb"  # excised span re-formed across the seam
+
+    # the split form cannot: flanks stay separate rows with provenance
+    out = [
+        (r["doc_id"], r["chunk_idx"], r["token_start"], r["text"], r["n_tokens"])
+        for r in split_excise_common_spans(docs, spans, k=3)
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    ]
+    assert out == [
+        (0, 0, 1, "aa aa bb", 3),  # rep doc: whole doc one chunk, span intact
+        (1, 0, 1, "aa aa", 2),
+        (1, 1, 6, "bb", 1),
+    ]
+
+    # keep_representative=False: the span's content survives nowhere
+    none_kept = [
+        (r["doc_id"], r["text"])
+        for r in split_excise_common_spans(
+            docs, spans, k=3, keep_representative=False
+        )
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    ]
+    assert none_kept == [(1, "aa aa"), (1, "bb")]  # doc 0 fully excised
+
+    # untouched / empty / null docs: one whole-doc chunk / no rows
+    extra = spark.createDataFrame(
+        [(5, "zz yy xx ww"), (6, None), (7, "")], "doc_id long, text string"
+    )
+    rows = split_excise_common_spans(extra, spans, k=3).collect()
+    assert [(r["doc_id"], r["text"], r["token_start"]) for r in rows] == [
+        (5, "zz yy xx ww", 1)
+    ]
+
+
 def test_span_level_decontamination(spark):
     """GPT-3-style n-gram-overlap decontamination: a benchmark question
     embedded VERBATIM inside an otherwise-unrelated training page is

@@ -492,3 +492,94 @@ def test_excise_common_spans_invariants(spark, docs):
     for sr in span_rows:
         rep_out = out[sr["rep_id"]]["text"].split() if out[sr["rep_id"]]["text"] else []
         assert sr["span_text"] in windows(rep_out), (sr, rep_out)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc"]), max_size=16),
+        min_size=2,
+        max_size=5,
+    ),
+)
+def test_split_excise_common_spans_invariants(spark, docs):
+    """Splice-safety, on ANY corpus (round-8 VERDICT task 1): every
+    output chunk of the split treatment is exactly one maximal run of
+    kept positions (full reconstruction against the same Python
+    reference as the concat form), hence a verbatim token-substring of
+    its original document — so with keep_representative=False NO chunk
+    anywhere contains ANY excised-span k-gram (the guarantee the
+    concatenating form provably cannot make), and with True an excised
+    k-gram appears in a chunk ONLY at rep-protected positions."""
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import (
+        common_spans,
+        split_excise_common_spans,
+    )
+
+    k = 3
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    spans = common_spans(df, k=k, min_docs=2).localCheckpoint(eager=True)
+    span_rows = spans.collect()
+    span_texts = {sr["span_text"] for sr in span_rows}
+
+    def windows(toks):
+        return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+    # Python reference position sets (same model as the concat test)
+    covered: dict[int, set] = {i: set() for i in range(len(docs))}
+    protected: dict[int, set] = {i: set() for i in range(len(docs))}
+    for sr in span_rows:
+        for i, toks in enumerate(docs):
+            for pos0, w in enumerate(windows(toks)):
+                pos = pos0 + 1
+                if w == sr["span_text"]:
+                    if i == sr["rep_id"] and pos == sr["rep_pos"]:
+                        protected[i].update(range(pos, pos + k))
+                    else:
+                        covered[i].update(range(pos, pos + k))
+
+    def expected_chunks(i, drop):
+        """Maximal runs of kept 1-based positions → (start, tokens)."""
+        runs, cur = [], []
+        for p in range(1, len(docs[i]) + 1):
+            if p in drop:
+                if cur:
+                    runs.append(cur)
+                cur = []
+            else:
+                cur.append(p)
+        if cur:
+            runs.append(cur)
+        return [(r[0], [docs[i][p - 1] for p in r]) for r in runs]
+
+    for keep_rep in (True, False):
+        got = {}
+        rows = split_excise_common_spans(
+            df, spans, k=k, keep_representative=keep_rep
+        ).collect()
+        for r in rows:
+            got.setdefault(r["doc_id"], []).append(r)
+        for i in range(len(docs)):
+            drop = (covered[i] - protected[i]) if keep_rep else (covered[i] | protected[i])
+            exp = expected_chunks(i, drop)
+            chunks = sorted(got.get(i, []), key=lambda r: r["chunk_idx"])
+            assert [r["chunk_idx"] for r in chunks] == list(range(len(exp)))
+            assert [
+                (r["token_start"], r["text"].split() if r["text"] else [], r["n_tokens"])
+                for r in chunks
+            ] == [(s, t, len(t)) for s, t in exp], (i, keep_rep)
+            # splice-safety: chunk k-grams exist at the same original slot
+            for r in chunks:
+                ctoks = r["text"].split()
+                assert ctoks == list(
+                    docs[i][r["token_start"] - 1 : r["token_start"] - 1 + len(ctoks)]
+                )
+                for j, w in enumerate(windows(ctoks)):
+                    if w in span_texts:
+                        pos = r["token_start"] + j
+                        assert keep_rep and set(range(pos, pos + k)) <= protected[i], (
+                            i, w, pos,
+                        )

@@ -552,3 +552,31 @@ def test_doc_stream_excise_spans_post_drain(spark, tmp_path):
         assert f"document {d} body talks about subject {d * 3}" in rows[d]["text"]
     # split partition dirs exist on disk (training-job layout)
     assert any(p.startswith("split=") for p in os.listdir(path))
+
+    # splice-safe treatment (mode="split"): same pass, chunk-row output
+    # in its own directory, the rep doc keeps the boilerplate intact and
+    # every other doc's chunks contain NO 8-gram of it
+    path2 = job.excise_spans(spark, k=8, min_docs=5, mode="split")
+    assert path2.endswith("curated_excised_split")
+    chunks = spark.read.parquet(path2)
+    assert {"doc_id", "chunk_idx", "token_start", "text", "chunk_tokens", "split"} <= set(
+        chunks.columns
+    )
+    by_doc: dict[int, list] = {}
+    for r in chunks.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(range(8))
+    btoks = boiler.split()
+    bwindows = {" ".join(btoks[i : i + 8]) for i in range(len(btoks) - 8 + 1)}
+    assert any(boiler in r["text"] for r in by_doc[0])
+    for d in range(1, 8):
+        for r in by_doc[d]:
+            ctoks = r["text"].split()
+            got_windows = {
+                " ".join(ctoks[i : i + 8]) for i in range(len(ctoks) - 8 + 1)
+            }
+            assert not (got_windows & bwindows), (d, r["text"])
+        assert any(
+            f"document {d} body talks about subject {d * 3}" in r["text"]
+            for r in by_doc[d]
+        )

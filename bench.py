@@ -16,6 +16,56 @@ import time
 from real_time_financial_market_data_pipeline_spark.serving.queries import QUERIES
 from real_time_financial_market_data_pipeline_spark.session import get_spark
 
+# Round each bench entry FIRST appeared in (round-8 VERDICT task 4):
+# cross-round comparisons need the comparable subset — the sum over
+# entries that already existed last round — computed IN the payload
+# instead of by hand from old BENCH_r*.json files.  Bump CURRENT_ROUND
+# when adding entries in a new round; unlisted entries default to
+# CURRENT_ROUND (i.e. new, excluded from the comparable total).
+CURRENT_ROUND = 8
+ENTRY_ROUNDS = {
+    "asof_purchase_view": 1,
+    "dedup_exact_docs": 1,
+    "knn_bruteforce": 1,
+    "latest_bars_per_symbol": 1,
+    "latest_prices": 1,
+    "minhash_near_dups": 1,
+    "nation_revenue": 1,
+    "ohlcv_1h": 1,
+    "ohlcv_5m": 1,
+    "pricing_summary": 1,
+    "priority_count_returned": 1,
+    "silver_trades": 1,
+    "streaming_medallion_10batches": 1,
+    "top_revenue_orders": 1,
+    "volume_by_symbol_on_date": 1,
+    "doc_profile": 2,
+    "streaming_medallion_chained": 2,
+    "knn_arrow_strategy": 3,
+    "knn_jvm_strategy": 3,
+    "latest_bars_bucketed_read": 3,
+    "streaming_medallion_fanout": 3,
+    "day_over_day_bucketed_read": 5,
+    "day_over_day_volume": 5,
+    "gold_read_120dirs_compacted": 5,
+    "gold_read_120dirs_uncompacted": 5,
+    "incremental_dedup_drain": 5,
+    "incremental_dedup_first_batch": 5,
+    "incremental_dedup_last_batch": 5,
+    "streaming_quote_enrich": 5,
+    "volume_by_symbol_bucketed_read": 5,
+    "streamed_gold_bucketed_read": 6,
+    "streamed_gold_publish_bucketed": 6,
+    "latest_prices_bucketed_read": 7,
+    "latest_prices_publish_bucketed": 7,
+    "latest_prices_stream_drain": 7,
+    "latest_prices_view_read": 7,
+    "span_common": 7,
+    "span_dedup_pairs": 7,
+    "span_common_merged": 8,
+    "span_excise_split": 8,
+}
+
 HEADLINE = [
     "silver_trades",
     "ohlcv_5m",
@@ -495,6 +545,25 @@ def main() -> None:
     _guard("span_common", lambda: _min_of_2(
         lambda: common_spans(_lt(spark, sf_dir, "documents"), k=8, min_docs=2).count()
     ))
+    # round 8: merged maximal blocks (same aggregate-only plan + one
+    # run-merge) and the splice-safe split excision treatment end-to-end
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import (
+        merged_common_spans,
+        split_excise_common_spans,
+    )
+
+    _guard("span_common_merged", lambda: _min_of_2(
+        lambda: merged_common_spans(
+            _lt(spark, sf_dir, "documents"), k=8, min_docs=2
+        ).count()
+    ))
+    _guard("span_excise_split", lambda: _min_of_2(
+        lambda: split_excise_common_spans(
+            _lt(spark, sf_dir, "documents").select("doc_id", "text"),
+            common_spans(_lt(spark, sf_dir, "documents"), k=8, min_docs=2),
+            k=8,
+        ).count()
+    ))
 
     # per-strategy kNN split (round-2 VERDICT task 7): the knn_bruteforce
     # HEADLINE slot times BOTH strategies together (frozen for
@@ -584,10 +653,26 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
+    comparable = round(
+        sum(
+            t
+            for name, t in timings.items()
+            if ENTRY_ROUNDS.get(name, CURRENT_ROUND) < CURRENT_ROUND
+        ),
+        3,
+    )
     payload = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        # sum over entries that already existed before CURRENT_ROUND —
+        # the number to diff against last round's comparable total
+        # (new entries grow "value" by construction, not a regression)
+        "headline_comparable_total": comparable,
+        "bench_round": CURRENT_ROUND,
+        "entry_rounds": {
+            name: ENTRY_ROUNDS.get(name, CURRENT_ROUND) for name in timings
+        },
         "queries": timings,
         "streaming_batches": batch_stats,
         "quote_enrich_batches": quote_batch_stats,

@@ -5,6 +5,7 @@ from real_time_financial_market_data_pipeline_spark.operators.dedup import (
     common_spans,
     decontaminate_spans,
     exact_dedup,
+    merged_common_spans,
     excise_common_spans,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
@@ -26,6 +27,7 @@ __all__ = [
     "top_k_per_group",
     "exact_dedup",
     "common_spans",
+    "merged_common_spans",
     "decontaminate_spans",
     "excise_common_spans",
     "split_excise_common_spans",

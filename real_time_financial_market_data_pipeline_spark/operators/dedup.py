@@ -745,6 +745,35 @@ def repeated_span_pairs(
     )
 
 
+def _common_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    min_docs: int,
+) -> DataFrame:
+    """(fp, n_docs, n_occurrences, rep_id, rep_pos): the per-fingerprint
+    aggregate both common-span views are built from — one hash-agg over
+    the map-side window fingerprints, no pair enumeration."""
+    fps = span_fingerprints(df, id_col=id_col, text_col=text_col, k=k)
+    return (
+        fps.groupBy("fp")
+        .agg(
+            F.count_distinct("id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(F.struct("id", "pos")).alias("_rep"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select(
+            "fp",
+            "n_docs",
+            "n_occurrences",
+            F.col("_rep.id").alias("rep_id"),
+            F.col("_rep.pos").alias("rep_pos"),
+        )
+    )
+
+
 def common_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -761,24 +790,31 @@ def common_spans(
     precisely the case where repeated_span_pairs' pair form explodes.
     The scale path for "find the navigation chrome shared by 10M
     pages"; feed the result to a masking/excision step keyed on
-    (rep fingerprint match) rather than on pairs."""
-    fps = span_fingerprints(df, id_col=id_col, text_col=text_col, k=k)
-    stats = (
-        fps.groupBy("fp")
-        .agg(
-            F.count_distinct("id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_occurrences"),
-            F.min(F.struct("id", "pos")).alias("_rep"),
-        )
-        .filter(F.col("n_docs") >= min_docs)
-        .select(
-            "fp",
-            "n_docs",
-            "n_occurrences",
-            F.col("_rep.id").alias("rep_id"),
-            F.col("_rep.pos").alias("rep_pos"),
-        )
-    )
+    (rep fingerprint match) rather than on pairs.
+
+    Each row is one k-token window FRAGMENT: a 20-token boilerplate
+    block shared by many docs appears as 13 overlapping rows.  That is
+    the right granularity for excision (fp-keyed) — for the
+    human-facing "what IS the shared chrome" answer, use
+    `merged_common_spans`, which merges adjacent fragments into maximal
+    blocks while staying aggregate-only."""
+    stats = _common_span_stats(df, id_col, text_col, k, min_docs)
+    return common_spans_from_stats(stats, df, id_col=id_col, text_col=text_col, k=k)
+
+
+def common_spans_from_stats(
+    stats: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """`common_spans` output from a PRECOMPUTED per-fingerprint stats
+    frame (fp, n_docs, n_occurrences, rep_id, rep_pos) — the on-disk
+    incremental span index path (streaming.incremental): the stats
+    aggregate is maintained per batch and merged, so only the
+    representative-text join runs at query time; the corpus is never
+    re-fingerprinted."""
     staged = df.select(
         F.col(id_col).alias("rep_id"), _tokens(F.col(text_col)).alias("_toks")
     )
@@ -791,6 +827,84 @@ def common_spans(
         F.concat_ws(" ", F.slice(F.col("_toks"), F.col("rep_pos"), k)).alias(
             "span_text"
         ),
+    )
+
+
+def merged_common_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """`common_spans` with adjacent window fragments merged into MAXIMAL
+    repeated blocks (round-8 VERDICT task 2): qualifying fingerprints
+    whose representative positions are consecutive in the same rep doc
+    collapse — via the same island trick `repeated_span_pairs` uses on
+    diagonals — into one row per contiguous run, whose span_text is the
+    whole boilerplate block rather than a k-window.
+
+    Returns (rep_id, span_start, span_tokens, n_windows, n_docs_min,
+    n_docs_max, span_text): span_start 1-based in the rep doc's token
+    space, span_tokens = n_windows + k - 1, and n_docs_min/max the
+    range of per-window sharing counts inside the block (every k-window
+    of the block is shared by at least n_docs_min documents; the FULL
+    block as a unit is shared by at most n_docs_min — windows can be
+    shared with different document sets).
+
+    Plan stays aggregate-only — per-fingerprint hash-agg, a per-rep-doc
+    window for run numbering (hash-partitioned on rep_id; the groupBy
+    on (rep_id, run) reuses that partitioning, no extra Exchange), and
+    one equi-join back to the rep doc's tokens.  Pairs are never
+    enumerated, so ultra-common chrome shared by millions of docs costs
+    the same as chrome shared by two.
+
+    A block splits into multiple rows only where an interior window's
+    min-(id, pos) representative lands in a DIFFERENT document (its
+    run continues there) — coverage is preserved across the split
+    (property-tested identity with the fragment form's windows).
+    Two rows of one rep doc can OVERLAP by up to k-1 tokens when their
+    qualifying rep positions sit closer than k apart (the runs
+    partition positions, not extents)."""
+    stats = _common_span_stats(df, id_col, text_col, k, min_docs)
+    return merged_common_spans_from_stats(
+        stats, df, id_col=id_col, text_col=text_col, k=k
+    )
+
+
+def merged_common_spans_from_stats(
+    stats: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """`merged_common_spans` from a precomputed stats frame — see
+    `common_spans_from_stats` for when that exists."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("rep_id").orderBy("rep_pos")
+    runs = stats.withColumn("_island", F.col("rep_pos") - F.row_number().over(w))
+    merged = runs.groupBy("rep_id", "_island").agg(
+        F.min("rep_pos").alias("span_start"),
+        (F.count(F.lit(1)) + F.lit(k - 1)).cast("long").alias("span_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.min("n_docs").alias("n_docs_min"),
+        F.max("n_docs").alias("n_docs_max"),
+    )
+    staged = df.select(
+        F.col(id_col).alias("rep_id"), _tokens(F.col(text_col)).alias("_toks")
+    )
+    return merged.join(staged, "rep_id").select(
+        "rep_id",
+        "span_start",
+        "span_tokens",
+        "n_windows",
+        "n_docs_min",
+        "n_docs_max",
+        F.concat_ws(
+            " ", F.slice(F.col("_toks"), F.col("span_start"), F.col("span_tokens"))
+        ).alias("span_text"),
     )
 
 

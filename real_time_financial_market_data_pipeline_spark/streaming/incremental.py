@@ -8,11 +8,14 @@ right tool for replay/at-least-once dup collapse, but it cannot answer
 historical answer must live on disk, as an index the per-batch work can
 equi-join against:
 
-  corpus/       batch_id=N dirs of kept docs (the growing corpus)
-  index_bands/  batch_id=N dirs of (id, band, bhash) — the minhash LSH
-                candidate key index (operators.dedup.banded_signatures)
-  index_sigs/   batch_id=N dirs of (id, sig) — full signatures for
-                index-only Jaccard estimation (no text re-read)
+  corpus/        batch_id=N dirs of kept docs (the growing corpus)
+  index_bands/   batch_id=N dirs of (id, band, bhash) — the minhash LSH
+                 candidate key index (operators.dedup.banded_signatures)
+  index_sigs/    batch_id=N dirs of (id, sig) — full signatures for
+                 index-only Jaccard estimation (no text re-read)
+  index_spanfps/ (span_index=True) batch_id=N dirs of per-fingerprint
+                 partial span stats — common_spans/excision against the
+                 growing corpus without re-fingerprinting history
 
 Per micro-batch (foreachBatch, serialized per query):
   1. intra-batch EXACT dedup on content fingerprint (deterministic
@@ -81,6 +84,23 @@ class IncrementalDedupJob:
     # flat in corpus size.  None disables.
     benchmark_fp_dir: str | None = None
     decontam_k: int = 13
+    # Incremental CORPUS span-fp index (round-8 VERDICT task 3): when
+    # enabled, every batch appends a per-fingerprint PARTIAL aggregate
+    # of its kept docs' span_k-token window fingerprints to
+    # `index_spanfps/batch_id=N` (fp, n_docs, n_occurrences, rep_id,
+    # rep_pos).  Partials merge EXACTLY (see merge_span_stats) because
+    # a doc_id lives in exactly one batch — so `common_spans_view` /
+    # excision can run against the growing corpus without ever
+    # re-fingerprinting history, and the table compacts with the same
+    # fold machinery as the band index (a sum/min re-aggregate instead
+    # of per-key-latest).  Per-batch cost: one map-side fingerprint
+    # pass over the batch + one hash-agg — flat in corpus size.  The
+    # index grows like the band index (rows ≈ distinct windows), which
+    # is the standard space/recompute trade of substring-dedup indexes.
+    # Contract: doc_ids are insert-only (same as the corpus table —
+    # re-ingesting an id with different text would double-count).
+    span_index: bool = False
+    span_k: int = 8
     trigger: dict = field(default_factory=lambda: {"availableNow": True})
 
     def checkpoints(self) -> str:
@@ -123,6 +143,20 @@ class IncrementalDedupJob:
                 continue
             bound = committed_fold_bound(path, commit_log)
             folded += compact_latest_state(spark, path, key_cols, only_below=bound)
+        # the span-fp table stores per-batch PARTIALS of an associative
+        # sum/min aggregate, not per-key upserts — fold with the exact
+        # re-reduce instead of per-key-latest (same override the quote
+        # job's batch-maxima sink uses)
+        span_path = os.path.join(self.out_dir, "index_spanfps")
+        if os.path.isdir(span_path):
+            bound = committed_fold_bound(span_path, commit_log)
+            folded += compact_latest_state(
+                spark,
+                span_path,
+                ["fp"],
+                only_below=bound,
+                resolve=lambda combined: merge_span_stats(combined.drop("batch_id")),
+            )
         return folded
 
     def _read_prior(self, spark, table: str, batch_id: int) -> DataFrame | None:
@@ -245,6 +279,32 @@ class IncrementalDedupJob:
             kept.write.mode("overwrite").parquet(
                 os.path.join(self.out_dir, "corpus", f"batch_id={batch_id}")
             )
+            if self.span_index:
+                from real_time_financial_market_data_pipeline_spark.operators.dedup import span_fingerprints
+
+                partial = (
+                    span_fingerprints(
+                        kept.select("doc_id", "text"), k=self.span_k
+                    )
+                    .groupBy("fp")
+                    .agg(
+                        F.count_distinct("id").alias("n_docs"),
+                        F.count(F.lit(1)).alias("n_occurrences"),
+                        F.min(F.struct("id", "pos")).alias("_rep"),
+                    )
+                    .select(
+                        "fp",
+                        "n_docs",
+                        "n_occurrences",
+                        F.col("_rep.id").alias("rep_id"),
+                        F.col("_rep.pos").alias("rep_pos"),
+                    )
+                )
+                partial.write.mode("overwrite").parquet(
+                    os.path.join(
+                        self.out_dir, "index_spanfps", f"batch_id={batch_id}"
+                    )
+                )
             if self.near_dup:
                 kept_ids = kept.select(F.col("doc_id").alias("id"))
                 kept_bands = bands_df.join(kept_ids, "id", "leftsemi")
@@ -287,6 +347,77 @@ def corpus_view(spark, out_dir: str, empty_schema=None) -> DataFrame:
             "empty frame with your doc schema."
         )
     return spark.read.parquet(path)
+
+
+def merge_span_stats(partials: DataFrame) -> DataFrame:
+    """EXACT merge of per-batch span-fp partial aggregates
+    (fp, n_docs, n_occurrences, rep_id, rep_pos): distinct-doc counts
+    are additive because a doc_id's windows all live in the one batch
+    that kept it (per-batch overwrite + insert-only doc_ids), occurrence
+    counts are plain sums, and the global min-(id, pos) representative
+    is the min of batch minima.  One hash-agg on fp — the same shuffle
+    shape as recomputing stats, minus the re-fingerprinting of history."""
+    return (
+        partials.groupBy("fp")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_occurrences").cast("long").alias("n_occurrences"),
+            F.min(
+                F.struct(
+                    F.col("rep_id").alias("id"), F.col("rep_pos").alias("pos")
+                )
+            ).alias("_rep"),
+        )
+        .select(
+            "fp",
+            "n_docs",
+            "n_occurrences",
+            F.col("_rep.id").alias("rep_id"),
+            F.col("_rep.pos").alias("rep_pos"),
+        )
+    )
+
+
+def span_stats_view(spark, out_dir: str, min_docs: int = 2) -> DataFrame:
+    """The corpus-wide per-fingerprint span stats accumulated so far
+    (merged across batch partials), filtered to fingerprints in >=
+    min_docs documents — the `_common_span_stats` equivalent served
+    straight off the incremental index, no re-fingerprinting."""
+    path = os.path.join(out_dir, "index_spanfps")
+    if not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"{path} does not exist — run IncrementalDedupJob with "
+            "span_index=True (and at least one non-empty batch) first"
+        )
+    merged = merge_span_stats(spark.read.parquet(path).drop("batch_id"))
+    return merged.filter(F.col("n_docs") >= min_docs)
+
+
+def common_spans_view(
+    spark,
+    out_dir: str,
+    min_docs: int = 2,
+    k: int = 8,
+    merged: bool = False,
+) -> DataFrame:
+    """`operators.dedup.common_spans` (or, with merged=True, the
+    maximal-block `merged_common_spans`) over the ACCUMULATED corpus,
+    computed from the incremental span index: only the representative-
+    text equi-join against the (column-pruned) corpus runs at query
+    time — batch-identical output (e2e-tested) at per-query cost
+    independent of how many batches built the index.  `k` must match
+    the job's span_k (fingerprints of different window sizes don't
+    mix; there is nothing on disk to validate it against, so a
+    mismatch shows up as wrong span_text slices)."""
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import (
+        common_spans_from_stats,
+        merged_common_spans_from_stats,
+    )
+
+    stats = span_stats_view(spark, out_dir, min_docs=min_docs)
+    corpus = corpus_view(spark, out_dir).select("doc_id", "text")
+    builder = merged_common_spans_from_stats if merged else common_spans_from_stats
+    return builder(stats, corpus, id_col="doc_id", text_col="text", k=k)
 
 
 def build_benchmark_span_index(

@@ -289,3 +289,99 @@ def test_ingest_time_span_decontamination(spark, tmp_path):
     drain()
     kept = sorted(r["doc_id"] for r in corpus_view(spark, out).collect())
     assert kept == [1, 3]
+
+
+def test_incremental_span_index_matches_batch_recompute(spark, tmp_path):
+    """span_index=True (round-8 VERDICT task 3): the per-batch span-fp
+    partials merged at read time produce common_spans output IDENTICAL
+    to batch recompute over the accumulated corpus — fragment AND
+    merged forms — and the identity survives (a) a dropped duplicate
+    doc (only KEPT docs are indexed), (b) `.compact()` folding the
+    partials with the sum/min re-reduce, and (c) further batches landing
+    on the folded snapshot."""
+    import re
+
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import (
+        common_spans,
+        merged_common_spans,
+    )
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+    from real_time_financial_market_data_pipeline_spark.streaming.incremental import common_spans_view
+
+    boiler = "all rights reserved by the example company and subsidiaries"
+    feed, out = str(tmp_path / "feed"), str(tmp_path / "out")
+    _write_doc_feed(
+        feed,
+        [
+            [
+                {"doc_id": 1, "text": "intro words one " + boiler + " tail words here"},
+                {"doc_id": 2, "text": LONG_B},
+            ],
+            [
+                {"doc_id": 3, "text": "different preface text " + boiler + " other ending"},
+                {"doc_id": 4, "text": LONG_A},
+            ],
+            [
+                # exact dup of doc 1 -> dropped; must NOT enter the index
+                {"doc_id": 5, "text": "intro words one " + boiler + " tail words here"},
+                {"doc_id": 6, "text": "third carrier opens then " + boiler + " closes"},
+            ],
+        ],
+    )
+
+    def drain():
+        docs = read_doc_stream(spark, feed, max_files_per_trigger=1)
+        job = IncrementalDedupJob(out_dir=out, near_dup=False, span_index=True, span_k=6)
+        q = job.start(docs.select("doc_id", "text"))
+        assert q.awaitTermination(180)
+        return job
+
+    job = drain()
+
+    def view_rows(merged: bool):
+        return sorted(
+            tuple(r)
+            for r in common_spans_view(
+                spark, out, min_docs=2, k=6, merged=merged
+            ).collect()
+        )
+
+    def recompute_rows(merged: bool):
+        fn = merged_common_spans if merged else common_spans
+        corpus = corpus_view(spark, out).select("doc_id", "text")
+        return sorted(tuple(r) for r in fn(corpus, k=6, min_docs=2).collect())
+
+    frag = view_rows(False)
+    assert frag  # the boiler actually produced common spans
+    assert frag == recompute_rows(False)
+    assert view_rows(True) == recompute_rows(True)
+    # dropped duplicate never entered the index: rep of every boiler
+    # fragment is doc 1, and no fragment reports more carriers than the
+    # three kept ones
+    stats = common_spans_view(spark, out, min_docs=2, k=6).collect()
+    assert all(r["n_docs"] <= 3 for r in stats)
+
+    # compact folds the partials exactly (sum/min re-reduce)
+    assert job.compact(spark) > 0
+    dirs = [
+        d
+        for d in os.listdir(os.path.join(out, "index_spanfps"))
+        if re.fullmatch(r"batch_id=\d+", d)
+    ]
+    assert len(dirs) == 1, dirs
+    assert view_rows(False) == frag
+    assert view_rows(True) == recompute_rows(True)
+
+    # further batches extend the folded index without re-fingerprinting
+    _write_doc_feed_append(
+        feed,
+        [
+            {"doc_id": 9, "text": "late arrival mentions " + boiler + " again"},
+            {"doc_id": 10, "text": "completely unrelated closing document text"},
+        ],
+    )
+    drain()
+    assert view_rows(False) == recompute_rows(False)
+    assert view_rows(True) == recompute_rows(True)
+    stats = common_spans_view(spark, out, min_docs=2, k=6).collect()
+    assert any(r["n_docs"] == 4 for r in stats)  # 4 carriers now

@@ -466,6 +466,43 @@ def test_repeated_span_pairs_max_fp_docs_cap(spark):
     assert any(r["span_text"] == boiler and r["n_docs"] == 6 for r in cs)
 
 
+def test_merged_common_spans_reports_maximal_blocks(spark):
+    """merged_common_spans (round-8 VERDICT task 2): a 16-token
+    boilerplate block shared by every doc comes back as ONE maximal row
+    whose span_text is the whole block — not 12 overlapping k-window
+    fragments — with fragment bookkeeping (n_windows, sharing range)
+    preserved, via the diagonal run-merge over rep positions (still
+    aggregate-only, no pair enumeration)."""
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import (
+        common_spans,
+        merged_common_spans,
+    )
+
+    boiler = (
+        "copyright notice all rights reserved by the example company "
+        "and its subsidiaries worldwide"
+    )  # 13 tokens
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} unique body w{i * 11} " + boiler) for i in range(6)],
+        "doc_id long, text string",
+    )
+    k = 5
+    frags = common_spans(docs, k=k, min_docs=6).collect()
+    merged = merged_common_spans(docs, k=k, min_docs=6).collect()
+    assert len(merged) == 1
+    m = merged[0]
+    assert m["rep_id"] == 0
+    assert m["span_text"].endswith(boiler)
+    assert m["n_windows"] == len(frags)
+    assert m["span_tokens"] == m["n_windows"] + k - 1
+    assert m["n_docs_min"] == 6 and m["n_docs_max"] == 6
+    # coverage identity with the fragment form
+    frag_cover = set()
+    for r in frags:
+        frag_cover.update(range(r["rep_pos"], r["rep_pos"] + k))
+    assert frag_cover == set(range(m["span_start"], m["span_start"] + m["span_tokens"]))
+
+
 def test_excise_common_spans_keeps_one_occurrence(spark):
     """The span-dedup TREATMENT: every occurrence of a corpus-common
     span is removed except the canonical representative (min (id, pos))

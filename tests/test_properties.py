@@ -502,6 +502,54 @@ def test_excise_common_spans_invariants(spark, docs):
         max_size=5,
     ),
 )
+def test_merged_common_spans_coverage_identity(spark, docs):
+    """merged_common_spans on ANY corpus: per rep doc, the union of
+    merged-block positions is IDENTICAL to the union of fragment-window
+    positions from common_spans (nothing gained, nothing lost by the
+    run-merge); each merged row is internally consistent (span_tokens =
+    n_windows + k - 1, span_text is the rep doc's verbatim slice);
+    n_windows totals the fragment count.  Note merged EXTENTS may
+    overlap by up to k-1 tokens (two runs whose rep positions sit
+    closer than k apart) — only the rep POSITIONS partition."""
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import (
+        common_spans,
+        merged_common_spans,
+    )
+
+    k = 3
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    frags = common_spans(df, k=k, min_docs=2).collect()
+    merged = merged_common_spans(df, k=k, min_docs=2).collect()
+
+    frag_cover: dict[int, set] = {}
+    for r in frags:
+        frag_cover.setdefault(r["rep_id"], set()).update(
+            range(r["rep_pos"], r["rep_pos"] + k)
+        )
+    merged_cover: dict[int, set] = {}
+    for r in merged:
+        cover = set(range(r["span_start"], r["span_start"] + r["span_tokens"]))
+        merged_cover.setdefault(r["rep_id"], set()).update(cover)
+        assert r["span_tokens"] == r["n_windows"] + k - 1
+        assert r["span_text"].split() == list(
+            docs[r["rep_id"]][r["span_start"] - 1 : r["span_start"] - 1 + r["span_tokens"]]
+        )
+        assert r["n_docs_min"] <= r["n_docs_max"]
+    assert merged_cover == frag_cover
+    assert sum(r["n_windows"] for r in merged) == len(frags)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc"]), max_size=16),
+        min_size=2,
+        max_size=5,
+    ),
+)
 def test_split_excise_common_spans_invariants(spark, docs):
     """Splice-safety, on ANY corpus (round-8 VERDICT task 1): every
     output chunk of the split treatment is exactly one maximal run of

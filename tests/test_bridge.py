@@ -174,3 +174,103 @@ def test_bridge_restart_never_overwrites_existing_spool_files(tmp_path):
         with open(os.path.join(tmp_path / "spool", f)) as fh:
             lines += fh.read().splitlines()
     assert lines == [_wire(i) for i in range(8)]  # nothing overwritten
+
+
+def test_bridge_hard_kill_mid_file_never_promotes_tmp(tmp_path):
+    """LIVE crash drill (round-8 VERDICT task 7): a bridge PROCESS is
+    SIGKILLed while a spool tmp file is written but not yet promoted
+    (crash injected into the rename window of the real _flush path).
+    A restart into the same spool_dir must (a) never promote the
+    crashed tmp's content into the visible namespace, (b) not re-use
+    any VISIBLE feed index (the acknowledged files are untouched), and
+    (c) continue the sequence correctly — the file source sees only
+    complete, never-overwritten files."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    spool = str(tmp_path / "spool")
+    child_src = r"""
+import json, os, sys, time
+sys.path.insert(0, sys.argv[2])
+from real_time_financial_market_data_pipeline_spark.sources.bridge import FeedBridge
+
+spool = sys.argv[1]
+real_rename = os.rename
+state = {"renames": 0}
+
+def crashy_rename(src, dst):
+    if os.path.basename(src).startswith("_feed-"):
+        state["renames"] += 1
+        if state["renames"] >= 3:
+            time.sleep(600)  # the crash window: tmp on disk, never promoted
+    real_rename(src, dst)
+
+os.rename = crashy_rename
+
+def connect():
+    for i in range(6):
+        yield json.dumps({"i": i})
+    time.sleep(600)
+
+FeedBridge(connect, spool, rotate_lines=2).run()
+"""
+    import real_time_financial_market_data_pipeline_spark as pkg
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(pkg.__file__)))
+    proc = subprocess.Popen(
+        [sys.executable, "-c", child_src, spool, repo_root],
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    try:
+        deadline = time.time() + 60
+        stranded = None
+        while time.time() < deadline:
+            tmps = [f for f in os.listdir(spool) if f.endswith(".tmp")] if os.path.isdir(spool) else []
+            if tmps:
+                stranded = tmps[0]
+                break
+            time.sleep(0.05)
+        assert stranded == "_feed-000002.json.tmp", stranded
+        # let the blocked write settle, then capture the pre-kill state
+        time.sleep(0.2)
+        visible_before = sorted(
+            f for f in os.listdir(spool) if not f.startswith("_")
+        )
+        assert visible_before == ["feed-000000.json", "feed-000001.json"]
+        contents_before = {}
+        for f in visible_before:
+            with open(os.path.join(spool, f)) as fh:
+                contents_before[f] = fh.read()
+        proc.send_signal(signal.SIGKILL)
+        proc.wait(timeout=30)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=30)
+
+    # restart into the same spool_dir with fresh lines
+    def connect2():
+        for i in range(100, 104):
+            yield json.dumps({"i": i})
+
+    FeedBridge(connect2, spool, rotate_lines=2).run()
+
+    visible = sorted(f for f in os.listdir(spool) if not f.startswith("_"))
+    assert visible == [f"feed-{i:06d}.json" for i in range(4)]
+    # acknowledged files untouched — no visible index was re-used
+    for f in visible_before:
+        with open(os.path.join(spool, f)) as fh:
+            assert fh.read() == contents_before[f]
+    # the crashed tmp's lines (4, 5) were never promoted anywhere
+    all_lines = []
+    for f in visible:
+        with open(os.path.join(spool, f)) as fh:
+            all_lines += fh.read().splitlines()
+    crashed = {json.dumps({"i": 4}), json.dumps({"i": 5})}
+    assert not (set(all_lines) & crashed)
+    # the restart's own lines all landed, and no tmp litter remains
+    assert [json.loads(l)["i"] for l in all_lines] == [0, 1, 2, 3, 100, 101, 102, 103]
+    assert not [f for f in os.listdir(spool) if f.endswith(".tmp")]

@@ -300,11 +300,20 @@ class IncrementalDedupJob:
                         F.col("_rep.pos").alias("rep_pos"),
                     )
                 )
+                span_dir = os.path.join(self.out_dir, "index_spanfps")
                 partial.write.mode("overwrite").parquet(
-                    os.path.join(
-                        self.out_dir, "index_spanfps", f"batch_id={batch_id}"
-                    )
+                    os.path.join(span_dir, f"batch_id={batch_id}")
                 )
+                # record the window size the index was built with —
+                # underscore-prefixed like _bucket_spec.json, invisible
+                # to parquet listings; read-side views validate their k
+                # against it instead of silently slicing wrong text
+                marker = os.path.join(span_dir, _SPAN_SPEC_MARKER)
+                if not os.path.exists(marker):
+                    import json
+
+                    with open(marker, "w") as fh:
+                        json.dump({"span_k": self.span_k}, fh)
             if self.near_dup:
                 kept_ids = kept.select(F.col("doc_id").alias("id"))
                 kept_bands = bands_df.join(kept_ids, "id", "leftsemi")
@@ -347,6 +356,22 @@ def corpus_view(spark, out_dir: str, empty_schema=None) -> DataFrame:
             "empty frame with your doc schema."
         )
     return spark.read.parquet(path)
+
+
+_SPAN_SPEC_MARKER = "_span_spec.json"
+
+
+def stored_span_k(out_dir: str) -> int | None:
+    """The span_k the on-disk index was built with (None when the
+    marker predates this field or the index doesn't exist)."""
+    import json
+
+    marker = os.path.join(out_dir, "index_spanfps", _SPAN_SPEC_MARKER)
+    try:
+        with open(marker) as fh:
+            return json.load(fh).get("span_k")
+    except (OSError, ValueError):
+        return None
 
 
 def merge_span_stats(partials: DataFrame) -> DataFrame:
@@ -407,13 +432,21 @@ def common_spans_view(
     time — batch-identical output (e2e-tested) at per-query cost
     independent of how many batches built the index.  `k` must match
     the job's span_k (fingerprints of different window sizes don't
-    mix; there is nothing on disk to validate it against, so a
-    mismatch shows up as wrong span_text slices)."""
+    mix) — validated against the on-disk _span_spec.json marker, so a
+    mismatch raises instead of silently slicing wrong span_text."""
     from real_time_financial_market_data_pipeline_spark.operators.dedup import (
         common_spans_from_stats,
         merged_common_spans_from_stats,
     )
 
+    built_k = stored_span_k(out_dir)
+    if built_k is not None and built_k != k:
+        raise ValueError(
+            f"common_spans_view(k={k}) but the index at {out_dir} was "
+            f"built with span_k={built_k} — fingerprints of different "
+            "window sizes don't mix; pass the matching k (or rebuild "
+            "the index with the new one)"
+        )
     stats = span_stats_view(spark, out_dir, min_docs=min_docs)
     corpus = corpus_view(spark, out_dir).select("doc_id", "text")
     builder = merged_common_spans_from_stats if merged else common_spans_from_stats

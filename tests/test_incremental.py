@@ -385,3 +385,28 @@ def test_incremental_span_index_matches_batch_recompute(spark, tmp_path):
     assert view_rows(True) == recompute_rows(True)
     stats = common_spans_view(spark, out, min_docs=2, k=6).collect()
     assert any(r["n_docs"] == 4 for r in stats)  # 4 carriers now
+
+    # the point of the index: EXCISION against the growing corpus runs
+    # straight off the view (no re-fingerprinting) and is identical to
+    # excision against a full recompute
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import excise_common_spans
+
+    corpus = corpus_view(spark, out).select("doc_id", "text")
+
+    def excised_rows(spans_df):
+        return sorted(
+            tuple(r) for r in excise_common_spans(corpus, spans_df, k=6).collect()
+        )
+
+    from_index = excised_rows(common_spans_view(spark, out, min_docs=2, k=6))
+    from_recompute = excised_rows(common_spans(corpus, k=6, min_docs=2))
+    assert from_index == from_recompute
+    # and the treatment did something: non-rep carriers lost the boiler
+    assert any(r[2] > 0 for r in from_index)
+
+    # a k that doesn't match the on-disk _span_spec marker raises
+    # instead of silently slicing wrong span_text
+    import pytest
+
+    with pytest.raises(ValueError, match="span_k=6"):
+        common_spans_view(spark, out, min_docs=2, k=8)

@@ -132,3 +132,29 @@ def test_jvm_knn_has_partial_group_limit(spark):
     first_wgl = plan.index("WindowGroupLimit")
     exchange = plan.index("Exchange", first_wgl)
     assert "WindowGroupLimit" in plan[exchange:], plan[:1500]
+
+
+def test_span_treatments_add_no_unnecessary_shuffles(spark):
+    """Round-8 span operators, plan-pinned: merged_common_spans costs
+    exactly ONE exchange over common_spans (the rep_id window — the
+    island groupBy reuses its partitioning, since HashPartitioning on
+    rep_id satisfies clustering on (rep_id, _island)); the splice-safe
+    split excision's segmentation is pure map-side array work, so it
+    shuffles exactly as much as the concatenating form."""
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import (
+        common_spans,
+        excise_common_spans,
+        merged_common_spans,
+        split_excise_common_spans,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    cs = common_spans(docs, k=8, min_docs=2)
+    n_cs = count_shuffles(cs)
+    assert count_shuffles(merged_common_spans(docs, k=8, min_docs=2)) == n_cs + 1
+    ex = excise_common_spans(docs.select("doc_id", "text"), cs, k=8)
+    sp = split_excise_common_spans(docs.select("doc_id", "text"), cs, k=8)
+    assert count_shuffles(sp) == count_shuffles(ex)
+    for df in (ex, sp):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan

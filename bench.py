@@ -64,6 +64,7 @@ ENTRY_ROUNDS = {
     "span_dedup_pairs": 7,
     "span_common_merged": 8,
     "span_excise_split": 8,
+    "span_internal_excise": 8,
 }
 
 HEADLINE = [
@@ -563,6 +564,13 @@ def main() -> None:
             common_spans(_lt(spark, sf_dir, "documents"), k=8, min_docs=2),
             k=8,
         ).count()
+    ))
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import excise_internal_repeats
+
+    _guard("span_internal_excise", lambda: _min_of_2(
+        lambda: excise_internal_repeats(
+            _lt(spark, sf_dir, "documents").select("doc_id", "text"), k=8
+        ).agg({"excised_tokens": "sum"}).collect()
     ))
 
     # per-strategy kNN split (round-2 VERDICT task 7): the knn_bruteforce

@@ -7,6 +7,8 @@ from real_time_financial_market_data_pipeline_spark.operators.dedup import (
     exact_dedup,
     merged_common_spans,
     excise_common_spans,
+    excise_internal_repeats,
+    internal_repeated_spans,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
     repeated_span_pairs,
@@ -30,6 +32,8 @@ __all__ = [
     "merged_common_spans",
     "decontaminate_spans",
     "excise_common_spans",
+    "excise_internal_repeats",
+    "internal_repeated_spans",
     "split_excise_common_spans",
     "repeated_span_pairs",
     "minhash_near_dup_pairs",

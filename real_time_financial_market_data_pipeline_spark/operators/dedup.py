@@ -982,6 +982,17 @@ def excise_common_spans(
         )
         .select("id", F.array_except("_cov_raw", "_protected").alias("_covered"))
     )
+    return _rebuild_excised(df, covered, id_col, text_col)
+
+
+def _rebuild_excised(
+    df: DataFrame, covered: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Concatenating rebuild shared by the excision treatments: drop the
+    per-doc `_covered` positions from the staged token array, keep every
+    input row (untouched docs join null → empty covered set), count the
+    dropped tokens.  Linear per document: array_except over positions
+    (hash-based) + O(1) element_at lookups."""
     staged = df.select(
         F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("_toks")
     )
@@ -1112,6 +1123,129 @@ def split_excise_common_spans(
             F.col("_seg.n").cast("long").alias("n_tokens"),
         )
     )
+
+
+def internal_repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_span_tokens: int | None = None,
+    max_fp_occurrences: int | None = None,
+) -> DataFrame:
+    """Maximal token spans repeated WITHIN a single document:
+    (id_col, start_a, start_b, span_tokens) with start_a < start_b —
+    the within-document half of the Lee et al. 2022 treatment
+    (`repeated_span_pairs` covers the cross-document half; a suffix
+    array would surface both at once, this relational formulation
+    splits them because their treatments differ: cross-doc excision
+    keys on a corpus-wide representative, within-doc excision keeps
+    the FIRST occurrence).
+
+    Same plan shape as the cross-doc form with the join keyed on
+    (id, fp) instead of fp alone: window fingerprints self-equi-joined
+    per document, matched occurrence pairs grouped by diagonal
+    (start_a - start_b), consecutive positions collapsed via the
+    island trick.  Shuffle keys are (id, fp) — no cross-document
+    traffic at all, so corpus scale-out is embarrassing; the quadratic
+    hazard is per-DOCUMENT (a window occurring f times in one doc
+    yields O(f²) pairs, f bounded by doc length).  For pathological
+    repetition (the repetition_metrics gate's territory) pass
+    `max_fp_occurrences` to exclude windows with more than that many
+    occurrences in a doc from pair enumeration — `excise_internal_
+    repeats` doesn't need pairs at all and handles them regardless."""
+    from pyspark.sql import Window
+
+    min_span = min_span_tokens if min_span_tokens is not None else k
+    fps = span_fingerprints(df, id_col=id_col, text_col=text_col, k=k)
+    if max_fp_occurrences is not None:
+        hot = (
+            fps.groupBy("id", "fp")
+            .agg(F.count(F.lit(1)).alias("_occ"))
+            .filter(F.col("_occ") > max_fp_occurrences)
+            .select("id", "fp")
+        )
+        fps = fps.join(hot, ["id", "fp"], "left_anti")
+    l = fps.select("id", F.col("pos").alias("pos_a"), "fp")
+    r = fps.select("id", F.col("pos").alias("pos_b"), "fp")
+    cand = (
+        l.join(r, ["id", "fp"])
+        .filter(F.col("pos_a") < F.col("pos_b"))
+        .select("id", "pos_a", "pos_b")
+        .withColumn("diag", F.col("pos_a") - F.col("pos_b"))
+    )
+    w = Window.partitionBy("id", "diag").orderBy("pos_a")
+    runs = cand.withColumn("_island", F.col("pos_a") - F.row_number().over(w))
+    return (
+        runs.groupBy("id", "diag", "_island")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).cast("long").alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_span)
+        .select(
+            F.col("id").alias(id_col), "start_a", "start_b", "span_tokens"
+        )
+    )
+
+
+def excise_internal_repeats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Within-document keep-FIRST span excision: every k-token window
+    occurring >= min_occurrences times in a document keeps its first
+    (lowest-position) occurrence and loses the rest — the within-doc
+    companion to `excise_common_spans` (which keys its keeper on a
+    corpus-wide representative).  Use after the repetition_metrics
+    curation gate to REPAIR borderline documents instead of dropping
+    them: the informative prefix survives, the copy-paste tail goes.
+
+    Returns (id_col, text_col, excised_tokens) — every input row
+    preserved, untouched docs identical (token-normalized).
+
+    Positions covered by any first occurrence are PROTECTED from
+    deletion by overlapping repeated windows (same rule as the rep
+    protection in `excise_common_spans`), so each repeated window's
+    content survives intact at least once per document.  No pair
+    enumeration anywhere — one (id, fp) hash-agg for the first
+    positions + occurrence counts, one join back, one per-doc covered
+    aggregate — so a degenerate "same line 10 000 times" document
+    costs O(windows), not O(windows²), and comes back as one line.
+
+    Shares the concatenating rebuild (and its documented splice
+    artifact) with `excise_common_spans`; positional deletion is the
+    property-tested guarantee."""
+    fps = span_fingerprints(df, id_col=id_col, text_col=text_col, k=k)
+    firsts = (
+        fps.groupBy("id", "fp")
+        .agg(
+            F.min("pos").alias("_first_pos"),
+            F.count(F.lit(1)).alias("_occ"),
+        )
+        .filter(F.col("_occ") >= min_occurrences)
+        .select("id", "fp", "_first_pos")
+    )
+    hits = fps.join(firsts, ["id", "fp"])
+    is_first = F.col("pos") == F.col("_first_pos")
+    win = F.sequence(F.col("pos"), F.col("pos") + k - 1)
+    covered = (
+        hits.groupBy("id")
+        .agg(
+            F.array_distinct(
+                F.flatten(F.collect_list(F.when(~is_first, win)))
+            ).alias("_cov_raw"),
+            F.array_distinct(
+                F.flatten(F.collect_list(F.when(is_first, win)))
+            ).alias("_protected"),
+        )
+        .select("id", F.array_except("_cov_raw", "_protected").alias("_covered"))
+    )
+    return _rebuild_excised(df, covered, id_col, text_col)
 
 
 def span_contaminated_ids(

@@ -182,3 +182,34 @@ class DocStreamJob:
         out = curated.drop("text").join(rewritten, "doc_id")
         out.write.mode("overwrite").partitionBy("split").parquet(out_path)
         return out_path
+
+    def excise_internal(
+        self, spark, k: int = 8, min_occurrences: int = 2
+    ) -> str:
+        """Stream-stopped within-document repair pass: every k-token
+        window repeated >= min_occurrences times inside a document
+        keeps its FIRST occurrence and loses the rest
+        (operators.dedup.excise_internal_repeats) — the REPAIR
+        counterpart to the repetition_metrics curation gate, which can
+        only keep or drop whole documents.  Purely per-document (no
+        corpus-wide state), but batch-run like excise_spans so the
+        rewritten table lands once, atomically, after a drain.
+        Writes `curated_excised_internal/` (same split partitioning);
+        idempotent overwrite; returns the output path."""
+        from real_time_financial_market_data_pipeline_spark.operators.dedup import excise_internal_repeats
+
+        curated_dir = os.path.join(self.out_dir, "curated")
+        out_path = os.path.join(self.out_dir, "curated_excised_internal")
+        if not os.path.isdir(curated_dir):
+            raise FileNotFoundError(
+                f"{curated_dir} does not exist — the curation stream never "
+                "wrote a batch (or out_dir is wrong); drain DocStreamJob "
+                "before running the excision pass"
+            )
+        curated = spark.read.parquet(curated_dir)
+        rewritten = excise_internal_repeats(
+            curated.select("doc_id", "text"), k=k, min_occurrences=min_occurrences
+        )
+        out = curated.drop("text").join(rewritten, "doc_id")
+        out.write.mode("overwrite").partitionBy("split").parquet(out_path)
+        return out_path

@@ -547,6 +547,48 @@ def test_excise_common_spans_keeps_one_occurrence(spark):
     assert out9["text"] is None and out9["excised_tokens"] == 0
 
 
+def test_internal_repeated_spans_and_keep_first_excision(spark):
+    """Within-document half of the span-dedup family (round 8):
+    internal_repeated_spans locates maximal within-doc repeats;
+    excise_internal_repeats keeps each repeated window's FIRST
+    occurrence and drops the rest — the repair treatment for
+    copy-paste-degenerate documents (a 'same text n times' doc comes
+    back as one copy).  max_fp_occurrences caps pair enumeration for
+    pathological repetition; excision needs no pairs and is unaffected."""
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import (
+        excise_internal_repeats,
+        internal_repeated_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta one two alpha beta gamma delta three"),
+            (2, "aa aa aa aa aa aa aa"),
+            (3, "unique words only in this one document here"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = sorted(
+        (r["doc_id"], r["start_a"], r["start_b"], r["span_tokens"])
+        for r in internal_repeated_spans(docs, k=3).collect()
+    )
+    assert (1, 1, 7, 4) in spans            # the repeated 4-token block
+    assert all(s[0] != 3 for s in spans)    # unique doc reports nothing
+
+    out = {r["doc_id"]: r for r in excise_internal_repeats(docs, k=3).collect()}
+    assert out[1]["text"] == "alpha beta gamma delta one two three"
+    assert out[1]["excised_tokens"] == 4
+    assert out[2]["text"] == "aa aa aa"      # first window kept intact
+    assert out[2]["excised_tokens"] == 4
+    assert out[3]["text"] == "unique words only in this one document here"
+    assert out[3]["excised_tokens"] == 0
+
+    # the pair-enumeration cap: doc 2's window occurs 5x -> excluded
+    capped = internal_repeated_spans(docs, k=3, max_fp_occurrences=4).collect()
+    assert all(r["doc_id"] != 2 for r in capped)
+    assert any(r["doc_id"] == 1 for r in capped)
+
+
 def test_split_excise_common_spans_is_splice_safe(spark):
     """The splice-safe treatment (round-8 VERDICT task 1), pinned on the
     concatenating form's own docstring counterexample: excising the

@@ -494,6 +494,111 @@ def test_excise_common_spans_invariants(spark, docs):
         assert sr["span_text"] in windows(rep_out), (sr, rep_out)
 
 
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), max_size=20),
+        min_size=1,
+        max_size=4,
+    ),
+    k=st.integers(min_value=2, max_value=4),
+)
+def test_internal_repeated_spans_matches_naive(spark, docs, k):
+    """internal_repeated_spans must equal the brute-force definition —
+    all within-doc matched k-window pairs (i < j) grouped by diagonal,
+    consecutive positions merged into maximal runs — for ANY document
+    over a tiny alphabet (forcing heavy internal repetition and
+    overlapping diagonals)."""
+    from collections import defaultdict
+
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import internal_repeated_spans
+
+    def naive(a):
+        by_diag = defaultdict(list)
+        for i in range(len(a) - k + 1):
+            for j in range(i + 1, len(a) - k + 1):
+                if a[i : i + k] == a[j : j + k]:
+                    by_diag[i - j].append(i)
+        out = set()
+        for d, poss in by_diag.items():
+            poss.sort()
+            start = prev = poss[0]
+            for p in poss[1:] + [None]:
+                if p == prev + 1:
+                    prev = p
+                else:
+                    out.add((start + 1, start - d + 1, prev - start + k))
+                    if p is not None:
+                        start = prev = p
+        return out
+
+    expected = {
+        (i, s_a, s_b, n)
+        for i, toks in enumerate(docs)
+        for s_a, s_b, n in naive(toks)
+    }
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["start_a"], r["start_b"], r["span_tokens"])
+        for r in internal_repeated_spans(df, k=k).collect()
+    }
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc"]), max_size=18),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_excise_internal_repeats_invariants(spark, docs):
+    """Keep-first within-doc excision, on ANY corpus: output is EXACTLY
+    the input with every non-first occurrence's positions deleted,
+    minus positions protected by any first occurrence (full
+    reconstruction vs a Python reference); every repeated window's
+    content survives intact at its first position; untouched docs are
+    identical."""
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import excise_internal_repeats
+
+    k = 3
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in excise_internal_repeats(df, k=k).collect()}
+
+    def windows(toks):
+        return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+    for i, toks in enumerate(docs):
+        occ: dict[str, list] = {}
+        for pos0, w in enumerate(windows(toks)):
+            occ.setdefault(w, []).append(pos0 + 1)
+        covered: set = set()
+        protected: set = set()
+        repeated = {w for w, ps in occ.items() if len(ps) >= 2}
+        for w in repeated:
+            first, *rest = occ[w]
+            protected.update(range(first, first + k))
+            for p in rest:
+                covered.update(range(p, p + k))
+        drop = covered - protected
+        got_toks = out[i]["text"].split() if out[i]["text"] else []
+        expected = [t for p, t in enumerate(toks, 1) if p not in drop]
+        assert got_toks == expected, (i, got_toks, expected)
+        assert out[i]["excised_tokens"] == len(toks) - len(got_toks)
+        if not repeated:
+            assert got_toks == toks
+        # keep-first survival: each repeated window intact in the output
+        for w in repeated:
+            assert w in windows(got_toks), (i, w, got_toks)
+
+
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     docs=st.lists(

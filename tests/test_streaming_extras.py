@@ -580,3 +580,22 @@ def test_doc_stream_excise_spans_post_drain(spark, tmp_path):
             f"document {d} body talks about subject {d * 3}" in r["text"]
             for r in by_doc[d]
         )
+
+    # within-document repair pass: a doc whose tail repeats its own
+    # opening keeps one copy (keep-first), others untouched
+    with open(os.path.join(feed, "late.json"), "w") as f:
+        rep = "repeat this exact phrase again and again and again"
+        f.write(
+            json.dumps(
+                {"doc_id": 99, "text": rep + " middle words " + rep, "lang": "en", "source": "a"}
+            )
+            + "\n"
+        )
+    mgr2 = job.start(read_doc_stream(spark, feed))
+    assert mgr2.await_all(timeout_s=120)
+    path3 = job.excise_internal(spark, k=8)
+    assert path3.endswith("curated_excised_internal")
+    fixed = {r["doc_id"]: r for r in spark.read.parquet(path3).collect()}
+    assert fixed[99]["excised_tokens"] == 9
+    assert fixed[99]["text"] == rep + " middle words"
+    assert fixed[0]["excised_tokens"] == 0  # boiler occurs once per doc

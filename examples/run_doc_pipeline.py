@@ -79,6 +79,35 @@ def main() -> None:
         F.sum(F.when(F.col("excised_tokens") > 0, 1).otherwise(0)).alias("docs_touched"),
     ).show()
     excised.orderBy("doc_id").select("doc_id", "text").show(3, truncate=60)
+
+    # round-8 variants of the treatment, side by side:
+    #  - merged_common_spans answers "what IS the shared chrome" as
+    #    whole blocks instead of k-window fragments;
+    #  - split excision cuts at the boundaries (no spliced k-grams),
+    #    fanning docs out to chunk rows;
+    #  - the within-doc repair keeps the FIRST copy of any text a
+    #    document repeats internally.
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import (
+        excise_internal_repeats,
+        merged_common_spans,
+        split_excise_common_spans,
+    )
+
+    print("merged maximal shared blocks:")
+    merged_common_spans(curated, k=8, min_docs=5).orderBy(
+        F.desc("span_tokens")
+    ).select("rep_id", "span_start", "span_tokens", "n_windows", "span_text").show(
+        3, truncate=60
+    )
+    print("splice-safe split excision (chunk rows):")
+    split_excise_common_spans(
+        curated.select("doc_id", "text"), spans, k=8
+    ).orderBy("doc_id", "chunk_idx").show(5, truncate=60)
+    print("within-doc keep-first repair:")
+    excise_internal_repeats(curated.select("doc_id", "text"), k=8).agg(
+        F.sum("excised_tokens").alias("tokens_excised"),
+        F.sum(F.when(F.col("excised_tokens") > 0, 1).otherwise(0)).alias("docs_repaired"),
+    ).show()
     spark.stop()
 
 

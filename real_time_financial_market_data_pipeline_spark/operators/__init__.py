@@ -7,6 +7,7 @@ from real_time_financial_market_data_pipeline_spark.operators.dedup import (
     exact_dedup,
     merged_common_spans,
     excise_common_spans,
+    excise_contaminated_spans,
     excise_internal_repeats,
     internal_repeated_spans,
     minhash_near_dup_pairs,
@@ -32,6 +33,7 @@ __all__ = [
     "merged_common_spans",
     "decontaminate_spans",
     "excise_common_spans",
+    "excise_contaminated_spans",
     "excise_internal_repeats",
     "internal_repeated_spans",
     "split_excise_common_spans",

@@ -1298,8 +1298,87 @@ def decontaminate_spans(
     """Drop training documents flagged by `span_contaminated_ids` —
     the span-level companion to `decontaminate` (doc-level minhash):
     run BOTH at corpus scale; minhash catches paraphrased/reordered
-    near-copies, the span rule catches short verbatim embeddings."""
+    near-copies, the span rule catches short verbatim embeddings.
+    For the SURGICAL alternative (remove just the benchmark text, keep
+    the page), see `excise_contaminated_spans`."""
     flagged = span_contaminated_ids(
         train, benchmark, id_col=id_col, text_col=text_col, k=k, min_windows=min_windows
     ).select(id_col)
     return train.join(flagged, id_col, "left_anti")
+
+
+def excise_contaminated_spans(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 13,
+) -> DataFrame:
+    """SURGICAL span decontamination: instead of dropping a training
+    document that embeds verbatim benchmark windows
+    (`decontaminate_spans`), remove exactly the contaminated token
+    positions and keep the rest of the page — the right treatment when
+    contamination is a quoted exam question inside an otherwise
+    valuable document, where the drop rule wastes the whole page.
+
+    Returns (id_col, text_col, excised_tokens): every input row
+    preserved; clean docs come back token-normalized with 0 excised; a
+    page that was NOTHING BUT benchmark text comes back empty (let the
+    downstream quality gate discard it).  No protection set — benchmark
+    content has no keep-one right, every matched window's positions go.
+
+    Plan: identical to the detection join (`span_contaminated_ids`) —
+    both sides window-fingerprinted map-side, one fp equi-join, one
+    per-doc covered aggregate — plus the shared linear rebuild.  Linear
+    in each corpus; never |train| × |benchmark|.
+
+    Splice caveat (same physics as `excise_common_spans`): the
+    concatenating rebuild can in principle re-form a benchmark k-gram
+    across an excision seam in degenerate self-overlapping cases.
+    Pipelines needing a hard guarantee should re-run
+    `span_contaminated_ids` on the output as a verification pass (the
+    operator is cheap) and drop the (vanishingly rare) survivors."""
+    t = span_fingerprints(train, id_col=id_col, text_col=text_col, k=k)
+    b_fps = (
+        span_fingerprints(benchmark, id_col=id_col, text_col=text_col, k=k)
+        .select("fp")
+        .distinct()
+    )
+    return _excise_from_fp_index(train, t, b_fps, id_col, text_col, k)
+
+
+def excise_contaminated_spans_from_index(
+    train: DataFrame,
+    benchmark_fps: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 13,
+) -> DataFrame:
+    """`excise_contaminated_spans` against a PREBUILT benchmark
+    fingerprint index (one `fp bigint` column —
+    `streaming.incremental.build_benchmark_span_index` output): the
+    streaming-ingest form, where re-fingerprinting the benchmark per
+    micro-batch would be waste.  `k` must match the index's build k."""
+    t = span_fingerprints(train, id_col=id_col, text_col=text_col, k=k)
+    return _excise_from_fp_index(
+        train, t, benchmark_fps.select("fp").distinct(), id_col, text_col, k
+    )
+
+
+def _excise_from_fp_index(
+    train: DataFrame,
+    train_fps: DataFrame,
+    bad_fps: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+) -> DataFrame:
+    hits = train_fps.join(bad_fps, "fp")
+    covered = hits.groupBy("id").agg(
+        F.array_distinct(
+            F.flatten(
+                F.collect_list(F.sequence(F.col("pos"), F.col("pos") + k - 1))
+            )
+        ).alias("_covered")
+    )
+    return _rebuild_excised(train, covered, id_col, text_col)

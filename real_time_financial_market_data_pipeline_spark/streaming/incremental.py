@@ -84,6 +84,15 @@ class IncrementalDedupJob:
     # flat in corpus size.  None disables.
     benchmark_fp_dir: str | None = None
     decontam_k: int = 13
+    # "drop" (default): a doc containing any verbatim benchmark window
+    # never enters the corpus (the GPT-3 rule).  "excise": SURGICAL —
+    # the contaminated token positions are removed at ingest (before
+    # fingerprinting, so dedup keys on the cleaned text) and the rest
+    # of the page is kept, with the removal count recorded as
+    # `decontam_excised_tokens`.  A page that was nothing but benchmark
+    # text survives as an empty string — downstream quality gates'
+    # problem, not the dedup job's.
+    decontam_mode: str = "drop"
     # Incremental CORPUS span-fp index (round-8 VERDICT task 3): when
     # enabled, every batch appends a per-fingerprint PARTIAL aggregate
     # of its kept docs' span_k-token window fingerprints to
@@ -171,10 +180,31 @@ class IncrementalDedupJob:
         return df
 
     def start(self, docs: DataFrame) -> StreamingQuery:
+        if self.decontam_mode not in ("drop", "excise"):
+            raise ValueError(
+                f"decontam_mode must be 'drop' or 'excise' (got {self.decontam_mode!r})"
+            )
+
         def process(batch_df: DataFrame, batch_id: int) -> None:
             if batch_df.isEmpty():
                 return
             spark = batch_df.sparkSession
+
+            # 0. surgical decontamination BEFORE fingerprinting (excise
+            # mode): dedup must key on the cleaned text, or a page that
+            # differs only in its embedded benchmark quote would evade
+            # the exact-dup collapse of its clean twin
+            if self.benchmark_fp_dir is not None and self.decontam_mode == "excise":
+                from real_time_financial_market_data_pipeline_spark.operators.dedup import (
+                    excise_contaminated_spans_from_index,
+                )
+
+                bench_fps = spark.read.parquet(self.benchmark_fp_dir)
+                rewritten = excise_contaminated_spans_from_index(
+                    batch_df.select("doc_id", "text"), bench_fps, k=self.decontam_k
+                ).withColumnRenamed("excised_tokens", "decontam_excised_tokens")
+                batch_df = batch_df.drop("text").join(rewritten, "doc_id")
+
             batch = batch_df.withColumn("fingerprint", doc_fingerprint(F.col("text")))
 
             # 1. intra-batch exact dedup, deterministic keeper
@@ -194,7 +224,8 @@ class IncrementalDedupJob:
 
             # 2b. span-level benchmark decontamination at ingest: drop
             # docs containing any verbatim k-token benchmark window
-            if self.benchmark_fp_dir is not None:
+            # (excise mode already handled it at step 0)
+            if self.benchmark_fp_dir is not None and self.decontam_mode == "drop":
                 from real_time_financial_market_data_pipeline_spark.operators.dedup import span_fingerprints
 
                 bench_fps = spark.read.parquet(self.benchmark_fp_dir)

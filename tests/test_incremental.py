@@ -290,6 +290,44 @@ def test_ingest_time_span_decontamination(spark, tmp_path):
     kept = sorted(r["doc_id"] for r in corpus_view(spark, out).collect())
     assert kept == [1, 3]
 
+    # surgical mode (round 8): the same feed through decontam_mode=
+    # "excise" keeps doc 2 with the benchmark window REMOVED and the
+    # page content intact, recording the removal count
+    out2 = str(tmp_path / "out_excise")
+
+    def drain_excise():
+        docs = read_doc_stream(spark, feed, max_files_per_trigger=1)
+        job = IncrementalDedupJob(
+            out_dir=out2, benchmark_fp_dir=bench_dir, decontam_mode="excise"
+        )
+        q = job.start(docs.select("doc_id", "text"))
+        assert q.awaitTermination(180)
+
+    drain_excise()
+    rows = {r["doc_id"]: r for r in corpus_view(spark, out2).collect()}
+    assert sorted(rows) == [1, 2, 3]          # doc 2 survives now
+    assert rows[2]["decontam_excised_tokens"] >= 13
+    assert question not in rows[2]["text"]
+    assert "page0 words0 here0" in rows[2]["text"]     # page content kept
+    assert rows[1]["decontam_excised_tokens"] == 0
+    # the surviving corpus is clean by the detection rule itself
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import span_contaminated_ids
+
+    assert (
+        span_contaminated_ids(
+            corpus_view(spark, out2).select("doc_id", "text"), bench_df, k=13
+        ).count()
+        == 0
+    )
+
+    # invalid mode fails fast
+    import pytest
+
+    with pytest.raises(ValueError, match="decontam_mode"):
+        IncrementalDedupJob(out_dir=out2, decontam_mode="banish").start(
+            read_doc_stream(spark, feed).select("doc_id", "text")
+        )
+
 
 def test_incremental_span_index_matches_batch_recompute(spark, tmp_path):
     """span_index=True (round-8 VERDICT task 3): the per-batch span-fp

@@ -688,3 +688,23 @@ def test_span_level_decontamination(spark):
     # usable Jaccard threshold — which is exactly why the span rule exists
     doclevel = minhash_cross_corpus_pairs(train, benchmark, threshold=0.5)
     assert doclevel.count() == 0
+
+    # surgical alternative (round 8): excise JUST the benchmark text,
+    # keep the page — and a verification pass confirms the output is
+    # clean by the same detection rule
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import (
+        excise_contaminated_spans,
+        span_contaminated_ids as detect,
+    )
+
+    out = {r["doc_id"]: r for r in excise_contaminated_spans(train, benchmark, k=13).collect()}
+    assert len(out) == 2                      # every row preserved
+    assert out[2]["excised_tokens"] == 0      # clean page untouched
+    assert out[1]["excised_tokens"] >= 21     # the whole question went
+    assert question not in out[1]["text"]
+    assert "filler0 content0 words0" in out[1]["text"]   # page content kept
+    assert "filler39" in out[1]["text"]
+    cleaned = spark.createDataFrame(
+        [(k, v["text"]) for k, v in out.items()], "doc_id long, text string"
+    )
+    assert detect(cleaned, benchmark, k=13).count() == 0

@@ -780,15 +780,23 @@ def span_decontamination_certificate(
     plant_below: int = 10,
     family: str = "decontaminate_spans",
 ) -> DataFrame:
-    """RECOVERY certificate for the span-level decontamination rule:
+    """RECOVERY certificate for the span-level decontamination rules:
     EMBED a verbatim k+spare-token window of each benchmark doc (from a
     bounded subcorpus) inside a synthetic filler training page; every
     planted page must be flagged by span_contaminated_ids and dropped
-    by decontaminate_spans.  Deterministic (identical windows hash
+    by decontaminate_spans — and (round 8) the SURGICAL treatment
+    `excise_contaminated_spans` must leave no page the detection rule
+    still flags (residue leg) while keeping the page's own filler
+    content (overcut leg: the cleaned text must retain the filler
+    sentinel token).  Deterministic (identical windows hash
     identically), so a miss is a broken-fingerprint defect, not noise.
-    Cost: |plant| synthetic pages through one fp equi-join — O(1)
+    Cost: |plant| synthetic pages through two fp equi-joins — O(1)
     relative to corpus size."""
-    from real_time_financial_market_data_pipeline_spark.operators.dedup import decontaminate_spans
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import (
+        decontaminate_spans,
+        excise_contaminated_spans,
+        span_contaminated_ids,
+    )
 
     bench = (
         benchmark.filter(F.col("doc_id") < plant_below)
@@ -820,11 +828,27 @@ def span_decontamination_certificate(
             F.lit(0.0),
             F.lit(1.0),
         )
-    survivors = decontaminate_spans(
-        planted, benchmark.filter(F.col("doc_id") < plant_below), k=k
-    )
-    return _viol(
+    bench_sub = benchmark.filter(F.col("doc_id") < plant_below)
+    survivors = decontaminate_spans(planted, bench_sub, k=k)
+    dropped = _viol(
         survivors,
         family, "planted_embedding_survived",
         F.col("doc_id"), F.lit(None), F.lit(1.0), F.lit(0.0),
     )
+
+    # surgical legs: excised planted pages must (a) carry no window the
+    # detection rule still flags, (b) still contain their own filler
+    # content (the sentinel below appears in every synthetic page)
+    cleaned = excise_contaminated_spans(planted, bench_sub, k=k)
+    residue = _viol(
+        span_contaminated_ids(cleaned, bench_sub, k=k),
+        family, "surgical_residue_detected",
+        F.col("doc_id"), F.lit(None),
+        F.col("matched_windows").cast("double"), F.lit(0.0),
+    )
+    overcut = _viol(
+        cleaned.filter(~F.col("text").contains("xqzfill0")),
+        family, "surgical_overcut",
+        F.col("doc_id"), F.lit(None), F.lit(0.0), F.lit(1.0),
+    )
+    return dropped.unionByName(residue).unionByName(overcut)

@@ -310,6 +310,17 @@ def test_span_decontamination_certificate_green_and_fires(spark, monkeypatch):
     monkeypatch.setattr(dedup, "decontaminate_spans", lambda t, b, **kw: t)
     viol = certify.span_decontamination_certificate(bench).collect()
     assert viol and all(r["kind"] == "planted_embedding_survived" for r in viol)
+    monkeypatch.undo()
+
+    # a no-op SURGICAL operator leaves the benchmark text in place —
+    # the residue leg must fire (round 8)
+    monkeypatch.setattr(
+        dedup,
+        "excise_contaminated_spans",
+        lambda t, b, **kw: t.withColumn("excised_tokens", F.lit(0)),
+    )
+    viol = certify.span_decontamination_certificate(bench).collect()
+    assert viol and all(r["kind"] == "surgical_residue_detected" for r in viol)
 
 
 def test_span_certificates_not_vacuous_when_nothing_plantable(spark):

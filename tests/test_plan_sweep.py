@@ -95,7 +95,7 @@ PLAN_BUDGET: dict[str, tuple[int, bool, int]] = {
     # bounded planted subcorpus), then +4/+3 from the span-level
     # decontamination leg (two fp fingerprint sides + flag agg +
     # anti-join, bounded planted pages)
-    "approx_soundness_certificates": (67, True, 65),
+    "approx_soundness_certificates": (74, True, 65),  # r8: +7 surgical-decontam legs (excise + residue re-detect)
     "decontaminated_docs": (4, True, 3),
     "minhash_near_dups": (1, True, 0),
     "simhash_near_dups": (1, True, 2),

@@ -550,6 +550,55 @@ def test_internal_repeated_spans_matches_naive(spark, docs, k):
 
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
+    train=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), max_size=16),
+        min_size=1,
+        max_size=4,
+    ),
+    bench=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), max_size=10),
+        min_size=1,
+        max_size=2,
+    ),
+)
+def test_excise_contaminated_spans_invariants(spark, train, bench):
+    """Surgical decontamination on ANY train/benchmark pair: the output
+    is EXACTLY the input with every position covered by a
+    benchmark-matching k-window deleted (full reconstruction vs a
+    Python reference — no protection set, benchmark text has no
+    keep-one right), rows preserved, clean docs identical."""
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import excise_contaminated_spans
+
+    k = 3
+    tdf = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(train)],
+        "doc_id long, text string",
+    )
+    bdf = spark.createDataFrame(
+        [(100 + i, " ".join(toks)) for i, toks in enumerate(bench)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in excise_contaminated_spans(tdf, bdf, k=k).collect()}
+
+    def windows(toks):
+        return [tuple(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+    bad = {w for toks in bench for w in windows(toks)}
+    for i, toks in enumerate(train):
+        covered: set = set()
+        for pos0, w in enumerate(windows(toks)):
+            if w in bad:
+                covered.update(range(pos0 + 1, pos0 + 1 + k))
+        got_toks = out[i]["text"].split() if out[i]["text"] else []
+        expected = [t for p, t in enumerate(toks, 1) if p not in covered]
+        assert got_toks == expected, (i, got_toks, expected)
+        assert out[i]["excised_tokens"] == len(toks) - len(got_toks)
+        if not covered:
+            assert got_toks == toks
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
     docs=st.lists(
         st.lists(st.sampled_from(["aa", "bb", "cc"]), max_size=18),
         min_size=1,

@@ -15,6 +15,7 @@ from real_time_financial_market_data_pipeline_spark.operators.dedup import (
     repeated_span_pairs,
     simhash_signatures,
     split_excise_common_spans,
+    split_excise_internal_repeats,
 )
 from real_time_financial_market_data_pipeline_spark.operators.asof import asof_join
 from real_time_financial_market_data_pipeline_spark.operators.similarity import (
@@ -37,6 +38,7 @@ __all__ = [
     "excise_internal_repeats",
     "internal_repeated_spans",
     "split_excise_common_spans",
+    "split_excise_internal_repeats",
     "repeated_span_pairs",
     "minhash_near_dup_pairs",
     "ngram_jaccard_pairs",

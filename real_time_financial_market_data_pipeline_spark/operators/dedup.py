@@ -1086,6 +1086,15 @@ def split_excise_common_spans(
         covered = hits.groupBy("id").agg(
             F.array_distinct(F.flatten(F.collect_list(win))).alias("_covered")
         )
+    return _split_rebuild(df, covered, id_col, text_col)
+
+
+def _split_rebuild(
+    df: DataFrame, covered: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Splice-safe rebuild shared by the split treatments: fan each doc
+    out to one row per maximal run of kept positions.  Pure map-side
+    array work after the covered join — O(tokens) per document."""
     staged = df.select(
         F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("_toks")
     )
@@ -1219,7 +1228,39 @@ def excise_internal_repeats(
 
     Shares the concatenating rebuild (and its documented splice
     artifact) with `excise_common_spans`; positional deletion is the
-    property-tested guarantee."""
+    property-tested guarantee.  For the splice-safe chunk-row form,
+    see `split_excise_internal_repeats`."""
+    covered = _internal_covered(df, id_col, text_col, k, min_occurrences)
+    return _rebuild_excised(df, covered, id_col, text_col)
+
+
+def split_excise_internal_repeats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Splice-SAFE form of `excise_internal_repeats`: the same
+    keep-first within-document excision, but documents SPLIT at every
+    excision into chunk rows (id_col, chunk_idx, token_start, text_col,
+    n_tokens) instead of concatenating the flanks — so no k-gram can
+    exist in any chunk that was not at the same place in the original,
+    and in particular no excised repeat can re-form across a seam.
+    Same covered-position semantics as the concatenating form
+    (first-occurrence positions protected), same chunk-row contract as
+    `split_excise_common_spans` (untouched docs → one whole-doc chunk;
+    fully-excised/empty/null docs → no rows)."""
+    covered = _internal_covered(df, id_col, text_col, k, min_occurrences)
+    return _split_rebuild(df, covered, id_col, text_col)
+
+
+def _internal_covered(
+    df: DataFrame, id_col: str, text_col: str, k: int, min_occurrences: int
+) -> DataFrame:
+    """Per-doc covered positions of the keep-first internal-repeat
+    excision: non-first occurrences of every >= min_occurrences window,
+    minus positions protected by any first occurrence."""
     fps = span_fingerprints(df, id_col=id_col, text_col=text_col, k=k)
     firsts = (
         fps.groupBy("id", "fp")
@@ -1233,7 +1274,7 @@ def excise_internal_repeats(
     hits = fps.join(firsts, ["id", "fp"])
     is_first = F.col("pos") == F.col("_first_pos")
     win = F.sequence(F.col("pos"), F.col("pos") + k - 1)
-    covered = (
+    return (
         hits.groupBy("id")
         .agg(
             F.array_distinct(
@@ -1245,7 +1286,6 @@ def excise_internal_repeats(
         )
         .select("id", F.array_except("_cov_raw", "_protected").alias("_covered"))
     )
-    return _rebuild_excised(df, covered, id_col, text_col)
 
 
 def span_contaminated_ids(

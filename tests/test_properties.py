@@ -606,13 +606,17 @@ def test_excise_contaminated_spans_invariants(spark, train, bench):
     ),
 )
 def test_excise_internal_repeats_invariants(spark, docs):
-    """Keep-first within-doc excision, on ANY corpus: output is EXACTLY
-    the input with every non-first occurrence's positions deleted,
-    minus positions protected by any first occurrence (full
-    reconstruction vs a Python reference); every repeated window's
-    content survives intact at its first position; untouched docs are
-    identical."""
-    from real_time_financial_market_data_pipeline_spark.operators.dedup import excise_internal_repeats
+    """Keep-first within-doc excision, on ANY corpus — BOTH treatments:
+    the concatenating form's output is EXACTLY the input with every
+    non-first occurrence's positions deleted, minus positions protected
+    by any first occurrence (full reconstruction vs a Python
+    reference), with every repeated window surviving intact; the SPLIT
+    form emits exactly the maximal runs of the same kept positions, so
+    its chunks are verbatim substrings of the original."""
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import (
+        excise_internal_repeats,
+        split_excise_internal_repeats,
+    )
 
     k = 3
     df = spark.createDataFrame(
@@ -620,6 +624,9 @@ def test_excise_internal_repeats_invariants(spark, docs):
         "doc_id long, text string",
     )
     out = {r["doc_id"]: r for r in excise_internal_repeats(df, k=k).collect()}
+    split_out: dict[int, list] = {}
+    for r in split_excise_internal_repeats(df, k=k).collect():
+        split_out.setdefault(r["doc_id"], []).append(r)
 
     def windows(toks):
         return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
@@ -646,6 +653,28 @@ def test_excise_internal_repeats_invariants(spark, docs):
         # keep-first survival: each repeated window intact in the output
         for w in repeated:
             assert w in windows(got_toks), (i, w, got_toks)
+
+        # split form: chunks == maximal runs of the same kept positions
+        runs, cur = [], []
+        for p in range(1, len(toks) + 1):
+            if p in drop:
+                if cur:
+                    runs.append(cur)
+                cur = []
+            else:
+                cur.append(p)
+        if cur:
+            runs.append(cur)
+        chunks = sorted(split_out.get(i, []), key=lambda r: r["chunk_idx"])
+        assert [
+            (r["token_start"], r["text"].split() if r["text"] else [])
+            for r in chunks
+        ] == [(run[0], [toks[p - 1] for p in run]) for run in runs], (i,)
+        for r in chunks:  # verbatim-substring guarantee
+            ctoks = r["text"].split()
+            assert ctoks == list(
+                toks[r["token_start"] - 1 : r["token_start"] - 1 + len(ctoks)]
+            )
 
 
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))

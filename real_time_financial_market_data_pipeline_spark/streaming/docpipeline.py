@@ -184,7 +184,7 @@ class DocStreamJob:
         return out_path
 
     def excise_internal(
-        self, spark, k: int = 8, min_occurrences: int = 2
+        self, spark, k: int = 8, min_occurrences: int = 2, mode: str = "concat"
     ) -> str:
         """Stream-stopped within-document repair pass: every k-token
         window repeated >= min_occurrences times inside a document
@@ -194,12 +194,27 @@ class DocStreamJob:
         only keep or drop whole documents.  Purely per-document (no
         corpus-wide state), but batch-run like excise_spans so the
         rewritten table lands once, atomically, after a drain.
-        Writes `curated_excised_internal/` (same split partitioning);
-        idempotent overwrite; returns the output path."""
-        from real_time_financial_market_data_pipeline_spark.operators.dedup import excise_internal_repeats
 
+        `mode` mirrors excise_spans: "concat" (default, one row per
+        doc, splice artifact documented) writes
+        `curated_excised_internal/`; "split" (splice-safe chunk rows
+        via split_excise_internal_repeats) writes
+        `curated_excised_internal_split/`.  Idempotent overwrite;
+        returns the output path."""
+        from real_time_financial_market_data_pipeline_spark.operators.dedup import (
+            excise_internal_repeats,
+            split_excise_internal_repeats,
+        )
+
+        if mode not in ("concat", "split"):
+            raise ValueError(f"mode must be 'concat' or 'split' (got {mode!r})")
         curated_dir = os.path.join(self.out_dir, "curated")
-        out_path = os.path.join(self.out_dir, "curated_excised_internal")
+        suffix = (
+            "curated_excised_internal"
+            if mode == "concat"
+            else "curated_excised_internal_split"
+        )
+        out_path = os.path.join(self.out_dir, suffix)
         if not os.path.isdir(curated_dir):
             raise FileNotFoundError(
                 f"{curated_dir} does not exist — the curation stream never "
@@ -207,9 +222,14 @@ class DocStreamJob:
                 "before running the excision pass"
             )
         curated = spark.read.parquet(curated_dir)
-        rewritten = excise_internal_repeats(
-            curated.select("doc_id", "text"), k=k, min_occurrences=min_occurrences
-        )
+        if mode == "concat":
+            rewritten = excise_internal_repeats(
+                curated.select("doc_id", "text"), k=k, min_occurrences=min_occurrences
+            )
+        else:
+            rewritten = split_excise_internal_repeats(
+                curated.select("doc_id", "text"), k=k, min_occurrences=min_occurrences
+            ).withColumnRenamed("n_tokens", "chunk_tokens")
         out = curated.drop("text").join(rewritten, "doc_id")
         out.write.mode("overwrite").partitionBy("split").parquet(out_path)
         return out_path

@@ -599,3 +599,13 @@ def test_doc_stream_excise_spans_post_drain(spark, tmp_path):
     assert fixed[99]["excised_tokens"] == 9
     assert fixed[99]["text"] == rep + " middle words"
     assert fixed[0]["excised_tokens"] == 0  # boiler occurs once per doc
+
+    # splice-safe chunk-row variant of the repair
+    path4 = job.excise_internal(spark, k=8, mode="split")
+    assert path4.endswith("curated_excised_internal_split")
+    sp = {}
+    for r in spark.read.parquet(path4).collect():
+        sp.setdefault(r["doc_id"], []).append(r)
+    chunks99 = sorted(sp[99], key=lambda r: r["chunk_idx"])
+    assert [c["text"] for c in chunks99] == [rep + " middle words"]
+    assert len(sp[0]) == 1  # untouched doc: one whole-doc chunk

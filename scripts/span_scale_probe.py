@@ -23,7 +23,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from real_time_financial_market_data_pipeline_spark.operators.dedup import common_spans, repeated_span_pairs
+from real_time_financial_market_data_pipeline_spark.operators.dedup import (
+    common_spans,
+    excise_internal_repeats,
+    merged_common_spans,
+    repeated_span_pairs,
+    split_excise_common_spans,
+)
 from real_time_financial_market_data_pipeline_spark.session import get_spark
 from real_time_financial_market_data_pipeline_spark.tables import load_table
 
@@ -45,6 +51,21 @@ def main() -> None:
             n_common = common_spans(docs, k=8, min_docs=2).count()
             common_s = round(time.perf_counter() - t0, 3)
 
+            # round-8 treatments over the same corpus
+            t0 = time.perf_counter()
+            n_merged = merged_common_spans(docs, k=8, min_docs=2).count()
+            merged_s = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            n_chunks = split_excise_common_spans(
+                docs.select("doc_id", "text"),
+                common_spans(docs, k=8, min_docs=2),
+                k=8,
+            ).count()
+            split_s = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            excise_internal_repeats(docs.select("doc_id", "text"), k=8).count()
+            internal_s = round(time.perf_counter() - t0, 3)
+
             rec = {
                 "sf": sf,
                 "docs": n_docs,
@@ -52,6 +73,11 @@ def main() -> None:
                 "pairs_s": pairs_s,
                 "common_rows": n_common,
                 "common_s": common_s,
+                "merged_rows": n_merged,
+                "merged_s": merged_s,
+                "split_chunks": n_chunks,
+                "split_s": split_s,
+                "internal_excise_s": internal_s,
             }
             results.append(rec)
             print(json.dumps(rec), flush=True)
@@ -83,6 +109,11 @@ def main() -> None:
             t0 = time.perf_counter()
             n_common = common_spans(repl, k=8, min_docs=2).count()
             common_s = round(time.perf_counter() - t0, 3)
+            # merged form under the same adversarial repetition: must
+            # stay aggregate-shaped (≈ common_s + the run-merge window)
+            t0 = time.perf_counter()
+            n_merged = merged_common_spans(repl, k=8, min_docs=2).count()
+            merged_s = round(time.perf_counter() - t0, 3)
             rec = {
                 "variant": f"replicated_{reps}x_worst_case_repetition",
                 "docs": n_docs,
@@ -90,6 +121,8 @@ def main() -> None:
                 "capped_pairs_s": capped_s,
                 "common_rows": n_common,
                 "common_s": common_s,
+                "merged_rows": n_merged,
+                "merged_s": merged_s,
             }
             results.append(rec)
             print(json.dumps(rec), flush=True)

@@ -294,6 +294,8 @@ def test_ingest_time_span_decontamination(spark, tmp_path):
     # "excise" keeps doc 2 with the benchmark window REMOVED and the
     # page content intact, recording the removal count
     out2 = str(tmp_path / "out_excise")
+    pristine = "A Clean Document, with Punctuation — and CASE preserved!"
+    _write_doc_feed_append(feed, [{"doc_id": 8, "text": pristine}])
 
     def drain_excise():
         docs = read_doc_stream(spark, feed, max_files_per_trigger=1)
@@ -305,11 +307,14 @@ def test_ingest_time_span_decontamination(spark, tmp_path):
 
     drain_excise()
     rows = {r["doc_id"]: r for r in corpus_view(spark, out2).collect()}
-    assert sorted(rows) == [1, 2, 3]          # doc 2 survives now
+    assert sorted(rows) == [1, 2, 3, 8]       # doc 2 survives now
     assert rows[2]["decontam_excised_tokens"] >= 13
     assert question not in rows[2]["text"]
     assert "page0 words0 here0" in rows[2]["text"]     # page content kept
     assert rows[1]["decontam_excised_tokens"] == 0
+    # clean docs keep their ORIGINAL bytes — surgical mode must not
+    # token-normalize the untouched corpus as a side effect
+    assert rows[8]["text"] == pristine
     # the surviving corpus is clean by the detection rule itself
     from real_time_financial_market_data_pipeline_spark.operators.dedup import span_contaminated_ids
 

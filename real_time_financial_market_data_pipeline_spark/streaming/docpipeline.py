@@ -170,8 +170,9 @@ class DocStreamJob:
         if max_fp_docs is not None:
             spans = spans.filter(F.col("n_docs") <= max_fp_docs)
         if mode == "concat":
-            rewritten = excise_common_spans(
-                curated.select("doc_id", "text"), spans, k=k
+            rewritten = _preserve_untouched(
+                excise_common_spans(curated.select("doc_id", "text"), spans, k=k),
+                curated,
             )
         else:
             # curated already carries a DOC-level n_tokens metric; the
@@ -223,8 +224,13 @@ class DocStreamJob:
             )
         curated = spark.read.parquet(curated_dir)
         if mode == "concat":
-            rewritten = excise_internal_repeats(
-                curated.select("doc_id", "text"), k=k, min_occurrences=min_occurrences
+            rewritten = _preserve_untouched(
+                excise_internal_repeats(
+                    curated.select("doc_id", "text"),
+                    k=k,
+                    min_occurrences=min_occurrences,
+                ),
+                curated,
             )
         else:
             rewritten = split_excise_internal_repeats(
@@ -233,3 +239,20 @@ class DocStreamJob:
         out = curated.drop("text").join(rewritten, "doc_id")
         out.write.mode("overwrite").partitionBy("split").parquet(out_path)
         return out_path
+
+
+def _preserve_untouched(rewritten: DataFrame, curated: DataFrame) -> DataFrame:
+    """(doc_id, text, excised_tokens) with UNTOUCHED docs keeping their
+    original curated bytes: the concatenating rebuild token-normalizes
+    whatever it rebuilds, which is the right currency for the excised
+    docs but a gratuitous lossy rewrite for the (typically vast)
+    untouched majority — at corpus scale an excision pass must not
+    degrade documents it didn't touch."""
+    orig = curated.select("doc_id", F.col("text").alias("_orig"))
+    return rewritten.join(orig, "doc_id").select(
+        "doc_id",
+        F.when(F.col("excised_tokens") > 0, F.col("text"))
+        .otherwise(F.col("_orig"))
+        .alias("text"),
+        "excised_tokens",
+    )

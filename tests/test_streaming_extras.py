@@ -546,6 +546,10 @@ def test_doc_stream_excise_spans_post_drain(spark, tmp_path):
     rows = {r["doc_id"]: r for r in excised.collect()}
     keepers = [d for d, r in rows.items() if boiler in r["text"]]
     assert keepers == [0]                             # canonical rep only
+    # untouched docs keep their curated bytes exactly (no gratuitous
+    # token-normalization of documents the pass didn't excise)
+    curated_text = {r["doc_id"]: r["text"] for r in curated.collect()}
+    assert rows[0]["text"] == curated_text[0]
     touched = [d for d, r in rows.items() if r["excised_tokens"] > 0]
     assert sorted(touched) == list(range(1, 8))
     for d in range(1, 8):                             # own material intact

@@ -494,6 +494,45 @@ def test_excise_common_spans_invariants(spark, docs):
         assert sr["span_text"] in windows(rep_out), (sr, rep_out)
 
 
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc"]), max_size=14),
+        min_size=1,
+        max_size=6,
+    ),
+    assignment=st.lists(st.integers(min_value=0, max_value=2), min_size=6, max_size=6),
+)
+def test_merge_span_stats_is_exact_for_any_batching(spark, docs, assignment):
+    """The incremental span index's foundational claim, property-tested
+    directly: for ANY partitioning of a corpus into batches, merging
+    the per-batch partial aggregates (merge_span_stats: summed counts,
+    min-of-mins representative) is ROW-IDENTICAL to computing the
+    per-fingerprint stats over the whole corpus at once — because each
+    doc_id lives in exactly one batch.  This is what lets
+    common_spans_view skip re-fingerprinting history."""
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import _common_span_stats
+    from real_time_financial_market_data_pipeline_spark.streaming.incremental import merge_span_stats
+
+    k = 3
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    whole = spark.createDataFrame(rows, "doc_id long, text string")
+    expected = sorted(
+        tuple(r) for r in _common_span_stats(whole, "doc_id", "text", k, 1).collect()
+    )
+
+    batches: dict[int, list] = {}
+    for i, row in enumerate(rows):
+        batches.setdefault(assignment[i % len(assignment)], []).append(row)
+    partials = None
+    for batch_rows in batches.values():
+        bdf = spark.createDataFrame(batch_rows, "doc_id long, text string")
+        p = _common_span_stats(bdf, "doc_id", "text", k, 1)
+        partials = p if partials is None else partials.unionByName(p)
+    got = sorted(tuple(r) for r in merge_span_stats(partials).collect())
+    assert got == expected
+
+
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     docs=st.lists(

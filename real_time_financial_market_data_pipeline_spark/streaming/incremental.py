@@ -95,6 +95,16 @@ class IncrementalDedupJob:
     # an empty string — downstream quality gates' problem, not the
     # dedup job's.
     decontam_mode: str = "drop"
+    # Excise-mode hard guarantee (round-9 ADVICE): the concatenating
+    # rebuild can in degenerate self-overlapping cases re-form a
+    # benchmark k-gram ACROSS an excision seam.  With excise_verify on
+    # (default), every doc that was actually excised is re-checked
+    # against the same fingerprint index and the (vanishingly rare)
+    # splice survivors are DROPPED — falling back to the GPT-3 drop
+    # rule exactly where surgery provably failed.  Cost: one extra
+    # fingerprint pass over ONLY the excised docs per batch.  Off =
+    # the soft guarantee documented on excise_contaminated_spans.
+    excise_verify: bool = True
     # Incremental CORPUS span-fp index (round-8 VERDICT task 3): when
     # enabled, every batch appends a per-fingerprint PARTIAL aggregate
     # of its kept docs' span_k-token window fingerprints to
@@ -112,6 +122,17 @@ class IncrementalDedupJob:
     # re-ingesting an id with different text would double-count).
     span_index: bool = False
     span_k: int = 8
+    # Auto-compaction cadence (round-9 VERDICT task 1): fold the
+    # accumulated batch_id dirs INLINE every N processed batches, right
+    # after the batch's own writes.  Without it `_read_prior` unions
+    # every prior batch dir, so an uncompacted drain is O(B^2) in file
+    # listings across B batches (measured: scripts/incr_dedup_scale.py
+    # --listing-probe).  Safe inside foreachBatch: the callback is
+    # serialized per query, and committed_fold_bound excludes the
+    # current batch (its checkpoint commit hasn't landed yet), so a
+    # post-crash replay still overwrites only its own delta.  None
+    # disables (compact() remains available stream-stopped).
+    compact_every: int | None = None
     trigger: dict = field(default_factory=lambda: {"availableNow": True})
 
     def checkpoints(self) -> str:
@@ -181,11 +202,69 @@ class IncrementalDedupJob:
         df = spark.read.parquet(path).filter(F.col("batch_id") < batch_id)
         return df
 
-    def start(self, docs: DataFrame) -> StreamingQuery:
+    def _validate_config(self) -> None:
+        """Fail-fast config validation at start() time (round-9 ADVICE):
+        (a) decontam_k must match the k the on-disk benchmark index was
+        built with — a mismatch produces ZERO fp matches and turns
+        decontamination into a silent no-op; (b) settings that shape the
+        on-disk corpus schema/index (decontam column presence, span
+        index + its k) must not change over a corpus's lifetime — batch
+        dirs would go schema-heterogeneous (plain spark.read.parquet
+        samples one footer) or the span view would silently miss the
+        batches ingested while the index was off."""
         if self.decontam_mode not in ("drop", "excise"):
             raise ValueError(
                 f"decontam_mode must be 'drop' or 'excise' (got {self.decontam_mode!r})"
             )
+        if self.benchmark_fp_dir is not None:
+            built_k = stored_benchmark_k(self.benchmark_fp_dir)
+            if built_k is not None and built_k != self.decontam_k:
+                raise ValueError(
+                    f"decontam_k={self.decontam_k} but the benchmark index at "
+                    f"{self.benchmark_fp_dir} was built with k={built_k} — "
+                    "fingerprints of different window sizes never match, so "
+                    "decontamination would be a silent no-op; pass the "
+                    "matching k (or rebuild the index)"
+                )
+        spec = {
+            "decontam_col": self.benchmark_fp_dir is not None,
+            "span_index": self.span_index,
+            "span_k": self.span_k if self.span_index else None,
+        }
+        marker = os.path.join(self.out_dir, _CORPUS_SPEC_MARKER)
+        if os.path.exists(marker):
+            import json
+
+            with open(marker) as fh:
+                prior = json.load(fh)
+            diffs = {
+                key: (prior.get(key), spec[key])
+                for key in spec
+                if key in prior and prior[key] != spec[key]
+            }
+            if diffs:
+                raise ValueError(
+                    f"IncrementalDedupJob config conflicts with the corpus at "
+                    f"{self.out_dir} (fields are fixed for a corpus's "
+                    f"lifetime; stored vs requested: {diffs}) — reuse the "
+                    "original settings or start a fresh out_dir"
+                )
+        else:
+            import json
+
+            os.makedirs(self.out_dir, exist_ok=True)
+            with open(marker, "w") as fh:
+                json.dump(
+                    {
+                        **spec,
+                        "decontam_mode": self.decontam_mode,
+                        "decontam_k": self.decontam_k,
+                    },
+                    fh,
+                )
+
+    def start(self, docs: DataFrame) -> StreamingQuery:
+        self._validate_config()
 
         def process(batch_df: DataFrame, batch_id: int) -> None:
             if batch_df.isEmpty():
@@ -222,6 +301,31 @@ class IncrementalDedupJob:
                     .alias("text"),
                     "decontam_excised_tokens",
                 )
+                # hard-guarantee verification (round-9 ADVICE): the
+                # concat rebuild can splice a benchmark k-gram across an
+                # excision seam; re-detect over ONLY the excised docs
+                # and DROP the rare survivors (surgery provably failed
+                # for them — fall back to the drop rule).  The
+                # localCheckpoint keeps the excision join from being
+                # recomputed by the verify branch and every later step.
+                if self.excise_verify:
+                    from real_time_financial_market_data_pipeline_spark.operators.dedup import (
+                        span_fingerprints,
+                    )
+
+                    batch_df = batch_df.localCheckpoint(eager=True)
+                    spliced = (
+                        span_fingerprints(
+                            batch_df.filter(
+                                F.col("decontam_excised_tokens") > 0
+                            ).select("doc_id", "text"),
+                            k=self.decontam_k,
+                        )
+                        .join(bench_fps.select("fp"), "fp")
+                        .select(F.col("id").alias("doc_id"))
+                        .distinct()
+                    )
+                    batch_df = batch_df.join(spliced, "doc_id", "left_anti")
 
             batch = batch_df.withColumn("fingerprint", doc_fingerprint(F.col("text")))
 
@@ -256,6 +360,19 @@ class IncrementalDedupJob:
                     .distinct()
                 )
                 batch = batch.join(hit, "doc_id", "left_anti")
+
+            # schema stability (round-9 ADVICE): the excise column
+            # exists in EVERY batch whenever decontamination is on, so
+            # drop-mode and excise-mode corpora read with the same
+            # schema from any footer sample (drop mode never excises —
+            # the count is identically 0)
+            if (
+                self.benchmark_fp_dir is not None
+                and "decontam_excised_tokens" not in batch.columns
+            ):
+                batch = batch.withColumn(
+                    "decontam_excised_tokens", F.lit(0).cast("long")
+                )
 
             if self.near_dup:
                 bands_df = banded_signatures(
@@ -375,6 +492,16 @@ class IncrementalDedupJob:
                     os.path.join(self.out_dir, "index_sigs", f"batch_id={batch_id}")
                 )
 
+            # inline auto-compaction (round-9 VERDICT task 1): bound
+            # the batch-dir count the next batches must list.  Safe
+            # here — foreachBatch is serialized per query, and the
+            # CURRENT batch's checkpoint commit hasn't landed yet, so
+            # committed_fold_bound excludes it from the fold and a
+            # post-crash replay of this batch overwrites only its own
+            # delta, never a folded snapshot.
+            if self.compact_every and (batch_id + 1) % self.compact_every == 0:
+                self.compact(spark)
+
         return (
             docs.writeStream.foreachBatch(process)
             .outputMode("append")
@@ -408,6 +535,20 @@ def corpus_view(spark, out_dir: str, empty_schema=None) -> DataFrame:
 
 
 _SPAN_SPEC_MARKER = "_span_spec.json"
+_CORPUS_SPEC_MARKER = "_corpus_spec.json"
+
+
+def stored_benchmark_k(fp_dir: str) -> int | None:
+    """The k a benchmark fingerprint index (`build_benchmark_span_index`
+    output) was built with — None when the marker predates round 9 or
+    the index doesn't exist yet."""
+    import json
+
+    try:
+        with open(os.path.join(fp_dir, _SPAN_SPEC_MARKER)) as fh:
+            return json.load(fh).get("span_k")
+    except (OSError, ValueError):
+        return None
 
 
 def stored_span_k(out_dir: str) -> int | None:
@@ -514,7 +655,15 @@ def build_benchmark_span_index(
     (one column `fp bigint` — the smallest thing the per-batch
     decontamination join can read).  Rebuild whenever the benchmark set
     changes; the ingest job picks the new index up on its next batch.
-    Returns the number of distinct fingerprints written."""
+    Returns the number of distinct fingerprints written.
+
+    The build k is recorded in a `_span_spec.json` marker beside the
+    parquet (underscore-prefixed — invisible to parquet listings);
+    `IncrementalDedupJob.start` validates its decontam_k against it, so
+    a window-size mismatch raises instead of silently matching nothing
+    (round-9 ADVICE)."""
+    import json
+
     from real_time_financial_market_data_pipeline_spark.operators.dedup import span_fingerprints
 
     fps = (
@@ -523,4 +672,7 @@ def build_benchmark_span_index(
         .distinct()
     )
     fps.write.mode("overwrite").parquet(out_dir)
+    # AFTER the parquet overwrite (which clears the directory)
+    with open(os.path.join(out_dir, _SPAN_SPEC_MARKER), "w") as fh:
+        json.dump({"span_k": k}, fh)
     return benchmark.sparkSession.read.parquet(out_dir).count()

@@ -453,3 +453,204 @@ def test_incremental_span_index_matches_batch_recompute(spark, tmp_path):
 
     with pytest.raises(ValueError, match="span_k=6"):
         common_spans_view(spark, out, min_docs=2, k=8)
+
+
+def test_benchmark_index_k_mismatch_fails_fast(spark, tmp_path):
+    """Round-9 ADVICE: the benchmark fp index records its build k in
+    _span_spec.json; a job whose decontam_k differs would match ZERO
+    fingerprints (silent decontamination no-op) — it must raise at
+    start() instead, in both drop and excise modes."""
+    import pytest
+
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+    from real_time_financial_market_data_pipeline_spark.streaming.incremental import (
+        build_benchmark_span_index,
+        stored_benchmark_k,
+    )
+
+    bench_df = spark.createDataFrame(
+        [(900, " ".join(f"w{i}" for i in range(20)))], "doc_id long, text string"
+    )
+    bench_dir = str(tmp_path / "bench_fp")
+    build_benchmark_span_index(bench_df, bench_dir, k=13)
+    assert stored_benchmark_k(bench_dir) == 13
+
+    feed = str(tmp_path / "feed")
+    _write_doc_feed(feed, [[{"doc_id": 1, "text": LONG_A}]])
+    docs = read_doc_stream(spark, feed).select("doc_id", "text")
+    for mode in ("drop", "excise"):
+        with pytest.raises(ValueError, match="k=13"):
+            IncrementalDedupJob(
+                out_dir=str(tmp_path / f"out_{mode}"),
+                benchmark_fp_dir=bench_dir,
+                decontam_k=10,
+                decontam_mode=mode,
+            ).start(docs)
+    # the matching k passes validation and actually runs
+    job = IncrementalDedupJob(
+        out_dir=str(tmp_path / "out_ok"), benchmark_fp_dir=bench_dir, decontam_k=13
+    )
+    q = job.start(docs)
+    assert q.awaitTermination(180)
+    rows = corpus_view(spark, str(tmp_path / "out_ok")).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    # drop mode also emits the excise column (schema-stable corpora)
+    assert rows[0]["decontam_excised_tokens"] == 0
+
+
+def test_corpus_spec_locks_schema_shaping_config(spark, tmp_path):
+    """Round-9 ADVICE: settings that shape the on-disk schema/index
+    (decontam column presence, span index + k) are fixed for a corpus's
+    lifetime — a restart with a conflicting config raises instead of
+    writing schema-heterogeneous batch dirs or silently starving the
+    span index."""
+    import pytest
+
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+    from real_time_financial_market_data_pipeline_spark.streaming.incremental import (
+        build_benchmark_span_index,
+    )
+
+    feed, out = str(tmp_path / "feed"), str(tmp_path / "out")
+    _write_doc_feed(feed, [[{"doc_id": 1, "text": LONG_A}]])
+    job = IncrementalDedupJob(out_dir=out, span_index=True, span_k=6)
+    q = job.start(read_doc_stream(spark, feed).select("doc_id", "text"))
+    assert q.awaitTermination(180)
+
+    docs = read_doc_stream(spark, feed).select("doc_id", "text")
+    # span index off -> the view would silently miss future batches
+    with pytest.raises(ValueError, match="span_index"):
+        IncrementalDedupJob(out_dir=out).start(docs)
+    # span_k change -> fingerprints of different window sizes don't mix
+    with pytest.raises(ValueError, match="span_k"):
+        IncrementalDedupJob(out_dir=out, span_index=True, span_k=8).start(docs)
+    # enabling decontamination mid-life -> schema-heterogeneous batches
+    bench_df = spark.createDataFrame([(9, LONG_B)], "doc_id long, text string")
+    bench_dir = str(tmp_path / "bench_fp")
+    build_benchmark_span_index(bench_df, bench_dir, k=13)
+    with pytest.raises(ValueError, match="decontam_col"):
+        IncrementalDedupJob(
+            out_dir=out, span_index=True, span_k=6, benchmark_fp_dir=bench_dir
+        ).start(docs)
+    # the original config restarts cleanly
+    _write_doc_feed_append(feed, [{"doc_id": 2, "text": LONG_B}])
+    q = IncrementalDedupJob(out_dir=out, span_index=True, span_k=6).start(
+        read_doc_stream(spark, feed).select("doc_id", "text")
+    )
+    assert q.awaitTermination(180)
+    assert sorted(r["doc_id"] for r in corpus_view(spark, out).collect()) == [1, 2]
+
+
+def test_excise_verify_drops_splice_survivors(spark, tmp_path):
+    """Round-9 ADVICE hard guarantee: the concatenating rebuild can
+    re-form a benchmark k-gram ACROSS an excision seam.  Canonical
+    splice: benchmark = 'alpha beta gamma' (k=3); doc tokens
+    [alpha beta alpha beta gamma gamma] contain exactly one matched
+    window at positions 3-5, whose removal leaves [alpha(1) beta(2)
+    gamma(6)] — the benchmark trigram, re-formed.  excise_verify=True
+    (default) must DROP the doc; excise_verify=False documents the
+    soft guarantee (the spliced text survives)."""
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import span_contaminated_ids
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+    from real_time_financial_market_data_pipeline_spark.streaming.incremental import (
+        build_benchmark_span_index,
+    )
+
+    bench_df = spark.createDataFrame(
+        [(900, "alpha beta gamma")], "doc_id long, text string"
+    )
+    bench_dir = str(tmp_path / "bench_fp")
+    build_benchmark_span_index(bench_df, bench_dir, k=3)
+
+    splice_doc = "alpha beta alpha beta gamma gamma"
+    feed = str(tmp_path / "feed")
+    _write_doc_feed(
+        feed,
+        [
+            [
+                {"doc_id": 1, "text": splice_doc},
+                {"doc_id": 2, "text": LONG_A},
+            ]
+        ],
+    )
+
+    def run(out, verify):
+        job = IncrementalDedupJob(
+            out_dir=out,
+            benchmark_fp_dir=bench_dir,
+            decontam_k=3,
+            decontam_mode="excise",
+            excise_verify=verify,
+        )
+        q = job.start(read_doc_stream(spark, feed).select("doc_id", "text"))
+        assert q.awaitTermination(180)
+        return corpus_view(spark, out)
+
+    # soft mode: the splice survives and IS contaminated by the rule
+    soft = run(str(tmp_path / "out_soft"), verify=False)
+    rows = {r["doc_id"]: r for r in soft.collect()}
+    assert sorted(rows) == [1, 2]
+    assert rows[1]["text"] == "alpha beta gamma"  # the re-formed k-gram
+    assert (
+        span_contaminated_ids(
+            soft.select("doc_id", "text"), bench_df, k=3
+        ).count()
+        == 1
+    )
+
+    # verified mode (default): the splice survivor is dropped; the
+    # clean doc still passes; the corpus is clean by the detection rule
+    hard = run(str(tmp_path / "out_hard"), verify=True)
+    assert sorted(r["doc_id"] for r in hard.collect()) == [2]
+    assert (
+        span_contaminated_ids(
+            hard.select("doc_id", "text"), bench_df, k=3
+        ).count()
+        == 0
+    )
+
+
+def test_auto_compaction_cadence(spark, tmp_path):
+    """Round-9 VERDICT task 1: compact_every=N folds the accumulated
+    batch dirs inline every N batches.  After a 6-batch drain with
+    cadence 2 the tables hold a handful of dirs (not 6), corpus content
+    is identical to the uncompacted run, and dedup against the folded
+    index still works across a restart."""
+    import re
+
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+
+    texts = {
+        1: LONG_A,
+        2: LONG_B,
+        3: "third doc with its own words entirely",
+        4: LONG_A,            # cross-batch exact dup -> dropped
+        5: "fifth unique document text right here",
+        6: LONG_A2,           # cross-batch NEAR dup of 1 -> dropped
+    }
+    feed, out = str(tmp_path / "feed"), str(tmp_path / "out")
+    _write_doc_feed(feed, [[{"doc_id": i, "text": texts[i]}] for i in range(1, 7)])
+
+    job = IncrementalDedupJob(out_dir=out, compact_every=2)
+    q = job.start(read_doc_stream(spark, feed, max_files_per_trigger=1).select("doc_id", "text"))
+    assert q.awaitTermination(300)
+
+    kept = sorted(r["doc_id"] for r in corpus_view(spark, out).collect())
+    assert kept == [1, 2, 3, 5]
+    for table in ("corpus", "index_bands", "index_sigs"):
+        dirs = [
+            d
+            for d in os.listdir(os.path.join(out, table))
+            if re.fullmatch(r"batch_id=\d+", d)
+        ]
+        # 6 batches landed; the cadence folded history behind each
+        # compaction point — far fewer than 6 dirs remain
+        assert len(dirs) <= 3, (table, sorted(dirs))
+
+    # restart on the compacted state: dedup still catches a near dup
+    _write_doc_feed_append(feed, [{"doc_id": 7, "text": LONG_A2}, {"doc_id": 8, "text": "a genuinely fresh closing doc"}])
+    q = IncrementalDedupJob(out_dir=out, compact_every=2).start(
+        read_doc_stream(spark, feed, max_files_per_trigger=1).select("doc_id", "text")
+    )
+    assert q.awaitTermination(300)
+    assert sorted(r["doc_id"] for r in corpus_view(spark, out).collect()) == [1, 2, 3, 5, 8]

@@ -22,7 +22,7 @@ from real_time_financial_market_data_pipeline_spark.session import get_spark
 # instead of by hand from old BENCH_r*.json files.  Bump CURRENT_ROUND
 # when adding entries in a new round; unlisted entries default to
 # CURRENT_ROUND (i.e. new, excluded from the comparable total).
-CURRENT_ROUND = 8
+CURRENT_ROUND = 9
 ENTRY_ROUNDS = {
     "asof_purchase_view": 1,
     "dedup_exact_docs": 1,
@@ -65,6 +65,8 @@ ENTRY_ROUNDS = {
     "span_common_merged": 8,
     "span_excise_split": 8,
     "span_internal_excise": 8,
+    "curated_pipeline_drain": 9,
+    "curated_pipeline_finalize": 9,
 }
 
 HEADLINE = [
@@ -489,6 +491,59 @@ def bench_incremental_dedup(spark, sf_dir: str, n_batches: int = 10) -> dict[str
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_curated_pipeline(spark, sf_dir: str, n_batches: int = 10) -> dict[str, float]:
+    """The round-9 composed curation flow end-to-end: documents replayed
+    as micro-batches through CuratedCorpusPipeline (within-doc repair →
+    surgical benchmark decontam w/ splice verify → exact+near dedup vs
+    the incremental index → span-fp index, compact_every=4), then the
+    stream-stopped finalize (split-mode cross-doc excision off the
+    index → quality gate → PII redact → split).  Two timings: the
+    streaming drain and the finalize OPTIMIZE pass.  The benchmark set
+    is the first 5 documents — their windows get excised at ingest, so
+    the decontamination join does real work."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+    from real_time_financial_market_data_pipeline_spark.streaming.curation import CuratedCorpusPipeline, curated_view
+    from real_time_financial_market_data_pipeline_spark.streaming.incremental import build_benchmark_span_index
+    from real_time_financial_market_data_pipeline_spark.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="bench_cur_")
+    feed, out = os.path.join(work, "feed"), os.path.join(work, "out")
+    bench_dir = os.path.join(work, "bench_fp")
+    try:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        build_benchmark_span_index(docs.filter(F.col("doc_id") < 5), bench_dir, k=13)
+        n_docs = docs.count()
+        per = max(1, n_docs // n_batches)
+        for i in range(n_batches):
+            chunk = docs.filter(
+                (F.col("doc_id") >= i * per)
+                & (F.col("doc_id") < ((i + 1) * per if i < n_batches - 1 else n_docs))
+            )
+            chunk.coalesce(1).write.mode("append").json(feed)
+            time.sleep(0.05)
+        pipe = CuratedCorpusPipeline(
+            out_dir=out, benchmark_fp_dir=bench_dir, compact_every=4
+        )
+        t0 = time.perf_counter()
+        q = pipe.start(read_doc_stream(spark, feed, max_files_per_trigger=1))
+        q.awaitTermination(600)
+        drain = round(time.perf_counter() - t0, 3)
+        t1 = time.perf_counter()
+        pipe.finalize(spark)
+        finalize = round(time.perf_counter() - t1, 3)
+        curated_view(spark, out).count()  # sanity: output readable
+        return {
+            "curated_pipeline_drain": drain,
+            "curated_pipeline_finalize": finalize,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -647,6 +702,10 @@ def main() -> None:
         timings.update(bench_incremental_dedup(spark, sf_dir))
     except Exception as exc:  # noqa: BLE001
         errors["incremental_dedup"] = f"{type(exc).__name__}: {exc}".splitlines()[0][:500]
+    try:
+        timings.update(bench_curated_pipeline(spark, sf_dir))
+    except Exception as exc:  # noqa: BLE001
+        errors["curated_pipeline"] = f"{type(exc).__name__}: {exc}".splitlines()[0][:500]
 
     durs = sorted(best_chained[2])
     batch_stats = (

@@ -133,6 +133,17 @@ class IncrementalDedupJob:
     # post-crash replay still overwrites only its own delta.  None
     # disables (compact() remains available stream-stopped).
     compact_every: int | None = None
+    # Optional STATELESS per-batch preparation applied before anything
+    # else (decontamination, fingerprinting, dedup): batch_df ->
+    # batch_df with the same doc_id/text contract.  The composition
+    # hook `streaming.curation.CuratedCorpusPipeline` uses for
+    # within-document repeat repair — running it here (before
+    # fingerprinting) means dedup keys, the LSH index, and the span-fp
+    # index are all built on the TRANSFORMED text, so every index
+    # remains position-consistent with the corpus it describes.  Must
+    # be deterministic and fixed for the corpus's lifetime (it cannot
+    # be recorded in _corpus_spec.json — it's code).
+    pre_transform: object | None = None
     trigger: dict = field(default_factory=lambda: {"availableNow": True})
 
     def checkpoints(self) -> str:
@@ -270,6 +281,9 @@ class IncrementalDedupJob:
             if batch_df.isEmpty():
                 return
             spark = batch_df.sparkSession
+
+            if self.pre_transform is not None:
+                batch_df = self.pre_transform(batch_df)
 
             # 0. surgical decontamination BEFORE fingerprinting (excise
             # mode): dedup must key on the cleaned text, or a page that

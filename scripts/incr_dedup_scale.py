@@ -122,7 +122,105 @@ def dir_bytes(path: str) -> int:
     return total
 
 
+def listing_probe(base: str, out_json: str | None) -> None:
+    """Round-9 VERDICT task 1: per-batch drain cost vs accumulated
+    UNCOMPACTED batch_id dirs.  `_read_prior` unions every prior batch
+    dir, so an uncompacted B-batch drain pays O(B^2) total file-listing
+    work; `compact_every` bounds it.  Same feed drained twice:
+
+        python scripts/incr_dedup_scale.py --listing-probe [base] [out]
+
+      run A: compact_every=None (dirs grow 1 per batch)
+      run B: compact_every=12   (inline fold every 12 batches)
+
+    Evidence = last5/first5 per-batch mean + final dir counts per run.
+    Near-dup is ON (the production path); the batches are ~100 docs
+    each so per-batch compute is small and listing cost is visible."""
+    import re
+
+    spark = get_spark(app_name="incr_dedup_listing_probe")
+    n_batches = 48
+    work = tempfile.mkdtemp(prefix="incr_listing_")
+    try:
+        docs = load_table(spark, base, "documents").select("doc_id", "text")
+        n_docs = docs.count()
+        per = max(1, n_docs // n_batches)
+        feed = os.path.join(work, "feed")
+        for b in range(n_batches):
+            chunk = docs.filter(
+                (F.col("doc_id") >= b * per)
+                & (F.col("doc_id") < ((b + 1) * per if b < n_batches - 1 else n_docs))
+            )
+            chunk.coalesce(1).write.mode("append").json(feed)
+            time.sleep(0.05)
+
+        def drain(tag: str, compact_every: int | None) -> dict:
+            out = os.path.join(work, f"out_{tag}")
+            job = IncrementalDedupJob(out_dir=out, compact_every=compact_every)
+            t0 = time.perf_counter()
+            q = job.start(
+                read_doc_stream(spark, feed, max_files_per_trigger=1)
+                .select("doc_id", "text")
+            )
+            assert q.awaitTermination(1800), f"{tag} did not drain"
+            total = round(time.perf_counter() - t0, 2)
+            durs = [
+                p["batchDuration"] / 1000.0
+                for p in q.recentProgress
+                if p.get("numInputRows", 0) > 0
+            ]
+            dirs = {
+                t: len(
+                    [
+                        d
+                        for d in os.listdir(os.path.join(out, t))
+                        if re.fullmatch(r"batch_id=\d+", d)
+                    ]
+                )
+                for t in ("corpus", "index_bands", "index_sigs")
+            }
+            res = {
+                "tag": tag,
+                "compact_every": compact_every,
+                "total_drain_s": total,
+                "n_batches_observed": len(durs),
+                "first5_mean_s": round(sum(durs[:5]) / 5, 3),
+                "last5_mean_s": round(sum(durs[-5:]) / 5, 3),
+                "last5_over_first5": round(
+                    (sum(durs[-5:]) / 5) / (sum(durs[:5]) / 5), 3
+                ),
+                "final_dirs": dirs,
+                "corpus_docs": corpus_view(spark, out).count(),
+                "per_batch_s": [round(d, 3) for d in durs],
+            }
+            print(json.dumps(res), flush=True)
+            return res
+
+        uncompacted = drain("uncompacted", None)
+        cadenced = drain("cadence12", 12)
+        summary = {
+            "n_batches": n_batches,
+            "uncompacted": uncompacted,
+            "cadence12": cadenced,
+            "docs_equal": uncompacted["corpus_docs"] == cadenced["corpus_docs"],
+        }
+        print(json.dumps({k: v for k, v in summary.items() if k != "uncompacted" and k != "cadence12"}), flush=True)
+        if out_json:
+            with open(out_json, "w") as f:
+                json.dump(summary, f, indent=1)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
 def main() -> None:
+    args = [a for a in sys.argv[1:] if a != "--listing-probe"]
+    if "--listing-probe" in sys.argv[1:]:
+        listing_probe(
+            args[0] if args else "/root/testdata/sf0.1",
+            args[1] if len(args) > 1 else None,
+        )
+        return
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_json = sys.argv[2] if len(sys.argv) > 2 else None
     spark = get_spark(app_name="incr_dedup_scale")

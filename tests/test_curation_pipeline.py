@@ -1,0 +1,193 @@
+"""End-to-end curated-corpus composition (round-9 VERDICT task 2):
+CuratedCorpusPipeline wires within-doc repair → surgical benchmark
+decontamination → exact+near dedup vs the incremental index → span-fp
+index → (stream-stopped) splice-safe cross-doc excision off the index →
+quality gate → PII redact → deterministic split into ONE flow.
+
+The e2e assertion set is exactly the verdict's bar: the final corpus is
+simultaneously (a) CLEAN under the span detection rule, (b) DUP-FREE at
+the index, and (c) BYTE-PRESERVING for untouched docs."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from real_time_financial_market_data_pipeline_spark.streaming.curation import (
+    CuratedCorpusPipeline,
+    curated_view,
+)
+from real_time_financial_market_data_pipeline_spark.streaming.incremental import (
+    build_benchmark_span_index,
+    corpus_view,
+)
+
+QUESTION = (
+    "which ancient city stood at the mouth of the river crossing "
+    "seven hills beneath the old citadel walls"
+)  # 18 tokens -> 6 windows at k=13
+PRISTINE = (
+    "Remarkable Zebras Prefer; Colorful Mountain Meadows, where Seventeen "
+    "Quiet Rivers FLOW gently beneath Ancient Stone Bridges forever!"
+)
+LONG_A = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "home tonight while the moon rises slowly over the quiet sleeping town"
+)
+LONG_A2 = LONG_A.replace("quiet", "silent")  # near dup of LONG_A
+LONG_B = (
+    "completely different content about distributed query engines and the "
+    "catalyst optimizer planning adaptive shuffles across executor fleets"
+)
+BOILER = "all rights reserved worldwide"  # the shared 4-token span
+CARRIER_A = (
+    "the first carrier document opens with substantial original content "
+    "before " + BOILER + " and then continues onward with its happy tale"
+)
+CARRIER_B = (
+    "a completely separate second story text follows along right here "
+    + BOILER
+    + " then closes with its own particular unique ending notes today"
+)
+INTERNAL = (
+    "start alpha beta gamma alpha beta gamma finish with several more "
+    "unique trailing words that should easily pass the quality gate"
+)
+JUNK = "zzz !!!! ### @@@"
+FILLER_1 = " ".join(f"open{i} words{i * 3} flows{i * 7} the" for i in range(8))
+FILLER_2 = " ".join(f"shut{i} notes{i * 5} coda{i * 11} and" for i in range(8))
+CONTAMINATED = FILLER_1 + " " + QUESTION + " " + FILLER_2
+
+
+def _write_feed(dirpath: str, batches: list[list[dict]]) -> None:
+    os.makedirs(dirpath, exist_ok=True)
+    base = time.time() - len(batches)
+    for i, batch in enumerate(batches):
+        p = os.path.join(dirpath, f"docs_{i}.json")
+        with open(p, "w") as f:
+            for rec in batch:
+                f.write(json.dumps(rec) + "\n")
+        os.utime(p, (base + i, base + i))
+
+
+def test_curated_corpus_pipeline_end_to_end(spark, tmp_path):
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import span_contaminated_ids
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+
+    bench_df = spark.createDataFrame(
+        [(900, QUESTION + " choose the best answer")], "doc_id long, text string"
+    )
+    bench_dir = str(tmp_path / "bench_fp")
+    assert build_benchmark_span_index(bench_df, bench_dir, k=13) > 0
+
+    feed, out = str(tmp_path / "feed"), str(tmp_path / "out")
+    _write_feed(
+        feed,
+        [
+            [
+                {"doc_id": 1, "text": PRISTINE},
+                {"doc_id": 2, "text": CONTAMINATED},
+                {"doc_id": 10, "text": LONG_A},
+            ],
+            [
+                {"doc_id": 11, "text": LONG_A2},  # near dup of 10 -> dropped
+                {"doc_id": 20, "text": LONG_B},
+                {"doc_id": 30, "text": JUNK},     # survives dedup, fails gate
+            ],
+            [
+                {"doc_id": 21, "text": LONG_B},   # exact dup of 20 -> dropped
+                {"doc_id": 40, "text": CARRIER_A},
+                {"doc_id": 41, "text": CARRIER_B},
+                {"doc_id": 50, "text": INTERNAL},
+            ],
+        ],
+    )
+
+    pipe = CuratedCorpusPipeline(
+        out_dir=out,
+        benchmark_fp_dir=bench_dir,
+        decontam_k=13,
+        internal_k=3,
+        internal_min_occurrences=2,
+        span_k=4,
+        span_min_docs=2,
+        compact_every=2,
+    )
+    q = pipe.start(
+        read_doc_stream(spark, feed, max_files_per_trigger=1).select("doc_id", "text")
+    )
+    assert q.awaitTermination(300)
+
+    # --- ingest phase: dedup + decontam + repair all landed in corpus ---
+    corpus = {r["doc_id"]: r for r in corpus_view(spark, out).collect()}
+    assert sorted(corpus) == [1, 2, 10, 20, 30, 40, 41, 50]
+    fps = [r["fingerprint"] for r in corpus.values()]
+    assert len(fps) == len(set(fps))  # (b) dup-free at the index
+    assert corpus[2]["decontam_excised_tokens"] >= 13
+    assert all(
+        corpus[i]["decontam_excised_tokens"] == 0 for i in corpus if i != 2
+    )
+    assert corpus[50]["internal_excised_tokens"] == 3  # one repeated trigram
+    assert all(
+        corpus[i]["internal_excised_tokens"] == 0 for i in corpus if i != 50
+    )
+    assert corpus[50]["text"].count("alpha beta gamma") == 1
+    assert QUESTION not in corpus[2]["text"]
+
+    # --- finalize: split excision off the index + gate + split ---
+    path = pipe.finalize(spark)
+    assert path == pipe.curated_dir()
+    cur = curated_view(spark, out)
+    rows = [r.asDict() for r in cur.collect()]
+    by_doc: dict[int, list[dict]] = {}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+
+    # (a) CLEAN under the detection rule, chunk by chunk
+    chunk_docs = cur.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("doc_id"), "text"
+    )
+    assert span_contaminated_ids(chunk_docs, bench_df, k=13).count() == 0
+
+    # (b) dup-free: dropped dup/near-dup ids never reach curated; the
+    # junk doc fails the quality gate
+    assert sorted(by_doc) == [1, 2, 10, 20, 40, 41, 50]
+
+    # (c) BYTE-PRESERVING for untouched docs: original punctuation and
+    # case survive the whole pipeline untouched
+    assert len(by_doc[1]) == 1
+    assert by_doc[1][0]["text"] == PRISTINE
+    assert by_doc[1][0]["excised_tokens"] == 0
+    # the rep carrier keeps the boilerplate embedded, byte-identical
+    assert len(by_doc[40]) == 1
+    assert by_doc[40][0]["text"] == CARRIER_A
+    # the non-rep carrier lost exactly the boiler span, splice-safely
+    b_chunks = by_doc[41]
+    assert len(b_chunks) == 2
+    assert all(BOILER not in c["text"] for c in b_chunks)
+    assert all(c["excised_tokens"] == 4 for c in b_chunks)
+    assert b_chunks[0]["token_start"] == 1
+    # internal repair result flows through: single occurrence remains
+    assert len(by_doc[50]) == 1
+    assert by_doc[50][0]["text"].count("alpha beta gamma") == 1
+    assert by_doc[50][0]["internal_excised_tokens"] == 3
+
+    # all chunks of a doc share one split (no leakage across splits)
+    assert (
+        cur.groupBy("doc_id")
+        .agg(F.count_distinct("split").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+        == 0
+    )
+    # split values are the directory partitions a training job prunes on
+    assert set(r["split"] for r in rows) <= {"train", "val", "test"}
+
+    # finalize is idempotent (overwrite): rerun yields identical rows
+    pipe.finalize(spark)
+    again = [r.asDict() for r in curated_view(spark, out).collect()]
+    key = lambda r: (r["doc_id"], r["chunk_idx"])  # noqa: E731
+    assert sorted(again, key=key) == sorted(rows, key=key)

@@ -53,6 +53,122 @@ SHOWCASE = {
 }
 
 
+def _family(name: str) -> str:
+    """Coarse bucket for the budget dashboard subtotals (review aid
+    only — the enforcement unit is the per-query budget)."""
+    n = name.lower()
+    if any(
+        k in n
+        for k in (
+            "doc",
+            "dedup",
+            "ngram",
+            "near_dup",
+            "minhash",
+            "knn",
+            "embedding",
+            "media",
+            "dataset_split",
+            "bpe",
+            "span",
+            "chunk",
+            "fuzzy",
+            "decontam",
+            "certificates",
+        )
+    ):
+        return "llm-data"
+    if any(
+        k in n
+        for k in (
+            "silver",
+            "validation",
+            "dead_letters",
+            "pipeline_status",
+            "ingest",
+            "market_hours",
+            "latest_prices",
+        )
+    ):
+        return "medallion/serving"
+    if any(k in n for k in ("ohlcv", "rolling", "day_over_day", "running_", "cohort", "session", "price_path", "vwap", "moving")):
+        return "windows"
+    if any(
+        k in n
+        for k in (
+            "order",
+            "revenue",
+            "nation",
+            "supplier",
+            "customer",
+            "quote",
+            "asof",
+            "interval",
+            "segment",
+        )
+    ):
+        return "joins/analytics"
+    if any(k in n for k in ("top_", "latest_bars", "volume")):
+        return "topk/agg"
+    return "misc"
+
+
+def budget_dashboard(spark, sf_dir: str) -> list[str]:
+    """Round-9 VERDICT task 7: the plan-budget totals as a reviewable
+    table instead of pass/fail buried in test code.  Exchanges =
+    count_shuffles at plan-compile time; budget columns come straight
+    from tests/test_plan_sweep.py::PLAN_BUDGET (the enforced pin)."""
+    sys.path.insert(0, str(REPO_ROOT / "tests"))
+    from test_plan_sweep import PLAN_BUDGET
+
+    from real_time_financial_market_data_pipeline_spark.plans.inspect import pushed_filters
+
+    rows = []
+    for name in sorted(PLAN_BUDGET):
+        if name not in QUERIES:
+            continue
+        max_sh, needs_bhj, min_pushed = PLAN_BUDGET[name]
+        df = QUERIES[name](spark, sf_dir)
+        actual = count_shuffles(df)
+        bhj = "✓" if needs_bhj else ""
+        pushed = len([p for p in pushed_filters(df) if p.strip()])
+        rows.append((_family(name), name, actual, max_sh, bhj, pushed, min_pushed))
+
+    out = [
+        "## Plan-budget dashboard",
+        "",
+        "Per-query exchange counts vs the budgets pinned in",
+        "`tests/test_plan_sweep.py::PLAN_BUDGET` (enforced in CI; this table",
+        "makes drift reviewable in diffs). Headroom = budget − actual.",
+        "",
+        "| family | query | exchanges | budget | headroom | bhj req | pushed | pushed min |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    fam_totals: dict[str, list[int]] = {}
+    for fam, name, actual, max_sh, bhj, pushed, min_pushed in sorted(rows):
+        out.append(
+            f"| {fam} | {name} | {actual} | {max_sh} | {max_sh - actual} "
+            f"| {bhj} | {pushed} | {min_pushed} |"
+        )
+        t = fam_totals.setdefault(fam, [0, 0, 0])
+        t[0] += actual
+        t[1] += max_sh
+        t[2] += 1
+    out += [
+        "",
+        "| family | queries | total exchanges | total budget | headroom |",
+        "|---|---|---|---|---|",
+    ]
+    ta = tb = tq = 0
+    for fam in sorted(fam_totals):
+        a, b, nq = fam_totals[fam]
+        ta, tb, tq = ta + a, tb + b, tq + nq
+        out.append(f"| {fam} | {nq} | {a} | {b} | {b - a} |")
+    out.append(f"| **all** | {tq} | {ta} | {tb} | {tb - ta} |")
+    out.append("")
+    return out
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark(app_name="dump_plans")
@@ -65,6 +181,7 @@ def main() -> None:
         "broadcast vs shuffle joins, shuffle count, WholeStageCodegen spans.",
         "",
     ]
+    out += budget_dashboard(spark, sf_dir)
     for name, why in SHOWCASE.items():
         df = QUERIES[name](spark, sf_dir)
         out.append(f"## {name}")

@@ -5,7 +5,16 @@ micro-batch — one map-side fingerprint pass + one hash-agg — no matter
 how much history has accumulated, and that `common_spans_view` answers
 from the index without re-fingerprinting that history.
 
-    python scripts/incr_span_scale.py [base_sf_dir] [out_json]
+    python scripts/incr_span_scale.py [base_sf_dir] [out_json] \
+        [n_replicas] [n_batches] [legs] [compact_every]
+
+Defaults (6 replicas / 18 batches / 3 legs / stream-stopped compact
+between legs) reproduce the round-8 evidence.  The round-9 AGING run
+(VERDICT task 3) is `... 12 54 6 9`: 12 replicas drained over 54
+batches in 6 legs with the INLINE compact_every=9 cadence instead of
+the leg-stopped compact() — the operational policy under test — and
+the view latency sampled at every leg boundary as the index triples
+past its round-8 size.
 
 Corpus generator (deterministic, no randomness): N_REPLICAS copies of
 the documents table, every token salted per replica so the docs are
@@ -49,10 +58,10 @@ from real_time_financial_market_data_pipeline_spark.streaming.incremental import
 )
 from real_time_financial_market_data_pipeline_spark.tables import load_table
 
-N_REPLICAS = 6
+N_REPLICAS = 6  # overridable via argv
 ID_STRIDE = 10_000_000
-N_BATCHES = 18
-LEGS = 3
+N_BATCHES = 18  # overridable via argv
+LEGS = 3  # overridable via argv
 SPAN_K = 8
 BOILER = (
     "this material is provided as is without warranty of any kind "
@@ -108,19 +117,40 @@ def dir_bytes(path: str) -> int:
 
 
 def main() -> None:
+    global N_REPLICAS, N_BATCHES, LEGS
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_json = sys.argv[2] if len(sys.argv) > 2 else None
+    if len(sys.argv) > 3:
+        N_REPLICAS = int(sys.argv[3])
+    if len(sys.argv) > 4:
+        N_BATCHES = int(sys.argv[4])
+    if len(sys.argv) > 5:
+        LEGS = int(sys.argv[5])
+    compact_every = int(sys.argv[6]) if len(sys.argv) > 6 else None
     spark = get_spark(app_name="incr_span_scale")
     work = tempfile.mkdtemp(prefix="incr_span_")
     feed, out = os.path.join(work, "feed"), os.path.join(work, "out")
     try:
         corpus, n_base = make_corpus(spark, base)
         n_in = n_base * N_REPLICAS
-        print(json.dumps({"input_docs": n_in, "batches": N_BATCHES}), flush=True)
+        print(
+            json.dumps(
+                {
+                    "input_docs": n_in,
+                    "batches": N_BATCHES,
+                    "compact_every": compact_every,
+                }
+            ),
+            flush=True,
+        )
 
         # near_dup off so the timings isolate exact dedup + span index
         job = IncrementalDedupJob(
-            out_dir=out, near_dup=False, span_index=True, span_k=SPAN_K
+            out_dir=out,
+            near_dup=False,
+            span_index=True,
+            span_k=SPAN_K,
+            compact_every=compact_every,
         )
         durs: list[float] = []
         legs: list[dict] = []
@@ -141,7 +171,20 @@ def main() -> None:
                 if p.get("numInputRows", 0) > 0
             ]
             durs.extend(leg_durs)
-            folded = job.compact(spark)
+            # compact_every=None reproduces the round-8 protocol
+            # (stream-stopped fold per leg); with an inline cadence the
+            # job already compacts itself mid-drain — measure what the
+            # POLICY leaves behind instead of folding here
+            folded = job.compact(spark) if compact_every is None else 0
+            import re as _re
+
+            span_dirs = len(
+                [
+                    d
+                    for d in os.listdir(os.path.join(out, "index_spanfps"))
+                    if _re.fullmatch(r"batch_id=\d+", d)
+                ]
+            )
             t0 = time.perf_counter()
             n_common = common_spans_view(
                 spark, out, min_docs=2, k=SPAN_K
@@ -152,6 +195,7 @@ def main() -> None:
                     "leg": leg,
                     "batches": len(leg_durs),
                     "folded_dirs": folded,
+                    "span_dirs": span_dirs,
                     "index_spanfps_mb": round(
                         dir_bytes(os.path.join(out, "index_spanfps")) / 1e6, 2
                     ),

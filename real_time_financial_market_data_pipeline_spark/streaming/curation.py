@@ -162,10 +162,20 @@ class CuratedCorpusPipeline:
         return os.path.join(self.out_dir, "curated")
 
     def finalize(self, spark) -> str:
-        """Phase 2 (stream-stopped): cross-doc span excision off the
-        incremental index, quality/repetition gate, PII redaction,
-        deterministic split; writes `curated/` partitioned by split
-        (idempotent overwrite) and returns its path.
+        """Phase 2 (stream-stopped): writes `finalize_frame(spark)` to
+        `curated/` partitioned by split (idempotent overwrite) and
+        returns its path."""
+        out_path = self.curated_dir()
+        self.finalize_frame(spark).write.mode("overwrite").partitionBy(
+            "split"
+        ).parquet(out_path)
+        return out_path
+
+    def finalize_frame(self, spark) -> DataFrame:
+        """The curated chunk table as a DataFrame (what `finalize`
+        materializes): cross-doc span excision off the incremental
+        index, quality/repetition gate, PII redaction, deterministic
+        split.
 
         Output schema: (doc_id, chunk_idx, token_start, text,
         chunk_tokens, excised_tokens, internal_excised_tokens,
@@ -173,7 +183,13 @@ class CuratedCorpusPipeline:
         repetition, split).  Untouched docs keep their ORIGINAL ingest
         bytes (detected by token-count identity — a doc whose single
         chunk kept every token was not excised, so the token-normalized
-        rebuild is discarded in favor of the stored corpus text)."""
+        rebuild is discarded in favor of the stored corpus text).
+
+        Plan shape (pinned in tests/test_curation_pipeline.py): every
+        join is an equi-join (fp / doc_id) — no cartesian or
+        nested-loop operator anywhere; the metric/gate/redact/split
+        stages are pure column projections fused into the upstream
+        stages."""
         from real_time_financial_market_data_pipeline_spark.operators.dedup import (
             _tokens,
             split_excise_common_spans,
@@ -232,12 +248,9 @@ class CuratedCorpusPipeline:
         )
         if self.redact:
             gated = gated.withColumn("text", redact_pii(F.col("text")))
-        curated = train_val_test_split(
+        return train_val_test_split(
             gated, "doc_id", val_frac=self.val_frac, test_frac=self.test_frac
         )
-        out_path = self.curated_dir()
-        curated.write.mode("overwrite").partitionBy("split").parquet(out_path)
-        return out_path
 
 
 def curated_view(spark, out_dir: str) -> DataFrame:

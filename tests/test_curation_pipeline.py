@@ -191,3 +191,38 @@ def test_curated_corpus_pipeline_end_to_end(spark, tmp_path):
     again = [r.asDict() for r in curated_view(spark, out).collect()]
     key = lambda r: (r["doc_id"], r["chunk_idx"])  # noqa: E731
     assert sorted(again, key=key) == sorted(rows, key=key)
+
+
+def test_finalize_frame_plan_shape(spark, tmp_path):
+    """The finalize pass must stay equi-join-only: no cartesian /
+    nested-loop operator anywhere in the plan (the classic failure mode
+    for span joins is an accidental cross product when a join key gets
+    lost in a refactor), and its exchange count stays within a pinned
+    budget — the plan-budget discipline applied to the composed
+    pipeline's OPTIMIZE stage."""
+    from real_time_financial_market_data_pipeline_spark.plans.inspect import count_shuffles, physical_plan
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+
+    feed, out = str(tmp_path / "feed"), str(tmp_path / "out")
+    _write_feed(
+        feed,
+        [
+            [
+                {"doc_id": 1, "text": CARRIER_A},
+                {"doc_id": 2, "text": CARRIER_B},
+            ]
+        ],
+    )
+    pipe = CuratedCorpusPipeline(out_dir=out, span_k=4, span_min_docs=2)
+    q = pipe.start(read_doc_stream(spark, feed).select("doc_id", "text"))
+    assert q.awaitTermination(180)
+
+    frame = pipe.finalize_frame(spark)
+    plan = physical_plan(frame, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    n = count_shuffles(frame)
+    assert n <= 12, (
+        f"finalize_frame grew to {n} exchanges — a refactor added a "
+        "shuffle; remove it or consciously re-pin"
+    )

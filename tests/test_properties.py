@@ -853,3 +853,71 @@ def test_split_excise_common_spans_invariants(spark, docs):
                         assert keep_rep and set(range(pos, pos + k)) <= protected[i], (
                             i, w, pos,
                         )
+
+
+# --- excise-verify subset soundness (round 9) -------------------------
+# The streaming decontam verify pass (IncrementalDedupJob.excise_verify)
+# re-detects over ONLY the docs the excision rewrote, relying on: a doc
+# the detection join left untouched keeps its ORIGINAL bytes, so it
+# cannot be contaminated after the pass; and any doc with a hit always
+# reports excised_tokens > 0 (no protection set in decontamination).
+# Adversarial small-alphabet texts maximize self-overlap, the regime
+# where concat splices actually happen.
+
+_tiny_words = st.sampled_from(["aa", "bb", "cc"])
+_doc_strategy = st.lists(
+    st.lists(_tiny_words, min_size=1, max_size=14).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+_bench_strategy = st.lists(_tiny_words, min_size=3, max_size=3).map(" ".join)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_doc_strategy, bench_text=_bench_strategy)
+def test_excise_verify_subset_is_sound(spark, texts, bench_text):
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import (
+        excise_contaminated_spans,
+        span_contaminated_ids,
+    )
+
+    k = 3
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(900, bench_text)], "doc_id long, text string")
+
+    rewritten = excise_contaminated_spans(train, bench, k=k)
+    out = {r["doc_id"]: r for r in rewritten.collect()}
+    # every input row preserved
+    assert sorted(out) == list(range(len(texts)))
+
+    # docs the detection rule flags BEFORE excision always report a
+    # removal (hits => excised_tokens > 0: no protected positions)
+    flagged_before = {
+        r["doc_id"]
+        for r in span_contaminated_ids(train, bench, k=k).collect()
+    }
+    for d in flagged_before:
+        assert out[d]["excised_tokens"] > 0, (d, out[d])
+
+    # SUBSET SOUNDNESS: any doc still contaminated after excision (a
+    # concat splice) must be one the pass rewrote — so re-checking only
+    # excised docs catches every survivor
+    flagged_after = {
+        r["doc_id"]
+        for r in span_contaminated_ids(rewritten, bench, k=k).collect()
+    }
+    for d in flagged_after:
+        assert out[d]["excised_tokens"] > 0, (
+            f"doc {d} is contaminated post-excision but was never "
+            f"rewritten — the verify pass would miss it"
+        )
+
+    # and the verify treatment (drop the survivors) yields a corpus
+    # clean under the rule — the streaming hard guarantee, batch form
+    survivors = spark.createDataFrame(
+        [(d,) for d in flagged_after] or [(None,)], "doc_id long"
+    ).dropna()
+    cleaned = rewritten.join(survivors, "doc_id", "left_anti")
+    assert span_contaminated_ids(cleaned, bench, k=k).count() == 0

@@ -226,3 +226,97 @@ def test_finalize_frame_plan_shape(spark, tmp_path):
         f"finalize_frame grew to {n} exchanges — a refactor added a "
         "shuffle; remove it or consciously re-pin"
     )
+
+
+def test_curated_pipeline_crash_replay_reproduces_state(spark, tmp_path):
+    """Composition crash-safety: the components are individually
+    replay-safe, but the composed per-batch chain (repair -> decontam
+    excise+verify -> dedup -> span partials, compact_every on) must
+    ALSO replay deterministically — the corpus, the span view, and the
+    finalized table all come out identical after a crash-before-commit
+    of the last data batch."""
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+    from real_time_financial_market_data_pipeline_spark.streaming.incremental import common_spans_view
+
+    bench_df = spark.createDataFrame(
+        [(900, QUESTION + " choose the best answer")], "doc_id long, text string"
+    )
+    bench_dir = str(tmp_path / "bench_fp")
+    build_benchmark_span_index(bench_df, bench_dir, k=13)
+
+    feed, out = str(tmp_path / "feed"), str(tmp_path / "out")
+    _write_feed(
+        feed,
+        [
+            [{"doc_id": 1, "text": CARRIER_A}, {"doc_id": 2, "text": CONTAMINATED}],
+            [{"doc_id": 3, "text": CARRIER_B}, {"doc_id": 4, "text": INTERNAL}],
+        ],
+    )
+    pipe = CuratedCorpusPipeline(
+        out_dir=out,
+        benchmark_fp_dir=bench_dir,
+        decontam_k=13,
+        internal_k=3,
+        span_k=4,
+        span_min_docs=2,
+        compact_every=2,
+    )
+
+    def drain():
+        q = pipe.start(
+            read_doc_stream(spark, feed, max_files_per_trigger=1).select(
+                "doc_id", "text"
+            )
+        )
+        assert q.awaitTermination(300)
+
+    drain()
+    corpus_before = sorted(
+        tuple(r) for r in corpus_view(spark, out).collect()
+    )
+    spans_before = sorted(
+        tuple(r)
+        for r in common_spans_view(spark, out, min_docs=2, k=4).collect()
+    )
+    pipe.finalize(spark)
+    curated_before = sorted(
+        (r["doc_id"], r["chunk_idx"], r["text"])
+        for r in curated_view(spark, out).collect()
+    )
+
+    # crash before the newest DATA batch's commit (availableNow appends
+    # a trailing empty batch — walk back to the newest data-carrying
+    # commit, per the round-7 crash-simulation recipe)
+    commits = os.path.join(out, "_checkpoints", "incremental_dedup", "commits")
+    offsets = os.path.join(out, "_checkpoints", "incremental_dedup", "offsets")
+    import re
+
+    data_batches = {
+        int(d.split("=")[1])
+        for d in os.listdir(os.path.join(out, "corpus"))
+        if re.fullmatch(r"batch_id=\d+", d)
+    }
+    n = max(data_batches)
+    for log_dir, keep_below in ((commits, n), (offsets, n + 1)):
+        for f in os.listdir(log_dir):
+            name = f.lstrip(".").split(".")[0]
+            if name.isdigit() and int(name) >= keep_below:
+                os.remove(os.path.join(log_dir, f))
+
+    drain()  # replay
+    assert sorted(tuple(r) for r in corpus_view(spark, out).collect()) == corpus_before
+    assert (
+        sorted(
+            tuple(r)
+            for r in common_spans_view(spark, out, min_docs=2, k=4).collect()
+        )
+        == spans_before
+    )
+    pipe.finalize(spark)
+    assert (
+        sorted(
+            (r["doc_id"], r["chunk_idx"], r["text"])
+            for r in curated_view(spark, out).collect()
+        )
+        == curated_before
+    )

@@ -1,3 +1,7 @@
+from real_time_financial_market_data_pipeline_spark.streaming.curation import (
+    CuratedCorpusPipeline,
+    curated_view,
+)
 from real_time_financial_market_data_pipeline_spark.streaming.jobs import (
     LatestPricesStreamJob,
     MedallionStreamJob,
@@ -11,6 +15,8 @@ from real_time_financial_market_data_pipeline_spark.streaming.sinks import (
 )
 
 __all__ = [
+    "CuratedCorpusPipeline",
+    "curated_view",
     "SinkManager",
     "parquet_sink",
     "MedallionStreamJob",

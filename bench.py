@@ -22,7 +22,7 @@ from real_time_financial_market_data_pipeline_spark.session import get_spark
 # instead of by hand from old BENCH_r*.json files.  Bump CURRENT_ROUND
 # when adding entries in a new round; unlisted entries default to
 # CURRENT_ROUND (i.e. new, excluded from the comparable total).
-CURRENT_ROUND = 9
+CURRENT_ROUND = 10
 ENTRY_ROUNDS = {
     "asof_purchase_view": 1,
     "dedup_exact_docs": 1,
@@ -748,7 +748,82 @@ def main() -> None:
     if errors:
         payload["errors"] = errors
     print(json.dumps(payload))
-    spark.stop()
+
+    # Durable full payload (round-9 VERDICT task 1): the driver keeps
+    # only the LAST 2000 chars of stdout, which truncated r9's 43-entry
+    # payload mid-list.  Persist the complete payload beside the repo's
+    # BENCH_r*.json records (committed each round) so every per-entry
+    # timing survives regardless of capture windows.
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    local_path = os.path.join(repo_root, f"BENCH_local_r{CURRENT_ROUND:02d}.json")
+    try:
+        with open(local_path, "w") as fh:
+            json.dump(payload, fh, indent=1)
+    except OSError as exc:  # read-only checkout: digest still prints
+        errors["bench_local_write"] = f"{type(exc).__name__}: {exc}"[:200]
+
+    # Stop Spark BEFORE the digest line: JVM shutdown can spew stack
+    # traces to stdout, and anything printed after the digest would push
+    # it out of the driver's tail window.
+    try:
+        spark.stop()
+    except Exception:  # noqa: BLE001
+        pass
+
+    # Final COMPACT digest line — small enough that ANY stdout tail
+    # capture keeps it: totals, the worst regressions vs the previous
+    # round's durable payload, this round's new entries, error count.
+    prev: dict = {}
+    try:
+        import glob as _glob
+        import re as _re
+
+        prior = sorted(
+            p
+            for p in _glob.glob(os.path.join(repo_root, "BENCH_local_r*.json"))
+            if (m := _re.search(r"BENCH_local_r(\d+)\.json$", p))
+            and int(m.group(1)) < CURRENT_ROUND
+        )
+        if prior:
+            with open(prior[-1]) as fh:
+                prev = json.load(fh)
+    except Exception:  # noqa: BLE001 — digest must never abort
+        prev = {}
+    prev_q = prev.get("queries", {})
+    regressions = sorted(
+        (
+            (name, prev_q[name], t)
+            for name, t in timings.items()
+            if name in prev_q and prev_q[name] > 0.05 and t > prev_q[name] * 1.10
+        ),
+        key=lambda r: r[2] / r[1],
+        reverse=True,
+    )[:5]
+    digest = {
+        "bench_digest": True,
+        "bench_round": CURRENT_ROUND,
+        "total": total,
+        "comparable_total": comparable,
+        "prev_total": prev.get("headline_comparable_total"),
+        "prev_round": prev.get("bench_round"),
+        "n_entries": len(timings),
+        "n_errors": len(errors),
+        "worst_regressions": [
+            [n, p, c] for n, p, c in regressions
+        ],
+        "new_entries": {
+            n: t
+            for n, t in timings.items()
+            if ENTRY_ROUNDS.get(n, CURRENT_ROUND) >= CURRENT_ROUND
+        },
+        "errors": sorted(errors)[:5],
+        "full_payload": os.path.basename(local_path),
+    }
+    import sys
+
+    sys.stdout.flush()
+    print(json.dumps(digest))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -173,34 +173,51 @@ class IncrementalDedupJob:
             compact_latest_state,
         )
 
-        keys = {
-            "corpus": ["doc_id"],
-            "index_bands": ["id", "band"],
-            "index_sigs": ["id"],
-        }
         commit_log = os.path.join(self.checkpoints(), "incremental_dedup")
         folded = 0
-        for table, key_cols in keys.items():
-            path = os.path.join(self.out_dir, table)
+        for path, key_cols, resolve in self._fold_specs():
             if not os.path.isdir(path):
                 continue
             bound = committed_fold_bound(path, commit_log)
-            folded += compact_latest_state(spark, path, key_cols, only_below=bound)
-        # the span-fp table stores per-batch PARTIALS of an associative
-        # sum/min aggregate, not per-key upserts — fold with the exact
-        # re-reduce instead of per-key-latest (same override the quote
-        # job's batch-maxima sink uses)
-        span_path = os.path.join(self.out_dir, "index_spanfps")
-        if os.path.isdir(span_path):
-            bound = committed_fold_bound(span_path, commit_log)
             folded += compact_latest_state(
-                spark,
-                span_path,
-                ["fp"],
-                only_below=bound,
-                resolve=lambda combined: merge_span_stats(combined.drop("batch_id")),
+                spark, path, key_cols, only_below=bound, resolve=resolve
             )
         return folded
+
+    def _fold_specs(self):
+        """(path, key_cols, resolve) per table — shared by compact()
+        and the start()-time staged-publish recovery.  The span-fp
+        table stores per-batch PARTIALS of an associative sum/min
+        aggregate, not per-key upserts — it folds with the exact
+        re-reduce instead of per-key-latest (same override the quote
+        job's batch-maxima sink uses)."""
+        return [
+            (os.path.join(self.out_dir, "corpus"), ["doc_id"], None),
+            (os.path.join(self.out_dir, "index_bands"), ["id", "band"], None),
+            (os.path.join(self.out_dir, "index_sigs"), ["id"], None),
+            (
+                os.path.join(self.out_dir, "index_spanfps"),
+                ["fp"],
+                lambda combined: merge_span_stats(combined.drop("batch_id")),
+            ),
+        ]
+
+    def recover(self, spark) -> int:
+        """Finish any compaction publish a crash interrupted — runs in
+        start() BEFORE the query launches (round-10 ADVICE, medium).
+        Without it, a restart replays the uncommitted batch whose
+        `_read_prior` sees incomplete history (the folded snapshot is
+        still underscore-staged, invisible to parquet; some old dirs
+        are already deleted), so duplicates of folded history would
+        permanently enter the corpus.  Returns the number of tables
+        recovered (0 in the normal no-crash case — one listdir each)."""
+        from real_time_financial_market_data_pipeline_spark.streaming.sinks import finish_staged_compaction
+
+        commit_log = os.path.join(self.checkpoints(), "incremental_dedup")
+        return sum(
+            finish_staged_compaction(spark, path, key_cols, commit_log, resolve=resolve)
+            for path, key_cols, resolve in self._fold_specs()
+        )
 
     def _read_prior(self, spark, table: str, batch_id: int) -> DataFrame | None:
         """Partition-pruned read of a table's batches STRICTLY BELOW the
@@ -276,6 +293,9 @@ class IncrementalDedupJob:
 
     def start(self, docs: DataFrame) -> StreamingQuery:
         self._validate_config()
+        # staged-publish crash recovery BEFORE the first _read_prior:
+        # a replayed batch must always see complete history
+        self.recover(docs.sparkSession)
 
         def process(batch_df: DataFrame, batch_id: int) -> None:
             if batch_df.isEmpty():

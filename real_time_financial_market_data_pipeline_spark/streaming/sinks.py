@@ -70,6 +70,18 @@ def parquet_sink(
             writer = writer.partitionBy(*partition_by)
         writer.parquet(os.path.join(path, f"batch_id={batch_id}"))
 
+    if compact_every:
+        # finish any inline-compaction publish a crash interrupted, so
+        # readers (and the replayed batch) see complete history from the
+        # first micro-batch instead of waiting for the next cadence
+        # point (round-10 ADVICE — same recovery as IncrementalDedupJob)
+        finish_staged_compaction(
+            df.sparkSession,
+            path,
+            compact_keys or [],
+            os.path.join(checkpoint_dir, name),
+        )
+
     stream = (
         df.writeStream.foreachBatch(write_batch)
         .outputMode(output_mode)
@@ -271,6 +283,44 @@ def committed_fold_bound(path: str, commit_log_dirs: str | list[str]) -> int | N
     if logs and all(os.path.isfile(os.path.join(c, str(max_id))) for c in logs):
         return None
     return max_id
+
+
+def finish_staged_compaction(
+    spark,
+    path: str,
+    key_cols: list[str],
+    commit_log_dirs: str | list[str],
+    resolve: Callable[[DataFrame], DataFrame] | None = None,
+) -> bool:
+    """Finish (or, per the staleness rule, discard) a compaction whose
+    publish phase was interrupted by a crash — call at STREAM START,
+    before the first history read (round-10 ADVICE).
+
+    The hazard: `compact_latest_state`'s publish phase deletes the old
+    `batch_id=` dirs BEFORE renaming the staged snapshot in.  A crash in
+    that window leaves the only complete copy of the folded history in
+    an underscore-prefixed `_compact_staged_*` dir — invisible to
+    parquet readers.  For a plain update-mode sink that's a stale read
+    until the next cadence point; for `IncrementalDedupJob` it's
+    CORRUPTING: the restarted stream replays the uncommitted batch,
+    whose `_read_prior` then dedups against incomplete history, and
+    duplicates of folded docs permanently enter the corpus.
+
+    Delegates to `compact_latest_state`, whose staged-marker handling
+    already implements the two safe outcomes (finish the publish, or
+    discard a provably stale stage and re-fold) — bounded by the
+    CURRENT `committed_fold_bound` so an uncommitted tail batch keeps
+    its own delta for the replay.  A no-op (False) when no staged dir
+    exists, so calling it unconditionally at every start() costs one
+    listdir.
+    """
+    if not os.path.isdir(path):
+        return False
+    if not any(d.startswith("_compact_staged_") for d in os.listdir(path)):
+        return False
+    bound = committed_fold_bound(path, commit_log_dirs)
+    compact_latest_state(spark, path, key_cols, only_below=bound, resolve=resolve)
+    return True
 
 
 def compact_latest_state(

@@ -654,3 +654,82 @@ def test_auto_compaction_cadence(spark, tmp_path):
     )
     assert q.awaitTermination(300)
     assert sorted(r["doc_id"] for r in corpus_view(spark, out).collect()) == [1, 2, 3, 5, 8]
+
+
+def test_crash_mid_compaction_publish_recovers_at_start(spark, tmp_path, monkeypatch):
+    """Round-10 ADVICE (medium): the inline compaction's publish phase
+    deletes old batch dirs BEFORE renaming the staged snapshot in.  A
+    crash in that window leaves the only complete copy of folded
+    history underscore-staged (invisible to parquet) — and the restart
+    REPLAYS the uncommitted batch, whose _read_prior would dedup
+    against incomplete history and let duplicates of folded docs
+    permanently enter the corpus.  start() must finish the staged
+    publish before the first history read."""
+    import re
+
+    feed, out = str(tmp_path / "feed"), str(tmp_path / "out")
+    _write_doc_feed(
+        feed,
+        [
+            [{"doc_id": 1, "text": LONG_A}],
+            [{"doc_id": 2, "text": LONG_B}],
+            # batch 2: exact dup of folded doc 1 + one genuinely new doc
+            [{"doc_id": 3, "text": LONG_A}, {"doc_id": 4, "text": "a fresh closing document"}],
+        ],
+    )
+    _drain(spark, feed, out)
+    assert sorted(r["doc_id"] for r in corpus_view(spark, out).collect()) == [1, 2, 4]
+
+    # crash-before-checkpoint of the newest DATA batch (walk back past
+    # availableNow's trailing empty batch, per the round-7 recipe)
+    corpus_dir = os.path.join(out, "corpus")
+    n = max(
+        int(d.split("=")[1])
+        for d in os.listdir(corpus_dir)
+        if re.fullmatch(r"batch_id=\d+", d)
+    )
+    ckpt = os.path.join(out, "_checkpoints", "incremental_dedup")
+    for log_dir, keep_below in ((os.path.join(ckpt, "commits"), n), (os.path.join(ckpt, "offsets"), n + 1)):
+        for f in os.listdir(log_dir):
+            name = f.lstrip(".").split(".")[0]
+            if name.isdigit() and int(name) >= keep_below:
+                os.remove(os.path.join(log_dir, f))
+
+    # drive the REAL compaction code into the hazard window: the old
+    # dirs are deleted, then the publish rename "crashes"
+    import pytest
+
+    real_rename = os.rename
+
+    def crashing_rename(src, dst):
+        if "_compact_staged_" in str(src) and "batch_id=" in str(dst):
+            raise RuntimeError("simulated crash during publish rename")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crashing_rename)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        IncrementalDedupJob(out_dir=out).compact(spark)
+    monkeypatch.undo()
+
+    # the hazard state: history folded away into an invisible staged
+    # dir; only the uncommitted tail delta remains visible
+    dirs = sorted(os.listdir(corpus_dir))
+    assert any(d.startswith("_compact_staged_") for d in dirs), dirs
+    visible = [d for d in dirs if re.fullmatch(r"batch_id=\d+", d)]
+    assert visible == [f"batch_id={n}"], dirs
+
+    # restart: start() must recover the stage BEFORE the replay of
+    # batch n — the dup of folded doc 1 stays dropped
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+
+    q = IncrementalDedupJob(out_dir=out).start(
+        read_doc_stream(spark, feed, max_files_per_trigger=1).select("doc_id", "text")
+    )
+    assert q.awaitTermination(300)
+    rows = corpus_view(spark, out).collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 2, 4]
+    fps = [r["fingerprint"] for r in rows]
+    assert len(fps) == len(set(fps))
+    assert not any(
+        d.startswith("_compact_staged_") for d in os.listdir(corpus_dir)
+    )

@@ -235,6 +235,16 @@ class CuratedCorpusPipeline:
             )
         )
 
+        # PII redaction BEFORE the metric projection (round-10 ADVICE):
+        # the published n_tokens/quality/lang/repetition must describe
+        # the text a training job actually reads — redacting after the
+        # metrics let e.g. an email→[EMAIL] rewrite change the token
+        # count the row claims.  chunk_tokens/token_start stay in
+        # ORIGINAL token space by design (positional provenance against
+        # the corpus and the span reports, not a property of the
+        # published bytes).
+        if self.redact:
+            restored = restored.withColumn("text", redact_pii(F.col("text")))
         enriched = restored.select(
             "*",
             token_count(F.col("text")).cast("long").alias("n_tokens"),
@@ -246,8 +256,6 @@ class CuratedCorpusPipeline:
             (F.col("quality") >= self.quality_min)
             & (F.col("repetition.dup_line_ratio") <= self.max_dup_line_ratio)
         )
-        if self.redact:
-            gated = gated.withColumn("text", redact_pii(F.col("text")))
         return train_val_test_split(
             gated, "doc_id", val_frac=self.val_frac, test_frac=self.test_frac
         )

@@ -302,6 +302,23 @@ class IncrementalDedupJob:
                 return
             spark = batch_df.sparkSession
 
+            # at-least-once input hygiene (round-10 ADVICE): a source
+            # may deliver the same doc_id twice WITHIN one micro-batch
+            # (redelivery, overlapping files).  Everything downstream —
+            # the repair/excision rewrite joins, the span-fp partials,
+            # the per-batch-unique doc_id contract of the span index —
+            # assumes batch-unique ids; duplicate rows would fan out
+            # 2x2 through the doc_id joins and same-id rows with
+            # DIFFERENT text would silently mix their covered-position
+            # sets.  Keeper is deterministic (min text per id) so a
+            # crash replay reproduces the identical batch.
+            one_per_id = Window.partitionBy("doc_id").orderBy("text")
+            batch_df = (
+                batch_df.withColumn("_idrn", F.row_number().over(one_per_id))
+                .filter(F.col("_idrn") == 1)
+                .drop("_idrn")
+            )
+
             if self.pre_transform is not None:
                 batch_df = self.pre_transform(batch_df)
 

@@ -320,3 +320,90 @@ def test_curated_pipeline_crash_replay_reproduces_state(spark, tmp_path):
         )
         == curated_before
     )
+
+
+def test_duplicate_doc_ids_within_one_batch_collapse_deterministically(spark, tmp_path):
+    """Round-10 ADVICE: an at-least-once source can deliver the same
+    doc_id twice WITHIN one micro-batch.  Without input hygiene the
+    repair rewrite join fans out 2x2 and same-id rows with different
+    text mix their covered-position sets.  The job must collapse to one
+    row per doc_id (deterministic min-text keeper) before any join."""
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+
+    feed, out = str(tmp_path / "feed"), str(tmp_path / "out")
+    _write_feed(
+        feed,
+        [
+            [
+                # exact redelivery: identical row twice in one batch
+                {"doc_id": 1, "text": LONG_A},
+                {"doc_id": 1, "text": LONG_A},
+                # pathological same-id different-text: min text wins
+                {"doc_id": 2, "text": "zebra version of this document"},
+                {"doc_id": 2, "text": "aardvark version of this document"},
+                # a doc with an internal repeat AND a same-batch twin —
+                # the repair join must not fan it out
+                {"doc_id": 3, "text": INTERNAL},
+                {"doc_id": 3, "text": INTERNAL},
+            ]
+        ],
+    )
+    pipe = CuratedCorpusPipeline(out_dir=out, internal_k=3, span_k=4, span_min_docs=2)
+    q = pipe.start(read_doc_stream(spark, feed).select("doc_id", "text"))
+    assert q.awaitTermination(300)
+
+    rows = {r["doc_id"]: r for r in corpus_view(spark, out).collect()}
+    assert sorted(rows) == [1, 2, 3]
+    assert rows[2]["text"] == "aardvark version of this document"
+    # repair ran exactly once on the collapsed row (no 2x2 fan-out):
+    # one repeated trigram excised, single occurrence survives
+    assert rows[3]["internal_excised_tokens"] == 3
+    assert rows[3]["text"].count("alpha beta gamma") == 1
+    # corpus stays one-row-per-doc and one-row-per-fingerprint
+    fps = [r["fingerprint"] for r in rows.values()]
+    assert len(fps) == len(set(fps))
+
+
+def test_published_metrics_describe_redacted_text(spark, tmp_path):
+    """Round-10 ADVICE: redaction must run BEFORE the metric
+    projection, so n_tokens/quality/repetition describe the text a
+    training job actually reads.  A doc whose email is replaced by
+    <EMAIL> must publish the post-redaction token count (and the
+    redacted bytes), while chunk_tokens/token_start keep ORIGINAL
+    token-space provenance."""
+    from real_time_financial_market_data_pipeline_spark.functions.text import token_count
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+
+    pii_doc = (
+        "please contact our support team at help.desk@example-corp.com "
+        "for any further questions regarding the enterprise onboarding "
+        "process and the quarterly billing statements we send out"
+    )
+    feed, out = str(tmp_path / "feed"), str(tmp_path / "out")
+    _write_feed(feed, [[{"doc_id": 1, "text": pii_doc}, {"doc_id": 2, "text": LONG_B}]])
+    pipe = CuratedCorpusPipeline(out_dir=out, span_k=4, span_min_docs=2)
+    q = pipe.start(read_doc_stream(spark, feed).select("doc_id", "text"))
+    assert q.awaitTermination(300)
+    pipe.finalize(spark)
+
+    rows = {r["doc_id"]: r.asDict() for r in curated_view(spark, out).collect()}
+    assert "<EMAIL>" in rows[1]["text"]
+    assert "example-corp.com" not in rows[1]["text"]
+    # the published token count is computed ON the published text
+    recount = (
+        spark.createDataFrame([(rows[1]["text"],)], "text string")
+        .select(token_count(F.col("text")).alias("n"))
+        .first()["n"]
+    )
+    assert rows[1]["n_tokens"] == recount
+    # provenance columns stay in original token space: the whole-doc
+    # chunk still claims every ORIGINAL token
+    assert rows[1]["token_start"] == 1
+    assert rows[1]["chunk_tokens"] == (
+        spark.createDataFrame([(pii_doc,)], "text string")
+        .select(token_count(F.col("text")).alias("n"))
+        .first()["n"]
+    )
+    # a clean doc is untouched byte-for-byte
+    assert rows[2]["text"] == LONG_B
+    assert rows[2]["n_tokens"] == rows[2]["chunk_tokens"]

@@ -1262,6 +1262,17 @@ def _internal_covered(
     excision: non-first occurrences of every >= min_occurrences window,
     minus positions protected by any first occurrence."""
     fps = span_fingerprints(df, id_col=id_col, text_col=text_col, k=k)
+    return _internal_covered_from_fps(fps, k, min_occurrences)
+
+
+def _internal_covered_from_fps(
+    fps: DataFrame, k: int, min_occurrences: int
+) -> DataFrame:
+    """`_internal_covered` from a PRECOMPUTED (id, pos, fp) window-
+    fingerprint frame — the fused-pass path: `IncrementalDedupJob`
+    computes the batch's fingerprints ONCE (localCheckpoint) and feeds
+    them both here (within-doc repair) and to the span-fp index partial
+    when the two window sizes match."""
     firsts = (
         fps.groupBy("id", "fp")
         .agg(

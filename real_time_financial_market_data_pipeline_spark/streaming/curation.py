@@ -3,7 +3,7 @@ composition a training-data user would actually run, wiring the whole
 span machinery into ONE flow —
 
   ingest stream
-    └─ within-document repeat repair  (pre_transform, keep-first)
+    └─ within-document repeat repair  (repair_internal, keep-first)
     └─ surgical benchmark decontamination (excise + splice verify)
     └─ exact + near dedup vs the incremental LSH index
     └─ span-fp index accumulation (+ auto-compaction cadence)
@@ -16,7 +16,7 @@ ORDERING is the load-bearing design decision (this is where the
 composition bugs live):
 
   1. WITHIN-DOC repair runs FIRST, inside the ingest batch, BEFORE
-     fingerprinting (`IncrementalDedupJob.pre_transform`).  Every
+     fingerprinting (`IncrementalDedupJob.repair_internal`).  Every
      index — dedup fingerprints, LSH bands, span-fp positions — is
      then built on the repaired text, so the stream-stopped excision
      pass can consume the span index without any position drift.
@@ -112,7 +112,12 @@ class CuratedCorpusPipeline:
     trigger: dict = field(default_factory=lambda: {"availableNow": True})
 
     def job(self) -> IncrementalDedupJob:
-        """The configured ingest job (exposed for compact()/inspection)."""
+        """The configured ingest job (exposed for compact()/inspection).
+        Within-doc repair runs as the job's own first stage
+        (repair_internal) rather than a pre_transform callback, so the
+        job can FUSE the repair fingerprint pass with the span-fp index
+        partial when internal_k == span_k (the default — round-10
+        VERDICT task 2)."""
         return IncrementalDedupJob(
             out_dir=self.out_dir,
             num_hashes=self.num_hashes,
@@ -125,32 +130,11 @@ class CuratedCorpusPipeline:
             excise_verify=True,
             span_index=True,
             span_k=self.span_k,
+            repair_internal=True,
+            internal_k=self.internal_k,
+            internal_min_occurrences=self.internal_min_occurrences,
             compact_every=self.compact_every,
-            pre_transform=self._repair_internal,
             trigger=self.trigger,
-        )
-
-    def _repair_internal(self, batch_df: DataFrame) -> DataFrame:
-        """Keep-first within-document repeat repair, byte-preserving
-        for untouched docs (the `_preserve_untouched` rule): only docs
-        that actually lost tokens take the token-normalized rebuild."""
-        from real_time_financial_market_data_pipeline_spark.operators.dedup import excise_internal_repeats
-
-        rewritten = excise_internal_repeats(
-            batch_df.select("doc_id", "text"),
-            k=self.internal_k,
-            min_occurrences=self.internal_min_occurrences,
-        ).select(
-            "doc_id",
-            F.col("text").alias("_repaired"),
-            F.col("excised_tokens").alias("internal_excised_tokens"),
-        )
-        return batch_df.join(rewritten, "doc_id").select(
-            *[c for c in batch_df.columns if c != "text"],
-            F.when(F.col("internal_excised_tokens") > 0, F.col("_repaired"))
-            .otherwise(F.col("text"))
-            .alias("text"),
-            "internal_excised_tokens",
         )
 
     def start(self, docs: DataFrame) -> StreamingQuery:

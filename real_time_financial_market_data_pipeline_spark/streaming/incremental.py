@@ -122,6 +122,24 @@ class IncrementalDedupJob:
     # re-ingesting an id with different text would double-count).
     span_index: bool = False
     span_k: int = 8
+    # Within-document keep-first repeat repair (round-10 VERDICT task
+    # 2: hoisted from CuratedCorpusPipeline's pre_transform into the
+    # job so the fingerprint pass can be SHARED).  Runs FIRST in every
+    # batch — before decontamination and fingerprinting — so dedup
+    # keys, the LSH index, and the span-fp index are all built on the
+    # repaired text and stay position-consistent with the corpus.
+    # When repair_internal is on, span_index is on, and internal_k ==
+    # span_k (the defaults), the batch's window fingerprints are
+    # computed ONCE (localCheckpoint) and serve BOTH the repair
+    # covered-position aggregate and the span-fp index partial: a doc
+    # neither repair nor decontamination rewrote has byte-identical
+    # text at publish time, so its cached fingerprints are exact;
+    # only actually-rewritten docs are re-fingerprinted.  Settings are
+    # corpus-lifetime (recorded in _corpus_spec.json) because they
+    # shape every stored fingerprint.
+    repair_internal: bool = False
+    internal_k: int = 8
+    internal_min_occurrences: int = 2
     # Auto-compaction cadence (round-9 VERDICT task 1): fold the
     # accumulated batch_id dirs INLINE every N processed batches, right
     # after the batch's own writes.  Without it `_read_prior` unions
@@ -134,15 +152,15 @@ class IncrementalDedupJob:
     # disables (compact() remains available stream-stopped).
     compact_every: int | None = None
     # Optional STATELESS per-batch preparation applied before anything
-    # else (decontamination, fingerprinting, dedup): batch_df ->
-    # batch_df with the same doc_id/text contract.  The composition
-    # hook `streaming.curation.CuratedCorpusPipeline` uses for
-    # within-document repeat repair — running it here (before
-    # fingerprinting) means dedup keys, the LSH index, and the span-fp
-    # index are all built on the TRANSFORMED text, so every index
-    # remains position-consistent with the corpus it describes.  Must
-    # be deterministic and fixed for the corpus's lifetime (it cannot
-    # be recorded in _corpus_spec.json — it's code).
+    # else (repair, decontamination, fingerprinting, dedup): batch_df
+    # -> batch_df with the same doc_id/text contract.  Running it here
+    # (before fingerprinting) means dedup keys, the LSH index, and the
+    # span-fp index are all built on the TRANSFORMED text, so every
+    # index remains position-consistent with the corpus it describes.
+    # Must be deterministic and fixed for the corpus's lifetime (it
+    # cannot be recorded in _corpus_spec.json — it's code).  For
+    # within-document repair use `repair_internal` instead (first-class
+    # config: lifetime-locked AND fingerprint-fused).
     pre_transform: object | None = None
     trigger: dict = field(default_factory=lambda: {"availableNow": True})
 
@@ -258,6 +276,11 @@ class IncrementalDedupJob:
             "decontam_col": self.benchmark_fp_dir is not None,
             "span_index": self.span_index,
             "span_k": self.span_k if self.span_index else None,
+            "repair_internal": self.repair_internal,
+            "internal_k": self.internal_k if self.repair_internal else None,
+            "internal_min_occurrences": (
+                self.internal_min_occurrences if self.repair_internal else None
+            ),
         }
         marker = os.path.join(self.out_dir, _CORPUS_SPEC_MARKER)
         if os.path.exists(marker):
@@ -321,6 +344,50 @@ class IncrementalDedupJob:
 
             if self.pre_transform is not None:
                 batch_df = self.pre_transform(batch_df)
+
+            # 0a. within-document keep-first repeat repair, BEFORE any
+            # fingerprinting — every index is built on the repaired
+            # text (see the field comment for the position-drift
+            # rationale).  Byte-preserving for untouched docs: only
+            # docs that actually lost tokens take the token-normalized
+            # rebuild.  The window-fingerprint pass is computed ONCE
+            # and — when the window sizes match — reused by the span-fp
+            # index partial at step 5 (fused pass, round-10 task 2).
+            repair_fps = None
+            if self.repair_internal:
+                from real_time_financial_market_data_pipeline_spark.operators.dedup import (
+                    _internal_covered_from_fps,
+                    _rebuild_excised,
+                    span_fingerprints,
+                )
+
+                # lazy checkpoint: materializes inside the FIRST job
+                # that consumes it (the excise-verify/bands evaluation)
+                # instead of paying a dedicated evaluation job up front
+                fps0 = span_fingerprints(
+                    batch_df.select("doc_id", "text"), k=self.internal_k
+                ).localCheckpoint(eager=False)
+                covered = _internal_covered_from_fps(
+                    fps0, self.internal_k, self.internal_min_occurrences
+                )
+                rewritten = _rebuild_excised(
+                    batch_df.select("doc_id", "text"), covered, "doc_id", "text"
+                ).select(
+                    "doc_id",
+                    F.col("text").alias("_repaired"),
+                    F.col("excised_tokens").alias("internal_excised_tokens"),
+                )
+                batch_df = batch_df.join(rewritten, "doc_id").select(
+                    *[c for c in batch_df.columns if c != "text"],
+                    F.when(
+                        F.col("internal_excised_tokens") > 0, F.col("_repaired")
+                    )
+                    .otherwise(F.col("text"))
+                    .alias("text"),
+                    "internal_excised_tokens",
+                )
+                if self.span_index and self.internal_k == self.span_k:
+                    repair_fps = fps0
 
             # 0. surgical decontamination BEFORE fingerprinting (excise
             # mode): dedup must key on the cleaned text, or a page that
@@ -491,18 +558,45 @@ class IncrementalDedupJob:
                     )
                     batch = batch.join(cross_drop, "doc_id", "left_anti")
 
-            # 5. publish survivors + their index rows (idempotent overwrite)
-            kept = batch.localCheckpoint(eager=True)
-            kept.write.mode("overwrite").parquet(
-                os.path.join(self.out_dir, "corpus", f"batch_id={batch_id}")
+            # 5. publish survivors + their index rows (idempotent
+            # overwrite).  The corpus write IS the materialization of
+            # the batch's dedup lineage; reading the just-written dir
+            # back gives the same reuse a localCheckpoint would, minus
+            # one whole evaluation job per batch (round-10 task 2's
+            # job-count trim — measured on the composed pipeline).
+            corpus_dir = os.path.join(
+                self.out_dir, "corpus", f"batch_id={batch_id}"
             )
+            batch.write.mode("overwrite").parquet(corpus_dir)
+            kept = spark.read.parquet(corpus_dir)
             if self.span_index:
                 from real_time_financial_market_data_pipeline_spark.operators.dedup import span_fingerprints
 
-                partial = (
-                    span_fingerprints(
+                if repair_fps is not None:
+                    # fused pass: a kept doc neither repair nor
+                    # decontamination rewrote is byte-identical to what
+                    # the repair pass fingerprinted — reuse those rows;
+                    # re-fingerprint ONLY the rewritten docs (typically
+                    # a tiny fraction of the batch)
+                    changed = F.col("internal_excised_tokens") > 0
+                    if "decontam_excised_tokens" in kept.columns:
+                        changed = changed | (F.col("decontam_excised_tokens") > 0)
+                    kept_fps = repair_fps.join(
+                        kept.filter(~changed).select(F.col("doc_id").alias("id")),
+                        "id",
+                        "leftsemi",
+                    ).unionByName(
+                        span_fingerprints(
+                            kept.filter(changed).select("doc_id", "text"),
+                            k=self.span_k,
+                        )
+                    )
+                else:
+                    kept_fps = span_fingerprints(
                         kept.select("doc_id", "text"), k=self.span_k
                     )
+                partial = (
+                    kept_fps
                     .groupBy("fp")
                     .agg(
                         F.count_distinct("id").alias("n_docs"),

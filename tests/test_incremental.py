@@ -733,3 +733,120 @@ def test_crash_mid_compaction_publish_recovers_at_start(spark, tmp_path, monkeyp
     assert not any(
         d.startswith("_compact_staged_") for d in os.listdir(corpus_dir)
     )
+
+
+def test_fused_fingerprint_pass_index_matches_recompute(spark, tmp_path):
+    """Round-10 VERDICT task 2: with repair_internal on and
+    internal_k == span_k, the batch's window fingerprints are computed
+    ONCE and reused by the span-fp index for docs that were not
+    rewritten.  The proof obligation is the same view ≡ recompute
+    identity that certified the index: common_spans_view off the
+    incremental index must equal common_spans recomputed from the
+    FINAL corpus text — with a repaired doc, a decontam-excised doc,
+    an exact-dup drop, and untouched docs all in play."""
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import common_spans
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+    from real_time_financial_market_data_pipeline_spark.streaming.incremental import (
+        build_benchmark_span_index,
+        common_spans_view,
+    )
+
+    boiler = "all rights reserved by the example company and subsidiaries"
+    question = (
+        "which ancient city stood at the mouth of the river crossing "
+        "seven hills beneath the old citadel walls"
+    )
+    repaired = (
+        "start alpha beta gamma delta epsilon zeta " 
+        "alpha beta gamma delta epsilon zeta finish with unique tail words"
+    )
+    contaminated = (
+        "filler opening words for the page " + question + " closing filler text"
+    )
+
+    bench_df = spark.createDataFrame(
+        [(900, question + " choose the best answer")], "doc_id long, text string"
+    )
+    bench_dir = str(tmp_path / "bench_fp")
+    build_benchmark_span_index(bench_df, bench_dir, k=13)
+
+    feed, out = str(tmp_path / "feed"), str(tmp_path / "out")
+    _write_doc_feed(
+        feed,
+        [
+            [
+                {"doc_id": 1, "text": "intro words one " + boiler + " tail words here"},
+                {"doc_id": 2, "text": repaired},
+            ],
+            [
+                {"doc_id": 3, "text": "different preface text " + boiler + " other ending"},
+                {"doc_id": 4, "text": contaminated},
+            ],
+            [
+                # exact dup of doc 1 -> dropped, must NOT enter the index
+                {"doc_id": 5, "text": "intro words one " + boiler + " tail words here"},
+                {"doc_id": 6, "text": LONG_B},
+            ],
+        ],
+    )
+    job = IncrementalDedupJob(
+        out_dir=out,
+        near_dup=False,
+        span_index=True,
+        span_k=6,
+        repair_internal=True,
+        internal_k=6,
+        internal_min_occurrences=2,
+        benchmark_fp_dir=bench_dir,
+        decontam_k=13,
+        decontam_mode="excise",
+    )
+    q = job.start(read_doc_stream(spark, feed, max_files_per_trigger=1).select("doc_id", "text"))
+    assert q.awaitTermination(300)
+
+    corpus = {r["doc_id"]: r for r in corpus_view(spark, out).collect()}
+    assert sorted(corpus) == [1, 2, 3, 4, 6]
+    assert corpus[2]["internal_excised_tokens"] == 6     # rewritten by repair
+    assert corpus[4]["decontam_excised_tokens"] >= 13    # rewritten by decontam
+    assert corpus[1]["internal_excised_tokens"] == 0
+    assert corpus[1]["decontam_excised_tokens"] == 0
+
+    # the identity: index-served spans == recompute over the FINAL text
+    via_index = sorted(
+        tuple(r) for r in common_spans_view(spark, out, min_docs=2, k=6).collect()
+    )
+    recomputed = sorted(
+        tuple(r)
+        for r in common_spans(
+            corpus_view(spark, out).select("doc_id", "text"), k=6, min_docs=2
+        ).collect()
+    )
+    assert via_index == recomputed
+    assert len(via_index) > 0  # the boiler span actually qualifies
+
+    # stats identity at the fingerprint level too (rep + counts):
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import span_fingerprints
+    from real_time_financial_market_data_pipeline_spark.streaming.incremental import span_stats_view
+
+    direct = sorted(
+        tuple(r)
+        for r in span_fingerprints(
+            corpus_view(spark, out).select("doc_id", "text"), k=6
+        )
+        .groupBy("fp")
+        .agg(
+            F.count_distinct("id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(F.struct("id", "pos")).alias("_rep"),
+        )
+        .select(
+            "fp", "n_docs", "n_occurrences",
+            F.col("_rep.id").alias("rep_id"), F.col("_rep.pos").alias("rep_pos"),
+        )
+        .filter(F.col("n_docs") >= 1)
+        .collect()
+    )
+    via_stats = sorted(
+        tuple(r) for r in span_stats_view(spark, out, min_docs=1).collect()
+    )
+    assert via_stats == direct

@@ -1269,10 +1269,12 @@ def _internal_covered_from_fps(
     fps: DataFrame, k: int, min_occurrences: int
 ) -> DataFrame:
     """`_internal_covered` from a PRECOMPUTED (id, pos, fp) window-
-    fingerprint frame — the fused-pass path: `IncrementalDedupJob`
-    computes the batch's fingerprints ONCE (localCheckpoint) and feeds
-    them both here (within-doc repair) and to the span-fp index partial
-    when the two window sizes match."""
+    fingerprint frame — for callers that already hold the exploded
+    fingerprints (property tests; any future caller that genuinely
+    amortizes the pass).  NOTE: `IncrementalDedupJob` deliberately does
+    NOT route its span-fp index partial through a shared frame — the
+    fused form measured ~25% slower than recomputing the map-side pass
+    (round-10 A/B, see the job's repair_internal comment)."""
     firsts = (
         fps.groupBy("id", "fp")
         .agg(

@@ -44,10 +44,15 @@ composition bugs live):
 
 Scale: the streaming phase is `IncrementalDedupJob`'s per-batch
 envelope (map-side fingerprinting + band/fp equi-joins, flat in corpus
-size; `compact_every` bounds directory listings).  The finalize pass is
-one fingerprint sweep of the corpus (inside split excision) + one fp
-equi-join against the index-served spans + map-side metric projection —
-no pair enumeration anywhere.
+size; `compact_every` bounds directory listings).  The finalize pass
+writes GENERATIONS: the first cut is one fingerprint sweep of the
+corpus (inside split excision) + one fp equi-join against the
+index-served spans + map-side metric projection — no pair enumeration
+anywhere — and every later cut is DELTA-sized: only new docs and docs
+holding a changed span fingerprint (found via the `index_spanpostings`
+inverted index, one equi-join) are re-curated, and `curated_view`
+resolves latest-generation-wins.  See finalize() for the protocol and
+the correctness argument.
 
 Reference parity note: the reference pipeline curates market ticks
 (validate → dedup → gold), not documents; this module is the
@@ -75,8 +80,10 @@ from real_time_financial_market_data_pipeline_spark.functions.text import (
 from real_time_financial_market_data_pipeline_spark.operators.sampling import train_val_test_split
 from real_time_financial_market_data_pipeline_spark.streaming.incremental import (
     IncrementalDedupJob,
-    common_spans_view,
     corpus_view,
+    span_postings_view,
+    span_stats_view,
+    stored_span_k,
 )
 
 
@@ -109,15 +116,18 @@ class CuratedCorpusPipeline:
     test_frac: float = 0.1
     # --- operations ---
     compact_every: int | None = 8
+    # Fold curated generations (see finalize) into one when the
+    # committed count exceeds this — bounds the per-read supersede
+    # join and the directory listing, same motivation as compact_every.
+    curated_max_gens: int = 8
     trigger: dict = field(default_factory=lambda: {"availableNow": True})
 
     def job(self) -> IncrementalDedupJob:
         """The configured ingest job (exposed for compact()/inspection).
         Within-doc repair runs as the job's own first stage
-        (repair_internal) rather than a pre_transform callback, so the
-        job can FUSE the repair fingerprint pass with the span-fp index
-        partial when internal_k == span_k (the default — round-10
-        VERDICT task 2)."""
+        (repair_internal) rather than a pre_transform callback, so its
+        window size is recorded in _corpus_spec.json and lifetime-
+        locked like every other fingerprint-shaping setting."""
         return IncrementalDedupJob(
             out_dir=self.out_dir,
             num_hashes=self.num_hashes,
@@ -133,6 +143,7 @@ class CuratedCorpusPipeline:
             repair_internal=True,
             internal_k=self.internal_k,
             internal_min_occurrences=self.internal_min_occurrences,
+            span_postings=True,
             compact_every=self.compact_every,
             trigger=self.trigger,
         )
@@ -145,21 +156,234 @@ class CuratedCorpusPipeline:
     def curated_dir(self) -> str:
         return os.path.join(self.out_dir, "curated")
 
-    def finalize(self, spark) -> str:
-        """Phase 2 (stream-stopped): writes `finalize_frame(spark)` to
-        `curated/` partitioned by split (idempotent overwrite) and
-        returns its path."""
+    def _state_dir(self, *parts: str) -> str:
+        return os.path.join(self.out_dir, "finalize_state", *parts)
+
+    def _committed_gens(self) -> list[int]:
+        """Generations whose COMMIT marker (the finalize_state docs
+        list, written last, with Spark's _SUCCESS) landed.  A crash
+        anywhere earlier leaves partial gen dirs that readers ignore
+        and the next finalize overwrites."""
+        import re
+
+        docs_root = self._state_dir("docs")
+        if not os.path.isdir(docs_root):
+            return []
+        return sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(docs_root)
+            if re.fullmatch(r"gen=\d+", d)
+            and os.path.isfile(os.path.join(docs_root, d, "_SUCCESS"))
+        )
+
+    def _qualifying_spans(self, spark) -> DataFrame:
+        """The current qualifying span set (fp, rep_id, rep_pos) served
+        off the incremental index.  Excision needs exactly these three
+        columns — deliberately NOT common_spans_view, whose span_text
+        re-extraction joins the full corpus for a column the excision
+        never reads.  The k contract is still validated against the
+        on-disk marker."""
+        built_k = stored_span_k(self.out_dir)
+        if built_k is not None and built_k != self.span_k:
+            raise ValueError(
+                f"finalize(span_k={self.span_k}) but the index at "
+                f"{self.out_dir} was built with span_k={built_k} — "
+                "fingerprints of different window sizes don't mix"
+            )
+        return span_stats_view(
+            spark, self.out_dir, min_docs=self.span_min_docs
+        ).select("fp", "rep_id", "rep_pos")
+
+    def finalize(self, spark, mode: str = "auto") -> str:
+        """Phase 2 (stream-stopped OPTIMIZE): materialize the curated
+        chunk table and return its path.
+
+        GENERATIONAL, INCREMENTALLY MAINTAINED (round-10 VERDICT task
+        3).  `curated/` holds `gen=K` subdirectories; each finalize
+        call writes ONE new generation containing only the docs whose
+        curated rows could have changed, and `curated_view` resolves
+        latest-generation-wins.  Modes:
+
+        - "full": re-curate every corpus doc (the round-9 behavior) —
+          always correct, linear in corpus size.  Used automatically
+          for the first finalize (gen 0).
+        - "delta": re-curate ONLY (a) docs ingested since the last
+          committed finalize and (b) docs containing a span fingerprint
+          whose excision-relevant state changed — newly crossed
+          `span_min_docs`, or its (rep_id, rep_pos) representative
+          moved (the min-struct can only move to a NEW doc, and the rep
+          occurrence is what `keep_representative` protects, so a rep
+          move changes the excision of every doc holding that fp).
+          Affected docs come from one equi-join of the changed fps
+          against the `index_spanpostings` inverted index — the corpus
+          text is never re-fingerprinted.  Correct because the whole
+          downstream of the span set — split excision, metrics, gate,
+          redaction, hash split — is PER-DOC given the span set
+          (`split_excise_common_spans` consumes only the doc's own
+          windows + the global (fp, rep_id, rep_pos) rows), and spans
+          never DE-qualify (doc_ids are insert-only, so n_docs and the
+          min-struct representative are monotone).  Proven equal to a
+          full recompute in tests/test_curation_pipeline.py.
+        - "auto" (default): "delta" when a committed generation and the
+          posting index exist, else "full".
+
+        Cost of a delta cut: O(index merge) to diff the qualifying
+        span set + one postings equi-join + full recuration of ONLY the
+        redo docs — tracks the delta, not the corpus (SCALE.md table).
+
+        Crash-safe commit protocol per generation K (all idempotent
+        overwrites, ordered): curated/gen=K rows -> finalize_state/
+        spans/gen=K snapshot -> finalize_state/docs/gen=K (the commit
+        marker `_committed_gens` keys on).  A crash between steps
+        leaves gen K invisible; the re-run recomputes the same delta
+        against the last COMMITTED snapshot and overwrites the partial.
+        When committed generations exceed `curated_max_gens`, they are
+        folded into one (same bound-the-listing motivation as
+        compact_every); a legacy flat `curated/` layout from a pre-
+        generational finalize is rewritten on the next full pass."""
+        if mode not in ("auto", "full", "delta"):
+            raise ValueError(f"finalize mode must be auto/full/delta (got {mode!r})")
+        committed = self._committed_gens()
+        postings_exist = os.path.isdir(
+            os.path.join(self.out_dir, "index_spanpostings")
+        )
+        if mode == "auto":
+            mode = "delta" if committed and postings_exist else "full"
+        if mode == "delta" and not committed:
+            raise ValueError(
+                "finalize(mode='delta') but no committed generation exists — "
+                "run a full finalize first"
+            )
         out_path = self.curated_dir()
-        self.finalize_frame(spark).write.mode("overwrite").partitionBy(
-            "split"
-        ).parquet(out_path)
+        # a pre-generational (flat split=*) layout cannot coexist with
+        # gen=K dirs (partition inference would see conflicting
+        # structures): clear it — the curated table is derived output,
+        # fully regenerated by this very call
+        if os.path.isdir(out_path) and any(
+            d.startswith("split=") for d in os.listdir(out_path)
+        ):
+            import shutil
+
+            shutil.rmtree(out_path)
+            committed = []
+            mode = "full"
+
+        gen = (committed[-1] + 1) if committed else 0
+        spans_now = self._qualifying_spans(spark)
+        if mode == "full":
+            frame = self.finalize_frame(spark, _spans=spans_now)
+            gen_docs = corpus_view(spark, self.out_dir).select("doc_id")
+        else:
+            # materialized once: consumed by the emptiness check, the
+            # recuration leftsemi join, and the gen_docs commit write
+            redo = self._redo_docs(spark, committed, spans_now).localCheckpoint(
+                eager=True
+            )
+            if redo.isEmpty():
+                return out_path  # nothing changed since the last cut
+            frame = self.finalize_frame(spark, doc_filter=redo, _spans=spans_now)
+            gen_docs = redo
+        frame.write.mode("overwrite").partitionBy("split").parquet(
+            os.path.join(out_path, f"gen={gen}")
+        )
+        spans_now.write.mode("overwrite").parquet(
+            self._state_dir("spans", f"gen={gen}")
+        )
+        gen_docs.write.mode("overwrite").parquet(
+            self._state_dir("docs", f"gen={gen}")
+        )
+        if len(committed) + 1 > self.curated_max_gens:
+            self._fold_gens(spark)
         return out_path
 
-    def finalize_frame(self, spark) -> DataFrame:
+    def _redo_docs(self, spark, committed: list[int], spans_now: DataFrame) -> DataFrame:
+        """doc_ids whose curated rows must be recomputed for this cut:
+        new-since-last-finalize docs + docs holding a changed span fp
+        (via the posting index).  See finalize() for the correctness
+        argument."""
+        prior = spark.read.parquet(
+            self._state_dir("spans", f"gen={committed[-1]}")
+        ).select(
+            "fp",
+            F.col("rep_id").alias("_orid"),
+            F.col("rep_pos").alias("_orpos"),
+        )
+        changed = (
+            spans_now.join(prior, "fp", "left")
+            .filter(
+                F.col("_orid").isNull()
+                | (F.col("rep_id") != F.col("_orid"))
+                | (F.col("rep_pos") != F.col("_orpos"))
+            )
+            .select("fp")
+        )
+        affected = (
+            span_postings_view(spark, self.out_dir)
+            .join(changed, "fp")
+            .select("doc_id")
+            .distinct()
+        )
+        processed = None
+        for g in committed:
+            part = spark.read.parquet(self._state_dir("docs", f"gen={g}")).select(
+                "doc_id"
+            )
+            processed = part if processed is None else processed.unionByName(part)
+        new_docs = (
+            corpus_view(spark, self.out_dir)
+            .select("doc_id")
+            .join(processed, "doc_id", "left_anti")
+        )
+        return affected.unionByName(new_docs).distinct()
+
+    def _fold_gens(self, spark) -> None:
+        """Fold all committed generations into one (stream-stopped,
+        same two-outcome crash story as the corpus compaction: the fold
+        generation is invisible until its docs commit marker lands, and
+        after it lands the older generations are fully superseded —
+        deleting them is resumable cleanup)."""
+        import shutil
+
+        committed = self._committed_gens()
+        if len(committed) <= 1:
+            return
+        fold_gen = committed[-1] + 1
+        view = curated_view(spark, self.out_dir).localCheckpoint(eager=True)
+        all_docs = None
+        for g in committed:
+            part = spark.read.parquet(self._state_dir("docs", f"gen={g}")).select(
+                "doc_id"
+            )
+            all_docs = part if all_docs is None else all_docs.unionByName(part)
+        view.write.mode("overwrite").partitionBy("split").parquet(
+            os.path.join(self.curated_dir(), f"gen={fold_gen}")
+        )
+        spark.read.parquet(
+            self._state_dir("spans", f"gen={committed[-1]}")
+        ).write.mode("overwrite").parquet(
+            self._state_dir("spans", f"gen={fold_gen}")
+        )
+        all_docs.distinct().write.mode("overwrite").parquet(
+            self._state_dir("docs", f"gen={fold_gen}")
+        )
+        for g in committed:  # superseded: cleanup, resumable after crash
+            for root in (
+                os.path.join(self.curated_dir(), f"gen={g}"),
+                self._state_dir("spans", f"gen={g}"),
+                self._state_dir("docs", f"gen={g}"),
+            ):
+                shutil.rmtree(root, ignore_errors=True)
+
+    def finalize_frame(
+        self, spark, doc_filter: DataFrame | None = None, _spans: DataFrame | None = None
+    ) -> DataFrame:
         """The curated chunk table as a DataFrame (what `finalize`
         materializes): cross-doc span excision off the incremental
         index, quality/repetition gate, PII redaction, deterministic
-        split.
+        split.  With `doc_filter` (a doc_id frame) only those docs are
+        curated — the delta-finalize form; `_spans` injects an already-
+        built qualifying span frame so one finalize call evaluates the
+        index merge once.
 
         Output schema: (doc_id, chunk_idx, token_start, text,
         chunk_tokens, excised_tokens, internal_excised_tokens,
@@ -180,9 +404,11 @@ class CuratedCorpusPipeline:
         )
 
         corpus = corpus_view(spark, self.out_dir)
-        spans = common_spans_view(
-            spark, self.out_dir, min_docs=self.span_min_docs, k=self.span_k
-        )
+        if doc_filter is not None:
+            # delta cut: recurate only these docs.  Sound because every
+            # stage below is per-doc given the span set — see finalize.
+            corpus = corpus.join(doc_filter, "doc_id", "leftsemi")
+        spans = self._qualifying_spans(spark) if _spans is None else _spans
         chunks = split_excise_common_spans(
             corpus.select("doc_id", "text"), spans, k=self.span_k
         )
@@ -247,11 +473,57 @@ class CuratedCorpusPipeline:
 
 def curated_view(spark, out_dir: str) -> DataFrame:
     """The finalized curated corpus (chunk rows, partition-pruned by
-    split at the scan when filtered)."""
+    split at the scan when filtered).
+
+    Generation-aware (round-10): `finalize` appends `gen=K` directories
+    (full or delta cuts); this view resolves LATEST-GENERATION-WINS per
+    doc — rows of gen G are live unless the doc was re-finalized by a
+    committed later generation (the finalize_state docs lists double as
+    both commit markers and supersede sets; a doc GATED OUT by a later
+    cut is correctly tombstoned because it appears in that cut's docs
+    list while contributing no rows).  Uncommitted generations (crash
+    debris) are filtered out by the same marker.  With a single
+    committed generation — the common state after a fold or a first
+    full finalize — the supersede join short-circuits away entirely.
+    Pre-generational flat layouts read as-is (back-compat)."""
+    import re
+
     path = os.path.join(out_dir, "curated")
     if not os.path.isdir(path):
         raise FileNotFoundError(
             f"{path} does not exist — run CuratedCorpusPipeline.start() "
             "to drain the ingest stream, then .finalize(spark)"
         )
-    return spark.read.parquet(path)
+    if not any(re.fullmatch(r"gen=\d+", d) for d in os.listdir(path)):
+        return spark.read.parquet(path)  # legacy flat layout
+
+    docs_root = os.path.join(out_dir, "finalize_state", "docs")
+    committed = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(docs_root)
+        if re.fullmatch(r"gen=\d+", d)
+        and os.path.isfile(os.path.join(docs_root, d, "_SUCCESS"))
+    )
+    if not committed:
+        raise FileNotFoundError(
+            f"{path} has generation directories but no committed "
+            "generation — a finalize crashed before its commit marker; "
+            "re-run CuratedCorpusPipeline.finalize(spark)"
+        )
+    rows = spark.read.parquet(path).filter(F.col("gen").isin(committed))
+    if len(committed) == 1:
+        return rows.drop("gen")
+    last = None
+    for g in committed:
+        part = (
+            spark.read.parquet(os.path.join(docs_root, f"gen={g}"))
+            .select("doc_id")
+            .withColumn("_lg", F.lit(g))
+        )
+        last = part if last is None else last.unionByName(part)
+    last = last.groupBy("doc_id").agg(F.max("_lg").alias("_lg"))
+    return (
+        rows.join(last, "doc_id")
+        .filter(F.col("gen") == F.col("_lg"))
+        .drop("gen", "_lg")
+    )

@@ -122,21 +122,42 @@ class IncrementalDedupJob:
     # re-ingesting an id with different text would double-count).
     span_index: bool = False
     span_k: int = 8
-    # Within-document keep-first repeat repair (round-10 VERDICT task
-    # 2: hoisted from CuratedCorpusPipeline's pre_transform into the
-    # job so the fingerprint pass can be SHARED).  Runs FIRST in every
-    # batch — before decontamination and fingerprinting — so dedup
-    # keys, the LSH index, and the span-fp index are all built on the
-    # repaired text and stay position-consistent with the corpus.
-    # When repair_internal is on, span_index is on, and internal_k ==
-    # span_k (the defaults), the batch's window fingerprints are
-    # computed ONCE (localCheckpoint) and serve BOTH the repair
-    # covered-position aggregate and the span-fp index partial: a doc
-    # neither repair nor decontamination rewrote has byte-identical
-    # text at publish time, so its cached fingerprints are exact;
-    # only actually-rewritten docs are re-fingerprinted.  Settings are
-    # corpus-lifetime (recorded in _corpus_spec.json) because they
-    # shape every stored fingerprint.
+    # fp -> doc POSTING LIST (round-10 VERDICT task 3): when enabled
+    # (requires span_index), every batch also appends the DISTINCT
+    # (fp, doc_id) pairs of its kept docs' windows to
+    # `index_spanpostings/batch_id=N`.  This is the inverted index an
+    # INCREMENTAL finalize needs: when a span's qualify-status or
+    # representative changes, the docs whose excision must be redone
+    # are exactly the posting rows of the changed fps — one equi-join
+    # against the postings instead of a fingerprint sweep of the whole
+    # corpus.  The aggregated span-fp partials CANNOT answer that
+    # question (they deliberately collapse doc membership into counts).
+    # Per-batch cost: one distinct hash-agg + write over rows the span
+    # partial already computes; storage O(distinct windows per doc
+    # summed over docs) ≈ corpus token count — the standard
+    # inverted-index space trade, linear like the corpus itself.
+    # Folds with the shared compaction machinery (rows unique on
+    # (fp, doc_id), per-key-latest is an exact rewrite).
+    span_postings: bool = False
+    # Within-document keep-first repeat repair (round-10: hoisted from
+    # CuratedCorpusPipeline's pre_transform into the job).  Runs FIRST
+    # in every batch — before decontamination and fingerprinting — so
+    # dedup keys, the LSH index, and the span-fp index are all built on
+    # the repaired text and stay position-consistent with the corpus.
+    # Settings are corpus-lifetime (recorded in _corpus_spec.json)
+    # because they shape every stored fingerprint.
+    #
+    # DELIBERATELY NOT FUSED with the span-fp index pass: sharing the
+    # repair pass's window fingerprints with the step-5 index partial
+    # (localCheckpoint the exploded (id, pos, fp) frame, leftsemi-join
+    # it against the kept ids, re-fingerprint only rewritten docs) was
+    # built and A/B-measured in round 10 — at 20x sf0.1 volume the
+    # "fused" form was ~25% SLOWER (min-of-3 27.9 s vs 22.4 s drain):
+    # span_fingerprints is a pure map-side projection (tokenize + hash,
+    # no shuffle), so recomputing it over the kept docs is cheaper than
+    # materializing the exploded frame (~3x the text bytes) and paying
+    # an extra join.  Recompute-the-cheap-map-work wins at every scale
+    # here; see SCALE.md (round 10) for the measurement.
     repair_internal: bool = False
     internal_k: int = 8
     internal_min_occurrences: int = 2
@@ -218,6 +239,11 @@ class IncrementalDedupJob:
                 ["fp"],
                 lambda combined: merge_span_stats(combined.drop("batch_id")),
             ),
+            (
+                os.path.join(self.out_dir, "index_spanpostings"),
+                ["fp", "doc_id"],
+                None,
+            ),
         ]
 
     def recover(self, spark) -> int:
@@ -262,6 +288,11 @@ class IncrementalDedupJob:
             raise ValueError(
                 f"decontam_mode must be 'drop' or 'excise' (got {self.decontam_mode!r})"
             )
+        if self.span_postings and not self.span_index:
+            raise ValueError(
+                "span_postings=True requires span_index=True — the posting "
+                "list is the doc-membership companion of the span-fp index"
+            )
         if self.benchmark_fp_dir is not None:
             built_k = stored_benchmark_k(self.benchmark_fp_dir)
             if built_k is not None and built_k != self.decontam_k:
@@ -276,6 +307,7 @@ class IncrementalDedupJob:
             "decontam_col": self.benchmark_fp_dir is not None,
             "span_index": self.span_index,
             "span_k": self.span_k if self.span_index else None,
+            "span_postings": self.span_postings,
             "repair_internal": self.repair_internal,
             "internal_k": self.internal_k if self.repair_internal else None,
             "internal_min_occurrences": (
@@ -350,25 +382,21 @@ class IncrementalDedupJob:
             # text (see the field comment for the position-drift
             # rationale).  Byte-preserving for untouched docs: only
             # docs that actually lost tokens take the token-normalized
-            # rebuild.  The window-fingerprint pass is computed ONCE
-            # and — when the window sizes match — reused by the span-fp
-            # index partial at step 5 (fused pass, round-10 task 2).
-            repair_fps = None
+            # rebuild.  The fingerprint pass here is map-side recompute
+            # by design — see the repair_internal field comment for the
+            # measured fusion non-win.
             if self.repair_internal:
                 from real_time_financial_market_data_pipeline_spark.operators.dedup import (
-                    _internal_covered_from_fps,
+                    _internal_covered,
                     _rebuild_excised,
-                    span_fingerprints,
                 )
 
-                # lazy checkpoint: materializes inside the FIRST job
-                # that consumes it (the excise-verify/bands evaluation)
-                # instead of paying a dedicated evaluation job up front
-                fps0 = span_fingerprints(
-                    batch_df.select("doc_id", "text"), k=self.internal_k
-                ).localCheckpoint(eager=False)
-                covered = _internal_covered_from_fps(
-                    fps0, self.internal_k, self.internal_min_occurrences
+                covered = _internal_covered(
+                    batch_df.select("doc_id", "text"),
+                    "doc_id",
+                    "text",
+                    self.internal_k,
+                    self.internal_min_occurrences,
                 )
                 rewritten = _rebuild_excised(
                     batch_df.select("doc_id", "text"), covered, "doc_id", "text"
@@ -386,8 +414,6 @@ class IncrementalDedupJob:
                     .alias("text"),
                     "internal_excised_tokens",
                 )
-                if self.span_index and self.internal_k == self.span_k:
-                    repair_fps = fps0
 
             # 0. surgical decontamination BEFORE fingerprinting (excise
             # mode): dedup must key on the cleaned text, or a page that
@@ -572,29 +598,12 @@ class IncrementalDedupJob:
             if self.span_index:
                 from real_time_financial_market_data_pipeline_spark.operators.dedup import span_fingerprints
 
-                if repair_fps is not None:
-                    # fused pass: a kept doc neither repair nor
-                    # decontamination rewrote is byte-identical to what
-                    # the repair pass fingerprinted — reuse those rows;
-                    # re-fingerprint ONLY the rewritten docs (typically
-                    # a tiny fraction of the batch)
-                    changed = F.col("internal_excised_tokens") > 0
-                    if "decontam_excised_tokens" in kept.columns:
-                        changed = changed | (F.col("decontam_excised_tokens") > 0)
-                    kept_fps = repair_fps.join(
-                        kept.filter(~changed).select(F.col("doc_id").alias("id")),
-                        "id",
-                        "leftsemi",
-                    ).unionByName(
-                        span_fingerprints(
-                            kept.filter(changed).select("doc_id", "text"),
-                            k=self.span_k,
-                        )
-                    )
-                else:
-                    kept_fps = span_fingerprints(
-                        kept.select("doc_id", "text"), k=self.span_k
-                    )
+                # map-side recompute over the kept docs by design —
+                # see the repair_internal field comment (the fused
+                # shared-frame form measured slower)
+                kept_fps = span_fingerprints(
+                    kept.select("doc_id", "text"), k=self.span_k
+                )
                 partial = (
                     kept_fps
                     .groupBy("fp")
@@ -615,6 +624,20 @@ class IncrementalDedupJob:
                 partial.write.mode("overwrite").parquet(
                     os.path.join(span_dir, f"batch_id={batch_id}")
                 )
+                if self.span_postings:
+                    # the inverted fp -> doc map the incremental
+                    # finalize joins changed spans against (see the
+                    # field comment); same idempotent per-batch
+                    # overwrite as every other index table
+                    kept_fps.select(
+                        "fp", F.col("id").alias("doc_id")
+                    ).distinct().write.mode("overwrite").parquet(
+                        os.path.join(
+                            self.out_dir,
+                            "index_spanpostings",
+                            f"batch_id={batch_id}",
+                        )
+                    )
                 # record the window size the index was built with —
                 # underscore-prefixed like _bucket_spec.json, invisible
                 # to parquet listings; read-side views validate their k
@@ -751,6 +774,21 @@ def span_stats_view(spark, out_dir: str, min_docs: int = 2) -> DataFrame:
         )
     merged = merge_span_stats(spark.read.parquet(path).drop("batch_id"))
     return merged.filter(F.col("n_docs") >= min_docs)
+
+
+def span_postings_view(spark, out_dir: str) -> DataFrame:
+    """The accumulated fp -> doc posting list (fp, doc_id) — which
+    documents contain each span_k-token window fingerprint.  Written
+    per batch by `IncrementalDedupJob(span_postings=True)`; the
+    incremental finalize's changed-span -> affected-docs join runs
+    against this instead of re-fingerprinting the corpus."""
+    path = os.path.join(out_dir, "index_spanpostings")
+    if not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"{path} does not exist — run IncrementalDedupJob with "
+            "span_postings=True (and at least one non-empty batch) first"
+        )
+    return spark.read.parquet(path).select("fp", "doc_id")
 
 
 def common_spans_view(

@@ -62,11 +62,11 @@ FILLER_2 = " ".join(f"shut{i} notes{i * 5} coda{i * 11} and" for i in range(8))
 CONTAMINATED = FILLER_1 + " " + QUESTION + " " + FILLER_2
 
 
-def _write_feed(dirpath: str, batches: list[list[dict]]) -> None:
+def _write_feed(dirpath: str, batches: list[list[dict]], prefix: str = "docs") -> None:
     os.makedirs(dirpath, exist_ok=True)
     base = time.time() - len(batches)
     for i, batch in enumerate(batches):
-        p = os.path.join(dirpath, f"docs_{i}.json")
+        p = os.path.join(dirpath, f"{prefix}_{i}.json")
         with open(p, "w") as f:
             for rec in batch:
                 f.write(json.dumps(rec) + "\n")
@@ -407,3 +407,206 @@ def test_published_metrics_describe_redacted_text(spark, tmp_path):
     # a clean doc is untouched byte-for-byte
     assert rows[2]["text"] == LONG_B
     assert rows[2]["n_tokens"] == rows[2]["chunk_tokens"]
+
+
+# --- incremental (delta) finalize: round-10 VERDICT task 3 ---
+
+BOILER2 = "please subscribe to our newsletter today"  # 6 tokens -> 3 windows at k=4
+DOC15 = (
+    "the fifteenth story narrates wonderful adventures "
+    + BOILER2
+    + " before wandering onward through misty mountain villages"
+)
+DOC16 = (
+    "sixteen separate sentences describe the harbor area "
+    + BOILER2
+    + " and conclude with evening bells ringing softly tonight"
+)
+DOC3 = (
+    "three early arrivals mention that "
+    + BOILER2
+    + " matters much for community growth and neighborly goodwill everywhere"
+)
+DOC40 = (
+    "forty fresh paragraphs celebrate renewable harvest festivals across "
+    "coastal plains where farmers trade amber grain under autumn skies"
+)
+DOC60 = (
+    "sixty final entries chronicle deep ocean expeditions mapping thermal "
+    "vents while submarines drift past luminous creatures far below"
+)
+
+
+def _sorted_rows(df) -> list[dict]:
+    return sorted(
+        (r.asDict(recursive=True) for r in df.collect()),
+        key=lambda r: (r["doc_id"], r["chunk_idx"]),
+    )
+
+
+def _gen_docs(spark, out: str, gen: int) -> set[int]:
+    return {
+        r["doc_id"]
+        for r in spark.read.parquet(
+            os.path.join(out, "finalize_state", "docs", f"gen={gen}")
+        ).collect()
+    }
+
+
+def test_incremental_finalize_equals_full_recompute(spark, tmp_path):
+    """The delta finalize's proof obligation (round-10 VERDICT task 3):
+    after every cut, curated_view (merged generations) must equal
+    finalize_frame recomputed over the FULL corpus with the CURRENT
+    span set — the same view-equals-recompute discipline that certified
+    the span index — while each delta generation touches only the
+    delta's docs.  The scenario plants every way a doc's curated rows
+    can change between cuts:
+
+      cut 1 (gen 0, full): docs 10 (sole BOILER carrier), 12
+        (pristine), 15+16 (BOILER2 pair, rep 15), 20.
+      cut 2 (gen 1, delta): doc 5 makes BOILER newly QUALIFY (and
+        takes its rep, so old doc 10 must be re-excised); doc 3 MOVES
+        the already-qualified BOILER2's rep off doc 15 (15 and 16 must
+        be re-excised); doc 31 is an exact dup (dropped, no effect);
+        doc 40 is fresh and unaffected; doc 20/12 must NOT be redone.
+      cut 3 (gen 2, delta): doc 60 fresh — the redo set is exactly
+        {60}; then the generation fold (curated_max_gens=2) collapses
+        everything into one committed generation with an identical
+        view."""
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+
+    feed, out = str(tmp_path / "feed"), str(tmp_path / "out")
+    pipe = CuratedCorpusPipeline(
+        out_dir=out, span_k=4, span_min_docs=2, curated_max_gens=2
+    )
+
+    phase = [0]
+
+    def drain(batches):
+        # unique names per phase: the file source tracks seen PATHS, so
+        # overwriting docs_0.json would be silently skipped
+        phase[0] += 1
+        _write_feed(feed, batches, prefix=f"docs{phase[0]}")
+        q = pipe.start(
+            read_doc_stream(spark, feed, max_files_per_trigger=1).select(
+                "doc_id", "text"
+            )
+        )
+        assert q.awaitTermination(300)
+
+    # --- cut 1: full ---
+    drain(
+        [
+            [
+                {"doc_id": 10, "text": CARRIER_A},
+                {"doc_id": 12, "text": PRISTINE},
+                {"doc_id": 15, "text": DOC15},
+            ],
+            [{"doc_id": 16, "text": DOC16}, {"doc_id": 20, "text": LONG_B}],
+        ]
+    )
+    pipe.finalize(spark)
+    gen0 = _sorted_rows(curated_view(spark, out))
+    assert gen0 == _sorted_rows(pipe.finalize_frame(spark))
+    assert _gen_docs(spark, out, 0) == {10, 12, 15, 16, 20}
+    # BOILER not yet qualified: doc 10 untouched; BOILER2 rep is 15
+    by_doc = {r["doc_id"]: r for r in gen0}
+    assert by_doc[10]["text"] == CARRIER_A
+    assert BOILER2 in by_doc[15]["text"]
+    assert BOILER2 not in by_doc[16]["text"]
+
+    # --- cut 2: delta (qualify-crossing + rep-move + dup + fresh) ---
+    drain(
+        [
+            [
+                {"doc_id": 5, "text": CARRIER_B},
+                {"doc_id": 3, "text": DOC3},
+            ],
+            [
+                {"doc_id": 31, "text": LONG_B},  # exact dup of 20 -> dropped
+                {"doc_id": 40, "text": DOC40},
+            ],
+        ]
+    )
+    pipe.finalize(spark)  # auto -> delta
+    redo1 = _gen_docs(spark, out, 1)
+    assert redo1 == {3, 5, 10, 15, 16, 40}, redo1  # 12/20 NOT redone
+    cur1 = _sorted_rows(curated_view(spark, out))
+    assert cur1 == _sorted_rows(pipe.finalize_frame(spark))
+    by_doc = {}
+    for r in cur1:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert sorted(by_doc) == [3, 5, 10, 12, 15, 16, 20, 40]
+    # BOILER now qualifies with rep 5: old doc 10 lost it, doc 5 keeps it
+    assert all(BOILER not in c["text"] for c in by_doc[10])
+    assert len(by_doc[10]) == 2
+    assert any(BOILER in c["text"] for c in by_doc[5])
+    # BOILER2's rep moved to doc 3: 15 lost it, 3 keeps it
+    assert all(BOILER2 not in c["text"] for c in by_doc[15])
+    assert any(BOILER2 in c["text"] for c in by_doc[3])
+    # untouched docs still byte-identical, served from gen 0
+    assert by_doc[12][0]["text"] == PRISTINE
+    assert by_doc[20][0]["text"] == LONG_B
+    gen_of = {
+        (r["doc_id"], r["chunk_idx"]): r["gen"]
+        for r in spark.read.parquet(os.path.join(out, "curated")).collect()
+    }
+    assert gen_of[(20, 0)] == 0 and gen_of[(12, 0)] == 0
+    assert gen_of[(10, 0)] == 1 and gen_of[(15, 0)] == 1
+
+    # --- cut 3: fresh doc only; then the fold collapses generations ---
+    drain([[{"doc_id": 60, "text": DOC60}]])
+    pipe.finalize(spark)
+    cur2 = _sorted_rows(curated_view(spark, out))
+    assert cur2 == _sorted_rows(pipe.finalize_frame(spark))
+    assert {r["doc_id"] for r in cur2} == {3, 5, 10, 12, 15, 16, 20, 40, 60}
+    # the fold ran (3 committed > curated_max_gens=2): ONE generation
+    # left, and it's the union
+    committed = pipe._committed_gens()
+    assert len(committed) == 1
+    assert _gen_docs(spark, out, committed[0]) == {
+        3, 5, 10, 12, 15, 16, 20, 40, 60,
+    }
+    # pre-fold gen 2 touched exactly the fresh doc (checked via the
+    # fold's own docs union minus cut-2 state is not recoverable after
+    # cleanup, so assert on the view instead: doc 60 present, all else
+    # unchanged vs cut 2)
+    assert [r for r in cur2 if r["doc_id"] != 60] == cur1
+
+    # --- idempotence: a cut with nothing new writes no generation ---
+    pipe.finalize(spark)
+    assert pipe._committed_gens() == committed
+    assert _sorted_rows(curated_view(spark, out)) == cur2
+
+
+def test_curated_view_ignores_uncommitted_generation(spark, tmp_path):
+    """Commit protocol: a generation whose docs marker (_SUCCESS) never
+    landed is crash debris — curated_view must serve the last committed
+    state, and a re-run finalize must repair it."""
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+
+    feed, out = str(tmp_path / "feed"), str(tmp_path / "out")
+    pipe = CuratedCorpusPipeline(out_dir=out, span_k=4, span_min_docs=2)
+    _write_feed(
+        feed,
+        [
+            [{"doc_id": 10, "text": CARRIER_A}, {"doc_id": 20, "text": LONG_B}],
+        ],
+    )
+    q = pipe.start(read_doc_stream(spark, feed).select("doc_id", "text"))
+    assert q.awaitTermination(300)
+    pipe.finalize(spark)
+    base = _sorted_rows(curated_view(spark, out))
+
+    _write_feed(feed, [[], [{"doc_id": 5, "text": CARRIER_B}]], prefix="docs2")
+    q = pipe.start(read_doc_stream(spark, feed).select("doc_id", "text"))
+    assert q.awaitTermination(300)
+    pipe.finalize(spark)
+    full = _sorted_rows(curated_view(spark, out))
+
+    # simulate the crash: delete gen 1's commit marker
+    marker = os.path.join(out, "finalize_state", "docs", "gen=1", "_SUCCESS")
+    os.remove(marker)
+    assert _sorted_rows(curated_view(spark, out)) == base  # rolled back
+    pipe.finalize(spark)  # re-runs the same delta
+    assert _sorted_rows(curated_view(spark, out)) == full

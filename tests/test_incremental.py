@@ -735,13 +735,12 @@ def test_crash_mid_compaction_publish_recovers_at_start(spark, tmp_path, monkeyp
     )
 
 
-def test_fused_fingerprint_pass_index_matches_recompute(spark, tmp_path):
-    """Round-10 VERDICT task 2: with repair_internal on and
-    internal_k == span_k, the batch's window fingerprints are computed
-    ONCE and reused by the span-fp index for docs that were not
-    rewritten.  The proof obligation is the same view ≡ recompute
-    identity that certified the index: common_spans_view off the
-    incremental index must equal common_spans recomputed from the
+def test_repair_internal_index_matches_recompute(spark, tmp_path):
+    """Round-10: with the job-level repair_internal stage on (hoisted
+    from the pipeline's pre_transform), every index must still be built
+    on the post-repair text.  The proof obligation is the same view ≡
+    recompute identity that certified the index: common_spans_view off
+    the incremental index must equal common_spans recomputed from the
     FINAL corpus text — with a repaired doc, a decontam-excised doc,
     an exact-dup drop, and untouched docs all in play."""
     from real_time_financial_market_data_pipeline_spark.operators.dedup import common_spans

@@ -536,9 +536,23 @@ def bench_curated_pipeline(spark, sf_dir: str, n_batches: int = 10) -> dict[str,
         pipe.finalize(spark)
         finalize = round(time.perf_counter() - t1, 3)
         curated_view(spark, out).count()  # sanity: output readable
+        # round-10 incremental finalize: ingest a ~1-batch delta of
+        # fresh docs, then time the DELTA cut (only the new docs and
+        # any changed-span holders are re-curated; full-recompute
+        # equality is test- and probe-certified elsewhere)
+        docs.filter(F.col("doc_id") < per).select(
+            (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+            F.concat(F.lit("deltadoc "), F.col("text")).alias("text"),
+        ).coalesce(1).write.mode("append").json(feed)
+        q = pipe.start(read_doc_stream(spark, feed, max_files_per_trigger=1))
+        q.awaitTermination(600)
+        t2 = time.perf_counter()
+        pipe.finalize(spark)
+        delta_finalize = round(time.perf_counter() - t2, 3)
         return {
             "curated_pipeline_drain": drain,
             "curated_pipeline_finalize": finalize,
+            "curated_pipeline_delta_finalize": delta_finalize,
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)

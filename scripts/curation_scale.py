@@ -205,6 +205,16 @@ def main() -> None:
             pipe.finalize(spark)
             fin_s = round(time.perf_counter() - t0, 3)
             cv = corpus_view(spark, out)
+            # the generation this cut committed: its docs list IS the
+            # redo set — the delta the cut actually re-curated
+            gens = pipe._committed_gens()
+            redo = (
+                spark.read.parquet(
+                    os.path.join(out, "finalize_state", "docs", f"gen={gens[-1]}")
+                ).count()
+                if gens
+                else None
+            )
             legs.append(
                 {
                     "leg": leg,
@@ -217,6 +227,8 @@ def main() -> None:
                         F.col("internal_excised_tokens") > 0
                     ).count(),
                     "finalize_s": fin_s,
+                    "finalize_mode": "full" if leg == 0 else "delta",
+                    "finalize_redo_docs": redo,
                     "curated_chunks": curated_view(spark, out).count(),
                 }
             )
@@ -235,6 +247,16 @@ def main() -> None:
         n_dup_fp = (
             cv.groupBy("fingerprint").count().filter(F.col("count") > 1).count()
         )
+        # certification + cost anchor for the delta cuts: the merged
+        # generational view must EQUAL a full recompute over the final
+        # corpus/span state, and timing that full pass prices what every
+        # cut would have cost without the delta machinery
+        t0 = time.perf_counter()
+        full = pipe.finalize_frame(spark).localCheckpoint(eager=True)
+        full_recompute_s = round(time.perf_counter() - t0, 3)
+        cmp_cols = [c for c in cur.columns]
+        n_only_view = cur.select(cmp_cols).exceptAll(full.select(cmp_cols)).count()
+        n_only_full = full.select(cmp_cols).exceptAll(cur.select(cmp_cols)).count()
         srt = sorted(durs)
         summary = {
             "total_drain_s": total,
@@ -251,10 +273,13 @@ def main() -> None:
             "input_docs": n_in,
             "invariant_clean_contaminated_chunks": n_contam,
             "invariant_duplicate_fingerprints": n_dup_fp,
+            "full_recompute_s": full_recompute_s,
+            "view_vs_full_recompute_diff_rows": n_only_view + n_only_full,
         }
         print(json.dumps(summary), flush=True)
         assert n_contam == 0, "curated output contaminated"
         assert n_dup_fp == 0, "corpus has duplicate fingerprints"
+        assert n_only_view == n_only_full == 0, "delta view != full recompute"
         if out_json:
             with open(out_json, "w") as f:
                 json.dump(summary, f, indent=1)

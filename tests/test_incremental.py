@@ -849,3 +849,69 @@ def test_repair_internal_index_matches_recompute(spark, tmp_path):
         tuple(r) for r in span_stats_view(spark, out, min_docs=1).collect()
     )
     assert via_stats == direct
+
+
+def test_span_postings_track_docs_and_survive_compaction(spark, tmp_path):
+    """span_postings=True (round-10): the per-batch (fp, doc_id)
+    posting rows must (a) exactly equal the distinct window
+    fingerprints of the kept corpus text — dropped duplicates never
+    post, repaired/excised docs post their FINAL text — and (b) fold
+    through compaction byte-identically (per-key-latest on the unique
+    (fp, doc_id) key is an exact rewrite)."""
+    import re
+
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import span_fingerprints
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+    from real_time_financial_market_data_pipeline_spark.streaming.incremental import span_postings_view
+
+    feed, out = str(tmp_path / "feed"), str(tmp_path / "out")
+    _write_doc_feed(
+        feed,
+        [
+            [{"doc_id": 1, "text": LONG_A}],
+            [{"doc_id": 2, "text": LONG_B}, {"doc_id": 3, "text": LONG_A}],  # 3: exact dup
+            [{"doc_id": 4, "text": "alpha beta gamma delta epsilon alpha beta gamma delta epsilon closing words one two"}],
+        ],
+    )
+    job = IncrementalDedupJob(
+        out_dir=out,
+        near_dup=False,
+        span_index=True,
+        span_k=5,
+        span_postings=True,
+        repair_internal=True,
+        internal_k=5,
+    )
+    q = job.start(read_doc_stream(spark, feed, max_files_per_trigger=1).select("doc_id", "text"))
+    assert q.awaitTermination(180)
+
+    expected = sorted(
+        tuple(r)
+        for r in span_fingerprints(
+            corpus_view(spark, out).select("doc_id", "text"), k=5
+        )
+        .select("fp", F.col("id").alias("doc_id"))
+        .distinct()
+        .collect()
+    )
+    got = sorted(tuple(r) for r in span_postings_view(spark, out).collect())
+    assert got == expected
+    assert {d for _, d in got} == {1, 2, 4}  # dup 3 never posted
+
+    assert job.compact(spark) > 0
+    dirs = [
+        d
+        for d in os.listdir(os.path.join(out, "index_spanpostings"))
+        if re.fullmatch(r"batch_id=\d+", d)
+    ]
+    assert len(dirs) == 1
+    assert sorted(tuple(r) for r in span_postings_view(spark, out).collect()) == expected
+
+
+def test_span_postings_requires_span_index(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="span_postings"):
+        IncrementalDedupJob(
+            out_dir=str(tmp_path / "o"), span_postings=True, span_index=False
+        )._validate_config()

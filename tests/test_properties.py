@@ -921,3 +921,78 @@ def test_excise_verify_subset_is_sound(spark, texts, bench_text):
     ).dropna()
     cleaned = rewritten.join(survivors, "doc_id", "left_anti")
     assert span_contaminated_ids(cleaned, bench, k=k).count() == 0
+
+
+_delta_doc = st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), max_size=16)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    old_docs=st.lists(_delta_doc, min_size=1, max_size=5),
+    new_docs=st.lists(_delta_doc, min_size=0, max_size=4),
+)
+def test_delta_finalize_unaffected_docs_are_invariant(spark, old_docs, new_docs):
+    """The soundness LEMMA the incremental finalize rests on
+    (streaming.curation._redo_docs), property-tested directly without
+    the streaming machinery: take any old corpus and any batch of new
+    docs; compute the qualifying span sets before and after; call a
+    span fp CHANGED when it newly qualifies or its (rep_id, rep_pos)
+    moved; call an old doc AFFECTED when its posting rows intersect
+    the changed fps.  Then every UNAFFECTED old doc must produce
+    byte-identical split-excision chunks under the old and the new
+    span sets — which is exactly why the delta cut may skip it.  New
+    doc_ids are drawn BELOW the old ones so representative moves (the
+    subtle change vector) actually occur."""
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import (
+        _common_span_stats,
+        span_fingerprints,
+        split_excise_common_spans,
+    )
+
+    k, min_docs = 3, 2
+    old_rows = [(100 + i, " ".join(toks)) for i, toks in enumerate(old_docs)]
+    new_rows = [(i, " ".join(toks)) for i, toks in enumerate(new_docs)]
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    both = spark.createDataFrame(old_rows + new_rows, "doc_id long, text string")
+
+    def qualifying(df):
+        return (
+            _common_span_stats(df, "doc_id", "text", k, min_docs)
+            .select("fp", "rep_id", "rep_pos")
+        )
+
+    q_old, q_new = qualifying(old), qualifying(both)
+    changed = (
+        q_new.join(
+            q_old.select(
+                "fp",
+                F.col("rep_id").alias("_orid"),
+                F.col("rep_pos").alias("_orpos"),
+            ),
+            "fp",
+            "left",
+        )
+        .filter(
+            F.col("_orid").isNull()
+            | (F.col("rep_id") != F.col("_orid"))
+            | (F.col("rep_pos") != F.col("_orpos"))
+        )
+        .select("fp")
+    )
+    postings = (
+        span_fingerprints(old, id_col="doc_id", text_col="text", k=k)
+        .select("fp", F.col("id").alias("doc_id"))
+        .distinct()
+    )
+    affected = postings.join(changed, "fp").select("doc_id").distinct()
+    unaffected = old.join(affected, "doc_id", "left_anti")
+
+    under_new = sorted(
+        tuple(r)
+        for r in split_excise_common_spans(unaffected, q_new, k=k).collect()
+    )
+    under_old = sorted(
+        tuple(r)
+        for r in split_excise_common_spans(unaffected, q_old, k=k).collect()
+    )
+    assert under_new == under_old

@@ -127,6 +127,28 @@ def main() -> None:
     ).orderBy("split").show()
     print("redaction check (doc 9):")
     cur.filter(F.col("doc_id") == 9).select("text").show(truncate=80)
+
+    # --- incremental cut (round 10): a late batch arrives whose doc
+    # shares doc 5/6's boilerplate footer — finalize(auto) runs in
+    # DELTA mode, re-curating only the fresh doc and the footer
+    # holders whose span state changed, and merges generationally
+    late = {"doc_id": 10, "text": "a third unrelated mailing also ends with "
+                                  + BOILER + " right above the postal permit line"}
+    with open(os.path.join(feed, "batch_late.json"), "w") as f:
+        f.write(json.dumps(late) + "\n")
+    q = pipe.start(read_doc_stream(spark, feed, max_files_per_trigger=1))
+    q.awaitTermination(300)
+    pipe.finalize(spark)  # auto -> delta
+    gens = pipe._committed_gens()
+    redo = spark.read.parquet(
+        os.path.join(pipe.out_dir, "finalize_state", "docs", f"gen={gens[-1]}")
+    )
+    print(f"\ndelta cut: generation {gens[-1]} re-curated only docs "
+          f"{sorted(r['doc_id'] for r in redo.collect())} "
+          "(everything else served from the prior generation)")
+    curated_view(spark, pipe.out_dir).orderBy("doc_id", "chunk_idx").select(
+        "doc_id", "chunk_idx", "split", "chunk_tokens", "excised_tokens", "text"
+    ).show(truncate=56)
     spark.stop()
 
 

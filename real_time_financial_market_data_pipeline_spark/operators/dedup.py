@@ -78,31 +78,50 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     )
 
 
-_MERSENNE61 = (1 << 61) - 1
+_MERSENNE31 = (1 << 31) - 1
 
 
 def base_hashes(shingle_col: Column) -> Column:
-    """One xxhash64 per shingle, reduced mod 2^31 (so affine derivation
-    below cannot overflow long arithmetic under ANSI mode)."""
-    return F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31)))
+    """One xxhash64 per shingle, reduced mod the Mersenne prime 2^31-1
+    (so the affine derivation below is a REAL universal hash: operands
+    stay < 2^62 under ANSI mode AND the modulus actually wraps)."""
+    return F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)))
 
 
 def minhash_signature(hash_col: Column, num_hashes: int = 16) -> Column:
     """MinHash signature (array<long>) from a pre-materialized base-hash
     column (see base_hashes — materialize it first; see shingles_of for
     why). The k hash functions are derived affinely from the single base
-    hash: h_i(x) = (a_i*x + b_i) mod M61, operands < 2^62 so ANSI-safe.
-    This cuts string-hashing cost k× vs hashing each shingle k times.
-    """
+    hash: h_i(x) = (a_i*x + b_i) mod p with p = 2^31-1 prime and
+    a_i, b_i drawn from [1, p) — the textbook universal family.  Products
+    are < 2^62, so ANSI long arithmetic cannot overflow, and a_i*x spans
+    ~2^31 multiples of p, so each h_i is a genuinely different
+    quasi-permutation of the base-hash space.  This cuts string-hashing
+    cost k× vs hashing each shingle k times.
+
+    HISTORY (round-10 bug): the original derivation reduced mod
+    M61 = 2^61-1 with a_i < 2^30 and x < 2^31 — every product stayed
+    BELOW the modulus, the mod never wrapped, every h_i was MONOTONE in
+    x, and all k entries selected the same argmin shingle.  The
+    signature degenerated to one permutation repeated k times:
+    signature_jaccard returned only 0.0 or 1.0 (a Bernoulli(J) coin
+    instead of a k-sample estimator), and the streaming near-dup gate —
+    which trusts the estimate without an exact-Jaccard verify — dropped
+    any doc sharing merely its min-hash shingle with the corpus (e.g. a
+    short boilerplate footer).  The batch operators were shielded by
+    their exact-Jaccard candidate verification; only recall shape was
+    affected there.  Stored signatures/band keys from the degenerate
+    scheme are incompatible — `IncrementalDedupJob` version-locks via
+    _corpus_spec.json (minhash_version)."""
     import random
 
     rng = random.Random(0xD1CE)
 
     def derived(i: int) -> Column:
-        a = rng.randrange(1, 1 << 30)
-        b = rng.randrange(0, 1 << 30)
+        a = rng.randrange(1, _MERSENNE31)
+        b = rng.randrange(1, _MERSENNE31)
         return F.array_min(
-            F.transform(hash_col, lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(_MERSENNE61)))
+            F.transform(hash_col, lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(_MERSENNE31)))
         )
 
     return F.array(*[derived(i) for i in range(num_hashes)])

@@ -304,6 +304,7 @@ class IncrementalDedupJob:
                     "matching k (or rebuild the index)"
                 )
         spec = {
+            "minhash_version": _MINHASH_VERSION,
             "decontam_col": self.benchmark_fp_dir is not None,
             "span_index": self.span_index,
             "span_k": self.span_k if self.span_index else None,
@@ -320,6 +321,17 @@ class IncrementalDedupJob:
 
             with open(marker) as fh:
                 prior = json.load(fh)
+            if self.near_dup and prior.get("minhash_version", 1) != _MINHASH_VERSION:
+                raise ValueError(
+                    f"the corpus at {self.out_dir} stores minhash "
+                    f"signatures/band keys of scheme version "
+                    f"{prior.get('minhash_version', 1)}, but this build "
+                    f"produces version {_MINHASH_VERSION} (the round-10 "
+                    "universal-hash fix) — mixed-version signatures never "
+                    "estimate correctly, so cross-corpus near-dup would be "
+                    "a silent no-op; rebuild the corpus (or set "
+                    "near_dup=False to keep only exact dedup)"
+                )
             diffs = {
                 key: (prior.get(key), spec[key])
                 for key in spec
@@ -704,6 +716,11 @@ def corpus_view(spark, out_dir: str, empty_schema=None) -> DataFrame:
 
 _SPAN_SPEC_MARKER = "_span_spec.json"
 _CORPUS_SPEC_MARKER = "_corpus_spec.json"
+# Bumped when the minhash signature scheme changes incompatibly (v1 =
+# the degenerate monotone-affine scheme, v2 = the round-10 universal
+# hash over 2^31-1): stored index_sigs/index_bands from another version
+# never match current signatures, so _validate_config refuses to mix.
+_MINHASH_VERSION = 2
 
 
 def stored_benchmark_k(fp_dir: str) -> int | None:

@@ -996,3 +996,88 @@ def test_delta_finalize_unaffected_docs_are_invariant(spark, old_docs, new_docs)
         for r in split_excise_common_spans(unaffected, q_old, k=k).collect()
     )
     assert under_new == under_old
+
+
+def test_minhash_signature_is_not_degenerate(spark):
+    """Round-10 regression: the affine derivation must yield k DISTINCT
+    quasi-permutations.  The original scheme reduced mod 2^61-1 with
+    operands that never reached the modulus, so every h_i was monotone
+    in the base hash and all k entries picked the same argmin shingle —
+    signature_jaccard collapsed to a {0, 1} Bernoulli coin.  With a
+    working family, two texts sharing a 7-token footer out of ~20
+    tokens (true shingle-Jaccard ~0.15) must estimate strictly BETWEEN
+    0 and 1 — some signature slots agree (the shared footer wins some
+    permutations), most don't."""
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import (
+        banded_signatures,
+        signature_jaccard,
+    )
+
+    boiler = "all rights reserved by the example company"
+    df = spark.createDataFrame(
+        [
+            (5, "the annual report opens with strong results before " + boiler
+                + " and then details the quarter by segment"),
+            (10, "a third unrelated mailing also ends with " + boiler
+                 + " right above the postal permit line"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {
+        r["id"]: r["sig"]
+        for r in banded_signatures(df, num_hashes=64, bands=4)
+        .select("id", "sig")
+        .dropDuplicates(["id"])
+        .collect()
+    }
+    matches = sum(a == b for a, b in zip(sigs[5], sigs[10]))
+    # true J ~ 0.15: expect ~10/64 agreeing slots; degenerate scheme
+    # gives exactly 0 or exactly 64
+    assert 0 < matches < 32, matches
+    est = (
+        spark.createDataFrame([(sigs[5], sigs[10])], "a array<bigint>, b array<bigint>")
+        .select(signature_jaccard(F.col("a"), F.col("b")).alias("j"))
+        .first()["j"]
+    )
+    assert 0.0 < est < 0.5, est
+
+
+def test_streaming_near_dup_keeps_footer_sharers(spark, tmp_path):
+    """Round-10 regression, the user-visible symptom: three docs that
+    share ONLY a boilerplate footer (true Jaccard ~0.15) must ALL
+    survive IncrementalDedupJob's near-dup gate — the degenerate
+    signatures estimated 1.0 whenever the shared footer happened to
+    contain the min-hash shingle, silently dropping distinct
+    documents at ingest."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+    from real_time_financial_market_data_pipeline_spark.streaming.incremental import (
+        IncrementalDedupJob,
+        corpus_view,
+    )
+
+    boiler = "all rights reserved by the example company"
+    docs = [
+        {"doc_id": 5, "text": "the annual report opens with strong results before "
+                              + boiler + " and then details the quarter by segment"},
+        {"doc_id": 6, "text": "an entirely different newsletter closes its final page with "
+                              + boiler + " printed beneath the signature block today"},
+        {"doc_id": 10, "text": "a third unrelated mailing also ends with "
+                               + boiler + " right above the postal permit line"},
+    ]
+    feed = str(tmp_path / "feed")
+    _os.makedirs(feed)
+    base = _time.time() - 3
+    for i, d in enumerate(docs):
+        p = _os.path.join(feed, f"d{i}.json")
+        with open(p, "w") as fh:
+            fh.write(_json.dumps(d) + "\n")
+        _os.utime(p, (base + i, base + i))
+    job = IncrementalDedupJob(out_dir=str(tmp_path / "out"))
+    q = job.start(read_doc_stream(spark, feed, max_files_per_trigger=1).select("doc_id", "text"))
+    assert q.awaitTermination(180)
+    kept = sorted(r["doc_id"] for r in corpus_view(spark, str(tmp_path / "out")).collect())
+    assert kept == [5, 6, 10], kept

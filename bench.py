@@ -474,7 +474,8 @@ def bench_incremental_dedup(spark, sf_dir: str, n_batches: int = 10) -> dict[str
         t0 = time.perf_counter()
         job = IncrementalDedupJob(out_dir=out)
         q = job.start(read_doc_stream(spark, feed, max_files_per_trigger=1))
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):
+            raise TimeoutError("incremental dedup drain did not finish in 600s")
         drain = round(time.perf_counter() - t0, 3)
         durs = [
             p["batchDuration"] / 1000.0
@@ -530,7 +531,11 @@ def bench_curated_pipeline(spark, sf_dir: str, n_batches: int = 10) -> dict[str,
         )
         t0 = time.perf_counter()
         q = pipe.start(read_doc_stream(spark, feed, max_files_per_trigger=1))
-        q.awaitTermination(600)
+        # fail loudly on a drain timeout: finalize is a stream-stopped
+        # pass — running it against a live stream would race the inline
+        # compaction's stage/rmtree/rename protocol and time nonsense
+        if not q.awaitTermination(600):
+            raise TimeoutError("curated pipeline drain did not finish in 600s")
         drain = round(time.perf_counter() - t0, 3)
         t1 = time.perf_counter()
         pipe.finalize(spark)
@@ -545,7 +550,8 @@ def bench_curated_pipeline(spark, sf_dir: str, n_batches: int = 10) -> dict[str,
             F.concat(F.lit("deltadoc "), F.col("text")).alias("text"),
         ).coalesce(1).write.mode("append").json(feed)
         q = pipe.start(read_doc_stream(spark, feed, max_files_per_trigger=1))
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):
+            raise TimeoutError("curated pipeline delta drain did not finish in 600s")
         t2 = time.perf_counter()
         pipe.finalize(spark)
         delta_finalize = round(time.perf_counter() - t2, 3)

@@ -159,22 +159,62 @@ class CuratedCorpusPipeline:
     def _state_dir(self, *parts: str) -> str:
         return os.path.join(self.out_dir, "finalize_state", *parts)
 
+    def _finalize_spec(self) -> dict:
+        """The settings that shape curated rows.  A DELTA cut reuses
+        the prior generations' rows for unaffected docs, so these must
+        not drift between cuts — _redo_docs only tracks SPAN-SET
+        change, and e.g. a raised span_min_docs or quality_min applied
+        to only the redo docs would produce a silently mixed-policy
+        table (round-10 review).  Recorded by every full cut, validated
+        by every delta cut; to change a setting, run
+        finalize(mode="full")."""
+        return {
+            "span_k": self.span_k,
+            "span_min_docs": self.span_min_docs,
+            "quality_min": self.quality_min,
+            "max_dup_line_ratio": self.max_dup_line_ratio,
+            "redact": self.redact,
+            "val_frac": self.val_frac,
+            "test_frac": self.test_frac,
+        }
+
+    def _check_finalize_spec(self) -> None:
+        import json
+
+        marker = self._state_dir("_finalize_spec.json")
+        if not os.path.exists(marker):
+            return  # pre-lock state: the next full cut records it
+        with open(marker) as fh:
+            prior = json.load(fh)
+        spec = self._finalize_spec()
+        diffs = {
+            key: (prior[key], spec[key])
+            for key in spec
+            if key in prior and prior[key] != spec[key]
+        }
+        if diffs:
+            raise ValueError(
+                "finalize settings changed since the last full cut "
+                f"(stored vs requested: {diffs}) — a delta cut would "
+                "apply the new policy to only the redo docs, producing "
+                "a mixed-policy curated table; run "
+                "finalize(mode='full') to re-curate everything under "
+                "the new settings"
+            )
+
+    def _write_finalize_spec(self) -> None:
+        import json
+
+        os.makedirs(self._state_dir(), exist_ok=True)
+        with open(self._state_dir("_finalize_spec.json"), "w") as fh:
+            json.dump(self._finalize_spec(), fh)
+
     def _committed_gens(self) -> list[int]:
         """Generations whose COMMIT marker (the finalize_state docs
         list, written last, with Spark's _SUCCESS) landed.  A crash
         anywhere earlier leaves partial gen dirs that readers ignore
         and the next finalize overwrites."""
-        import re
-
-        docs_root = self._state_dir("docs")
-        if not os.path.isdir(docs_root):
-            return []
-        return sorted(
-            int(d.split("=")[1])
-            for d in os.listdir(docs_root)
-            if re.fullmatch(r"gen=\d+", d)
-            and os.path.isfile(os.path.join(docs_root, d, "_SUCCESS"))
-        )
+        return _committed_generations(self.out_dir)
 
     def _qualifying_spans(self, spark) -> DataFrame:
         """The current qualifying span set (fp, rep_id, rep_pos) served
@@ -269,11 +309,15 @@ class CuratedCorpusPipeline:
             mode = "full"
 
         gen = (committed[-1] + 1) if committed else 0
-        spans_now = self._qualifying_spans(spark)
+        # one materialization serves the snapshot diff (delta mode),
+        # the excision join, and the snapshot write — without it the
+        # full index merge re-runs per consumer (round-10 review)
+        spans_now = self._qualifying_spans(spark).localCheckpoint(eager=True)
         if mode == "full":
             frame = self.finalize_frame(spark, _spans=spans_now)
             gen_docs = corpus_view(spark, self.out_dir).select("doc_id")
         else:
+            self._check_finalize_spec()
             # materialized once: consumed by the emptiness check, the
             # recuration leftsemi join, and the gen_docs commit write
             redo = self._redo_docs(spark, committed, spans_now).localCheckpoint(
@@ -292,6 +336,8 @@ class CuratedCorpusPipeline:
         gen_docs.write.mode("overwrite").parquet(
             self._state_dir("docs", f"gen={gen}")
         )
+        if mode == "full":
+            self._write_finalize_spec()
         if len(committed) + 1 > self.curated_max_gens:
             self._fold_gens(spark)
         return out_path
@@ -323,12 +369,7 @@ class CuratedCorpusPipeline:
             .select("doc_id")
             .distinct()
         )
-        processed = None
-        for g in committed:
-            part = spark.read.parquet(self._state_dir("docs", f"gen={g}")).select(
-                "doc_id"
-            )
-            processed = part if processed is None else processed.unionByName(part)
+        processed = _docs_lists(spark, self.out_dir, committed)
         new_docs = (
             corpus_view(spark, self.out_dir)
             .select("doc_id")
@@ -349,12 +390,7 @@ class CuratedCorpusPipeline:
             return
         fold_gen = committed[-1] + 1
         view = curated_view(spark, self.out_dir).localCheckpoint(eager=True)
-        all_docs = None
-        for g in committed:
-            part = spark.read.parquet(self._state_dir("docs", f"gen={g}")).select(
-                "doc_id"
-            )
-            all_docs = part if all_docs is None else all_docs.unionByName(part)
+        all_docs = _docs_lists(spark, self.out_dir, committed)
         view.write.mode("overwrite").partitionBy("split").parquet(
             os.path.join(self.curated_dir(), f"gen={fold_gen}")
         )
@@ -497,13 +533,7 @@ def curated_view(spark, out_dir: str) -> DataFrame:
     if not any(re.fullmatch(r"gen=\d+", d) for d in os.listdir(path)):
         return spark.read.parquet(path)  # legacy flat layout
 
-    docs_root = os.path.join(out_dir, "finalize_state", "docs")
-    committed = sorted(
-        int(d.split("=")[1])
-        for d in os.listdir(docs_root)
-        if re.fullmatch(r"gen=\d+", d)
-        and os.path.isfile(os.path.join(docs_root, d, "_SUCCESS"))
-    )
+    committed = _committed_generations(out_dir)
     if not committed:
         raise FileNotFoundError(
             f"{path} has generation directories but no committed "
@@ -513,17 +543,52 @@ def curated_view(spark, out_dir: str) -> DataFrame:
     rows = spark.read.parquet(path).filter(F.col("gen").isin(committed))
     if len(committed) == 1:
         return rows.drop("gen")
-    last = None
-    for g in committed:
-        part = (
-            spark.read.parquet(os.path.join(docs_root, f"gen={g}"))
-            .select("doc_id")
-            .withColumn("_lg", F.lit(g))
-        )
-        last = part if last is None else last.unionByName(part)
-    last = last.groupBy("doc_id").agg(F.max("_lg").alias("_lg"))
+    last = (
+        _docs_lists(spark, out_dir, committed, with_gen=True)
+        .groupBy("doc_id")
+        .agg(F.max("_lg").alias("_lg"))
+    )
     return (
         rows.join(last, "doc_id")
         .filter(F.col("gen") == F.col("_lg"))
         .drop("gen", "_lg")
     )
+
+
+def _committed_generations(out_dir: str) -> list[int]:
+    """Generation numbers whose commit marker landed: the
+    finalize_state docs list for gen=K exists with Spark's _SUCCESS.
+    The single source of truth for writer (_committed_gens) and reader
+    (curated_view) alike — a missing finalize_state/docs directory
+    (first finalize crashed before any commit) reads as 'nothing
+    committed', not as an error."""
+    import re
+
+    docs_root = os.path.join(out_dir, "finalize_state", "docs")
+    if not os.path.isdir(docs_root):
+        return []
+    return sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(docs_root)
+        if re.fullmatch(r"gen=\d+", d)
+        and os.path.isfile(os.path.join(docs_root, d, "_SUCCESS"))
+    )
+
+
+def _docs_lists(
+    spark, out_dir: str, gens: list[int], with_gen: bool = False
+) -> DataFrame:
+    """Union of the given committed generations' docs lists (doc_id,
+    plus the generation number as _lg when with_gen) — the supersede /
+    processed-set frame shared by _redo_docs, _fold_gens, and
+    curated_view."""
+    docs_root = os.path.join(out_dir, "finalize_state", "docs")
+    out = None
+    for g in gens:
+        part = spark.read.parquet(os.path.join(docs_root, f"gen={g}")).select(
+            "doc_id"
+        )
+        if with_gen:
+            part = part.withColumn("_lg", F.lit(g))
+        out = part if out is None else out.unionByName(part)
+    return out

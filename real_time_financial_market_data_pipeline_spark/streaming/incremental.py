@@ -332,10 +332,23 @@ class IncrementalDedupJob:
                     "a silent no-op; rebuild the corpus (or set "
                     "near_dup=False to keep only exact dedup)"
                 )
+            # fields added in round 10: a spec file WITHOUT the key was
+            # written by a build where the behavior was off — treat
+            # missing as that legacy default instead of skipping the
+            # check, or repair/postings could be switched on mid-life
+            # and history would lack repaired fingerprints/posting rows
+            # with no error (round-10 review)
+            legacy_defaults = {
+                "repair_internal": False,
+                "internal_k": None,
+                "internal_min_occurrences": None,
+                "span_postings": False,
+            }
             diffs = {
-                key: (prior.get(key), spec[key])
+                key: (prior.get(key, legacy_defaults.get(key)), spec[key])
                 for key in spec
-                if key in prior and prior[key] != spec[key]
+                if (key in prior or key in legacy_defaults)
+                and prior.get(key, legacy_defaults.get(key)) != spec[key]
             }
             if diffs:
                 raise ValueError(
@@ -377,9 +390,20 @@ class IncrementalDedupJob:
             # assumes batch-unique ids; duplicate rows would fan out
             # 2x2 through the doc_id joins and same-id rows with
             # DIFFERENT text would silently mix their covered-position
-            # sets.  Keeper is deterministic (min text per id) so a
-            # crash replay reproduces the identical batch.
-            one_per_id = Window.partitionBy("doc_id").orderBy("text")
+            # sets.  Keeper ordering (round-10 review): text NULLS LAST
+            # (a corrupted null-text redelivery must never beat the
+            # real row), then every passthrough column as tie-break —
+            # same-text rows differing only in passthrough columns
+            # would otherwise be picked arbitrarily and a crash replay
+            # could keep the other row, breaking idempotent overwrite.
+            one_per_id = Window.partitionBy("doc_id").orderBy(
+                F.col("text").asc_nulls_last(),
+                *[
+                    F.col(c).asc_nulls_last()
+                    for c in batch_df.columns
+                    if c not in ("doc_id", "text")
+                ],
+            )
             batch_df = (
                 batch_df.withColumn("_idrn", F.row_number().over(one_per_id))
                 .filter(F.col("_idrn") == 1)

@@ -539,6 +539,27 @@ class QuoteEnrichJob:
             compact_every = self.compact_every
             best_keys = list(self.BEST_QUOTE_KEYS)
 
+            # finish any best-quote compaction publish a crash
+            # interrupted BEFORE the stream launches (round-10 review):
+            # without this, the restarted stream appends new batch dirs
+            # above the underscore-staged snapshot, the next cadence
+            # point classifies the stage as stale and discards it — but
+            # the old dirs it folded were already deleted, so the folded
+            # partials would be permanently lost.  Same recovery
+            # IncrementalDedupJob.start and parquet_sink run, with this
+            # sink's re-reduce resolve.
+            from real_time_financial_market_data_pipeline_spark.streaming.sinks import (
+                finish_staged_compaction,
+            )
+
+            finish_staged_compaction(
+                spark,
+                best_dir,
+                best_keys,
+                os.path.join(self.checkpoints(), "quotes_enriched"),
+                resolve=_resolve_best_quote,
+            )
+
             joined = trades_with_quotes(
                 trades, quotes, watermark=self.watermark, max_quote_age=self.max_quote_age
             )

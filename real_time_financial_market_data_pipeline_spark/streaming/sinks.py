@@ -70,15 +70,22 @@ def parquet_sink(
             writer = writer.partitionBy(*partition_by)
         writer.parquet(os.path.join(path, f"batch_id={batch_id}"))
 
-    if compact_every:
-        # finish any inline-compaction publish a crash interrupted, so
-        # readers (and the replayed batch) see complete history from the
-        # first micro-batch instead of waiting for the next cadence
-        # point (round-10 ADVICE — same recovery as IncrementalDedupJob)
+    if compact_keys is not None:
+        # finish any compaction publish a crash interrupted, so readers
+        # (and the replayed batch) see complete history from the first
+        # micro-batch instead of waiting for the next cadence point
+        # (round-10 ADVICE — same recovery as IncrementalDedupJob).
+        # Unconditional on compact_every: a stream-stopped MANUAL
+        # compact (MedallionStreamJob.compact_gold, LatestPricesStream
+        # Job.compact) can also crash mid-publish, and a restart with
+        # compact_every=None must still finish it.  Gated on the KEYS
+        # being known — without them no compaction machinery ever ran
+        # on this path, and re-folding a stage with wrong keys would
+        # corrupt it.
         finish_staged_compaction(
             df.sparkSession,
             path,
-            compact_keys or [],
+            compact_keys,
             os.path.join(checkpoint_dir, name),
         )
 

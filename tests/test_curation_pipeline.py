@@ -610,3 +610,44 @@ def test_curated_view_ignores_uncommitted_generation(spark, tmp_path):
     assert _sorted_rows(curated_view(spark, out)) == base  # rolled back
     pipe.finalize(spark)  # re-runs the same delta
     assert _sorted_rows(curated_view(spark, out)) == full
+
+
+def test_delta_cut_refuses_changed_finalize_settings(spark, tmp_path):
+    """Round-10 review: finalize-shaping settings are locked across
+    delta cuts — a delta applies policy only to the redo docs, so a
+    drifted quality_min (or split fractions, redaction, span_min_docs)
+    would produce a silently mixed-policy curated table.  A full cut
+    re-records the spec and unlocks the new policy."""
+    import pytest
+
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+
+    feed, out = str(tmp_path / "feed"), str(tmp_path / "out")
+    _write_feed(
+        feed,
+        [[{"doc_id": 10, "text": CARRIER_A}, {"doc_id": 20, "text": LONG_B}]],
+    )
+    pipe = CuratedCorpusPipeline(out_dir=out, span_k=4, span_min_docs=2)
+    q = pipe.start(read_doc_stream(spark, feed).select("doc_id", "text"))
+    assert q.awaitTermination(300)
+    pipe.finalize(spark)
+
+    _write_feed(feed, [[{"doc_id": 30, "text": DOC40}]], prefix="late")
+    drifted = CuratedCorpusPipeline(
+        out_dir=out, span_k=4, span_min_docs=2, quality_min=0.9
+    )
+    q = drifted.start(read_doc_stream(spark, feed).select("doc_id", "text"))
+    assert q.awaitTermination(300)
+    with pytest.raises(ValueError, match="mixed-policy"):
+        drifted.finalize(spark)  # auto -> delta -> locked
+    # a FULL cut under the new policy is the sanctioned path: it
+    # re-curates everything and re-records the spec...
+    drifted.finalize(spark, mode="full")
+    # ...after which delta cuts under the new settings work again
+    _write_feed(feed, [[{"doc_id": 40, "text": DOC60}]], prefix="later")
+    q = drifted.start(read_doc_stream(spark, feed).select("doc_id", "text"))
+    assert q.awaitTermination(300)
+    drifted.finalize(spark)
+    assert _sorted_rows(curated_view(spark, out)) == _sorted_rows(
+        drifted.finalize_frame(spark)
+    )

@@ -348,3 +348,127 @@ def test_staged_recovery_respects_uncommitted_tail(spark, tmp_path):
     compact_latest_state(spark, path, ["symbol"])
     assert _batch_ids(path) == {2}
     assert spark.read.parquet(path).collect()[0]["price"] == 12.0
+
+
+# ---------------------------------------------------------------------------
+# start-time recovery of a compaction publish a crash interrupted
+# (round-10 review: the recovery added for IncrementalDedupJob must also
+# cover the quote and latest-prices layers — including MANUAL compacts
+# on jobs running with compact_every=None)
+# ---------------------------------------------------------------------------
+
+
+def _crash_mid_publish(monkeypatch, compact_call):
+    """Drive the real compaction into the publish-rename hazard window:
+    old batch dirs deleted, staged snapshot not yet renamed in."""
+    real_rename = os.rename
+
+    def crashing_rename(src, dst):
+        if "_compact_staged_" in str(src) and "batch_id=" in str(dst):
+            raise RuntimeError("simulated crash during publish rename")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crashing_rename)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        compact_call()
+    monkeypatch.undo()
+
+
+def test_quote_enrich_start_recovers_crashed_compaction(spark, tmp_path, monkeypatch):
+    """A compact_best_quote crash mid-publish leaves the only complete
+    copy of the folded partials underscore-staged.  The next start()
+    must finish that publish — with compact_every=None there is no
+    cadence point to ever do it, and before round 10 a restart that
+    appended new batches above the stage would have it discarded as
+    stale AFTER its folded source dirs were deleted."""
+    from real_time_financial_market_data_pipeline_spark.streaming.jobs import QuoteEnrichJob, best_quote_view
+
+    tfeed, qfeed = str(tmp_path / "tfeed"), str(tmp_path / "qfeed")
+    out = str(tmp_path / "out")
+
+    def drain():
+        job = QuoteEnrichJob(out_dir=out, compact_every=None)
+        mgr = job.start(
+            read_trade_stream(spark, tfeed), read_quote_stream(spark, qfeed)
+        )
+        assert mgr.await_all(timeout_s=180)
+        return job
+
+    _write_jsonl(tfeed, "t0.json", [{"s": "AAPL", "p": 150.0, "v": 100, "t": T0 + 60_000}])
+    _write_jsonl(qfeed, "q0.json", [{
+        "symbol": "AAPL", "bid_price": 149.0, "bid_size": 5,
+        "ask_price": 151.0, "ask_size": 5, "timestamp": T0,
+    }])
+    drain()
+    _write_jsonl(tfeed, "t1.json", [{"s": "MSFT", "p": 380.0, "v": 10, "t": T0 + 60_000}])
+    _write_jsonl(qfeed, "q1.json", [{
+        "symbol": "MSFT", "bid_price": 379.0, "bid_size": 1,
+        "ask_price": 381.0, "ask_size": 1, "timestamp": T0 + 30_000,
+    }])
+    job = drain()  # >= 2 partial dirs: the fold actually stages
+    best_dir = os.path.join(out, "best_quote")
+    assert len(_batch_ids(best_dir)) >= 2
+    expected = _sorted_rows(best_quote_view(spark, out))
+
+    _crash_mid_publish(monkeypatch, lambda: job.compact_best_quote(spark))
+    dirs = os.listdir(best_dir)
+    assert any(d.startswith("_compact_staged_") for d in dirs), dirs
+    assert not _batch_ids(best_dir), dirs  # history invisible
+
+    job = drain()  # restart: recovery must run BEFORE the stream
+    assert not any(
+        d.startswith("_compact_staged_") for d in os.listdir(best_dir)
+    )
+    assert _sorted_rows(best_quote_view(spark, out)) == expected
+
+
+def test_latest_prices_start_recovers_crashed_manual_compact(spark, tmp_path, monkeypatch):
+    """Same hazard through parquet_sink: a MANUAL job.compact() crash
+    mid-publish on a compact_every=None job must be finished by the
+    next start() (the recovery is gated on compact_keys being known,
+    not on inline compaction being enabled)."""
+    from real_time_financial_market_data_pipeline_spark.streaming.jobs import (
+        LatestPricesStreamJob,
+        latest_prices_view,
+    )
+
+    feed, out = str(tmp_path / "feed"), str(tmp_path / "out")
+
+    def drain():
+        job = LatestPricesStreamJob(out_dir=out, compact_every=None)
+        mgr = job.start(read_trade_stream(spark, feed))
+        assert mgr.await_all(timeout_s=180)
+        return job
+
+    _write_jsonl(feed, "b0.json", [
+        {"s": "AAPL", "p": 150.0, "v": 100, "t": T0},
+    ])
+    drain()
+    _write_jsonl(feed, "b1.json", [
+        {"s": "MSFT", "p": 380.0, "v": 10, "t": T0 + 1000},
+    ])
+    job = drain()
+    table_dir = job.table_dir()
+    assert len(_batch_ids(table_dir)) >= 2  # the fold actually stages
+    expected = _sorted_rows(latest_prices_view(spark, out))
+
+    _crash_mid_publish(monkeypatch, lambda: job.compact(spark))
+    assert any(
+        d.startswith("_compact_staged_") for d in os.listdir(table_dir)
+    )
+    assert not _batch_ids(table_dir)
+
+    # restart with NEW data for a different symbol: pre-round-10 the
+    # new batch would land above the stage and the stale-check would
+    # discard the folded history; now recovery runs first
+    _write_jsonl(feed, "b2.json", [
+        {"s": "NVDA", "p": 900.0, "v": 5, "t": T0 + 9000},
+    ])
+    job = drain()
+    assert not any(
+        d.startswith("_compact_staged_") for d in os.listdir(table_dir)
+    )
+    rows = {r[0]: r for r in _sorted_rows(latest_prices_view(spark, out))}
+    assert set(rows) == {"AAPL", "MSFT", "NVDA"}
+    for sym, row in {r[0]: r for r in expected}.items():
+        assert rows[sym] == row

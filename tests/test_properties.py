@@ -1081,3 +1081,63 @@ def test_streaming_near_dup_keeps_footer_sharers(spark, tmp_path):
     assert q.awaitTermination(180)
     kept = sorted(r["doc_id"] for r in corpus_view(spark, str(tmp_path / "out")).collect())
     assert kept == [5, 6, 10], kept
+
+
+def test_banded_lsh_candidate_rate_follows_theory(spark):
+    """The quantitative seal on the round-10 minhash fix: for 200
+    disjoint-vocabulary doc pairs built to exact shingle-Jaccard 0.5,
+    the banded candidate rate (any of b=4 bands of r=4 rows agreeing)
+    must sit near the LSH theory value 1-(1-J^r)^b = 0.227 — NOT near
+    J itself, which is what the degenerate one-permutation scheme
+    produced (all bands agree exactly when the single min-hash shingle
+    is shared, probability J = 0.5).  The pre-fix recall pins missed
+    the bug because they only floored recall from below; this test
+    bounds the rate from BOTH sides.  Construction: 20-token docs
+    sharing a 14-token prefix -> 12 of 18 3-shingles shared on each
+    side -> J = 12/(18+18-12) = 0.5 exactly."""
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import (
+        banded_signatures,
+        signature_jaccard,
+    )
+
+    rows = []
+    for p in range(200):
+        base = [f"p{p}w{i}" for i in range(20)]
+        alt = base[:14] + [f"p{p}x{i}" for i in range(6)]
+        rows.append((2 * p, " ".join(base)))
+        rows.append((2 * p + 1, " ".join(alt)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bands_df = banded_signatures(df, num_hashes=16, bands=4).cache()
+
+    l, r = bands_df.alias("l"), bands_df.alias("r")
+    cand_pairs = {
+        row["a"]
+        for row in l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col("l.id") + 1 == F.col("r.id"))
+            & (F.col("l.id") % 2 == 0),
+        )
+        .select(F.col("l.id").alias("a"))
+        .distinct()
+        .collect()
+    }
+    n_cand = len(cand_pairs)
+    # theory 0.227*200 = 45.5 (sd ~5.9); degenerate scheme gives ~100
+    assert 20 <= n_cand <= 75, n_cand
+
+    # estimator calibration: per-pair estimates must populate the open
+    # interval, not just the Bernoulli endpoints, and average near J
+    sigs = {
+        row["id"]: row["sig"]
+        for row in bands_df.select("id", "sig").dropDuplicates(["id"]).collect()
+    }
+    est_rows = spark.createDataFrame(
+        [(sigs[2 * p], sigs[2 * p + 1]) for p in range(200)],
+        "a array<bigint>, b array<bigint>",
+    ).select(signature_jaccard(F.col("a"), F.col("b")).alias("j")).collect()
+    ests = [row["j"] for row in est_rows]
+    assert sum(0.0 < e < 1.0 for e in ests) > 100, "estimates collapsed to {0,1}"
+    mean = sum(ests) / len(ests)
+    assert 0.4 <= mean <= 0.6, mean

@@ -283,6 +283,15 @@ class CuratedCorpusPipeline:
         generational finalize is rewritten on the next full pass."""
         if mode not in ("auto", "full", "delta"):
             raise ValueError(f"finalize mode must be auto/full/delta (got {mode!r})")
+        # staged-compaction crash recovery BEFORE any history read
+        # (round-10 ADVICE): if the ingest stream died mid-compaction-
+        # publish and finalize runs before the stream restarts, the
+        # corpus/span views would otherwise see incomplete history
+        # (folded snapshot still underscore-staged, source batch dirs
+        # already deleted) and this cut would curate against it.
+        # Mirrors IncrementalDedupJob.start(); no-op (one listdir per
+        # table) when nothing crashed.
+        self.job().recover(spark)
         committed = self._committed_gens()
         postings_exist = os.path.isdir(
             os.path.join(self.out_dir, "index_spanpostings")
@@ -305,6 +314,15 @@ class CuratedCorpusPipeline:
             import shutil
 
             shutil.rmtree(out_path)
+            # commit markers and data must reset TOGETHER (round-10
+            # ADVICE): if a pre-generational finalize ever clobbered a
+            # generational curated/ dir, stale finalize_state gens
+            # would outlive the wiped rows — _committed_generations
+            # would report them, and curated_view's latest-generation-
+            # wins join would let empty stale gens supersede the fresh
+            # gen-0 rows, silently dropping docs from the view.
+            for state in ("docs", "spans"):
+                shutil.rmtree(self._state_dir(state), ignore_errors=True)
             committed = []
             mode = "full"
 

@@ -63,6 +63,30 @@ from real_time_financial_market_data_pipeline_spark.operators.dedup import (
 )
 
 
+def _contains_map(dtype) -> bool:
+    """True when a DataType has a MapType anywhere in it (top-level,
+    array element, or struct field) — such columns cannot appear in an
+    ORDER BY."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.MapType):
+        return True
+    if isinstance(dtype, T.ArrayType):
+        return _contains_map(dtype.elementType)
+    if isinstance(dtype, T.StructType):
+        return any(_contains_map(f.dataType) for f in dtype.fields)
+    return False
+
+
+def _orderable(field) -> "F.Column":
+    """A sort-key expression for a StructField: the raw column when its
+    type is orderable, else (map-containing types) its to_json
+    serialization — deterministic for a given stored value, so the
+    keep-first tie-break stays replay-stable."""
+    col = F.col(field.name)
+    return F.to_json(col) if _contains_map(field.dataType) else col
+
+
 @dataclass
 class IncrementalDedupJob:
     """Wire a document stream (doc_id, text, ...) into an incrementally
@@ -396,12 +420,17 @@ class IncrementalDedupJob:
             # same-text rows differing only in passthrough columns
             # would otherwise be picked arbitrarily and a crash replay
             # could keep the other row, breaking idempotent overwrite.
+            # Map-typed passthrough columns are NOT orderable (Spark
+            # rejects them at analysis time), so any column whose type
+            # contains a map is tie-broken by its to_json serialization
+            # instead — a deterministic, collision-free function of the
+            # stored value (round-10 ADVICE).
             one_per_id = Window.partitionBy("doc_id").orderBy(
                 F.col("text").asc_nulls_last(),
                 *[
-                    F.col(c).asc_nulls_last()
-                    for c in batch_df.columns
-                    if c not in ("doc_id", "text")
+                    _orderable(field).asc_nulls_last()
+                    for field in batch_df.schema.fields
+                    if field.name not in ("doc_id", "text")
                 ],
             )
             batch_df = (

@@ -651,3 +651,102 @@ def test_delta_cut_refuses_changed_finalize_settings(spark, tmp_path):
     assert _sorted_rows(curated_view(spark, out)) == _sorted_rows(
         drifted.finalize_frame(spark)
     )
+
+
+def test_flat_layout_reset_also_clears_stale_commit_markers(spark, tmp_path):
+    """Round-10 ADVICE: clearing a legacy flat curated/ layout must
+    reset the finalize_state commit markers TOGETHER with the rows.
+    Scenario: a generational corpus (gens 0+1 committed) is clobbered
+    by pre-generational code writing a flat split=* layout; the next
+    new-code finalize rebuilds gen 0 — if the stale docs/gen=1 marker
+    survived, curated_view's latest-generation-wins join would let the
+    (now row-less) gen 1 supersede the fresh gen-0 rows and those docs
+    would silently vanish from the view."""
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+    from real_time_financial_market_data_pipeline_spark.streaming.curation import _committed_generations
+
+    feed, out = str(tmp_path / "feed"), str(tmp_path / "out")
+    _write_feed(
+        feed,
+        [[{"doc_id": 10, "text": CARRIER_A}, {"doc_id": 20, "text": LONG_B}]],
+    )
+    pipe = CuratedCorpusPipeline(out_dir=out, span_k=4, span_min_docs=2)
+    q = pipe.start(read_doc_stream(spark, feed).select("doc_id", "text"))
+    assert q.awaitTermination(300)
+    pipe.finalize(spark)  # gen 0 (full)
+
+    _write_feed(feed, [[{"doc_id": 30, "text": DOC40}]], prefix="late")
+    q = pipe.start(read_doc_stream(spark, feed).select("doc_id", "text"))
+    assert q.awaitTermination(300)
+    pipe.finalize(spark)  # gen 1 (delta: doc 30)
+    assert _committed_generations(out) == [0, 1]
+    expected = _sorted_rows(curated_view(spark, out))
+
+    # simulate the pre-generational clobber: old code overwrote
+    # curated/ with a flat split=* layout, leaving finalize_state's
+    # gen markers behind
+    import shutil
+
+    flat = pipe.finalize_frame(spark)
+    shutil.rmtree(pipe.curated_dir())
+    flat.write.mode("overwrite").partitionBy("split").parquet(pipe.curated_dir())
+    assert _committed_generations(out) == [0, 1]  # stale markers linger
+
+    # new-code finalize: detects the flat layout, resets rows AND
+    # markers together, rebuilds gen 0 — nothing vanishes
+    pipe.finalize(spark)
+    assert _committed_generations(out) == [0]
+    assert _sorted_rows(curated_view(spark, out)) == expected
+    assert {r["doc_id"] for r in expected} == {10, 20, 30}
+
+
+def test_finalize_recovers_crashed_compaction_before_reading_history(
+    spark, tmp_path, monkeypatch
+):
+    """Round-10 ADVICE: a stream crash mid-compaction-publish leaves
+    the only complete copy of folded history underscore-staged
+    (invisible to parquet readers).  If the user runs the
+    stream-stopped finalize BEFORE restarting the stream, the cut must
+    not be computed against that incomplete history — finalize() runs
+    the job's staged-publish recovery before any corpus/span read."""
+    import pytest
+
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+
+    feed, out = str(tmp_path / "feed"), str(tmp_path / "out")
+    _write_feed(
+        feed,
+        [
+            [{"doc_id": 10, "text": CARRIER_A}, {"doc_id": 11, "text": CARRIER_B}],
+            [{"doc_id": 20, "text": LONG_B}],
+        ],
+    )
+    pipe = CuratedCorpusPipeline(out_dir=out, span_k=4, span_min_docs=2)
+    q = pipe.start(
+        read_doc_stream(spark, feed, max_files_per_trigger=1).select("doc_id", "text")
+    )
+    assert q.awaitTermination(300)
+
+    # drive the REAL compaction into the publish-crash hazard window:
+    # old batch dirs deleted, staged snapshot rename "crashes"
+    real_rename = os.rename
+
+    def crashing_rename(src, dst):
+        if "_compact_staged_" in str(src) and "batch_id=" in str(dst):
+            raise RuntimeError("simulated crash during publish rename")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crashing_rename)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        pipe.job().compact(spark)
+    monkeypatch.undo()
+
+    # finalize WITHOUT restarting the stream: recovery runs first, so
+    # the cut sees complete history — all three docs are curated and
+    # the shared-span excision (10/11 both carry BOILER) still fires
+    pipe.finalize(spark)
+    rows = _sorted_rows(curated_view(spark, out))
+    assert {r["doc_id"] for r in rows} == {10, 11, 20}
+    assert rows == _sorted_rows(pipe.finalize_frame(spark))
+    excised = {r["doc_id"]: r["excised_tokens"] for r in rows}
+    assert excised[11] > 0  # non-rep carrier lost the boiler span

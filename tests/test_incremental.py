@@ -915,3 +915,41 @@ def test_span_postings_requires_span_index(spark, tmp_path):
         IncrementalDedupJob(
             out_dir=str(tmp_path / "o"), span_postings=True, span_index=False
         )._validate_config()
+
+
+def test_map_typed_passthrough_column_survives_batch_dedup(spark, tmp_path):
+    """Round-10 ADVICE: the per-batch doc_id dedup window tie-broke on
+    every passthrough column, and Spark cannot ORDER BY a map-typed
+    column — any input schema carrying a map passthrough made the batch
+    fail at analysis time.  Map-containing columns must tie-break via
+    their to_json serialization instead (deterministic for the stored
+    value), so (a) the batch runs and (b) redelivered duplicates still
+    collapse replay-stably."""
+    feed, out = str(tmp_path / "feed"), str(tmp_path / "out")
+    _write_doc_feed(
+        feed,
+        [
+            [
+                # exact redelivery with identical map metadata
+                {"doc_id": 1, "text": LONG_A, "meta": {"src": "cc", "v": "1"}},
+                {"doc_id": 1, "text": LONG_A, "meta": {"src": "cc", "v": "1"}},
+                # same id + text, DIFFERENT map: the to_json tie-break
+                # must pick one deterministically (json-min wins)
+                {"doc_id": 2, "text": LONG_B, "meta": {"src": "a"}},
+                {"doc_id": 2, "text": LONG_B, "meta": {"src": "b"}},
+            ]
+        ],
+    )
+    docs = (
+        spark.readStream.schema("doc_id long, text string, meta map<string,string>")
+        .format("json")
+        .load(feed)
+    )
+    job = IncrementalDedupJob(out_dir=out)
+    q = job.start(docs)
+    assert q.awaitTermination(180)
+
+    rows = {r["doc_id"]: r.asDict() for r in corpus_view(spark, out).collect()}
+    assert sorted(rows) == [1, 2]
+    assert rows[1]["meta"] == {"src": "cc", "v": "1"}
+    assert rows[2]["meta"] == {"src": "a"}  # '{"src":"a"}' < '{"src":"b"}'

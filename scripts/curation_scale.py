@@ -6,7 +6,14 @@ streaming phase, finalize cost as the corpus grows, and the invariant
 set (clean / dup-free / byte-preserving) at full scale.
 
     python scripts/curation_scale.py [base_sf_dir] [out_json] \
-        [n_replicas] [n_batches] [legs]
+        [n_replicas] [n_batches] [legs] [curated_max_gens]
+
+Round-11 (VERDICT task 3): one finalize per leg, so legs = cuts; with
+legs >= 12 and curated_max_gens lowered (e.g. 5) at least two
+GENERATION FOLDS fire mid-run, and on every leg where a fold fired the
+merged curated_view is certified row-identical to a full
+finalize_frame recompute (on top of the end-of-run certification the
+probe always does).
 
 Deterministic generator: N_REPLICAS copies of the documents table;
 replica 0 is the original text; for replica >= 1,
@@ -160,6 +167,7 @@ def main() -> None:
         N_BATCHES = int(sys.argv[4])
     if len(sys.argv) > 5:
         LEGS = int(sys.argv[5])
+    curated_max_gens = int(sys.argv[6]) if len(sys.argv) > 6 else 8
     spark = get_spark(app_name="curation_scale")
     work = tempfile.mkdtemp(prefix="curation_scale_")
     feed, out = os.path.join(work, "feed"), os.path.join(work, "out")
@@ -181,6 +189,7 @@ def main() -> None:
             span_k=8,
             span_min_docs=5,
             compact_every=9,
+            curated_max_gens=curated_max_gens,
         )
         durs: list[float] = []
         legs: list[dict] = []
@@ -201,6 +210,7 @@ def main() -> None:
                 if p.get("numInputRows", 0) > 0
             ]
             durs.extend(leg_durs)
+            gens_before = len(pipe._committed_gens())
             t0 = time.perf_counter()
             pipe.finalize(spark)
             fin_s = round(time.perf_counter() - t0, 3)
@@ -215,6 +225,18 @@ def main() -> None:
                 if gens
                 else None
             )
+            # a FOLD collapses the committed list to 1; certify the
+            # post-fold view against a full recompute on the spot
+            fold_fired = gens_before > 1 and len(gens) == 1
+            fold_diff = None
+            if fold_fired:
+                cur_now = curated_view(spark, out)
+                full_now = pipe.finalize_frame(spark).localCheckpoint(eager=True)
+                cols = cur_now.columns
+                fold_diff = (
+                    cur_now.select(cols).exceptAll(full_now.select(cols)).count()
+                    + full_now.select(cols).exceptAll(cur_now.select(cols)).count()
+                )
             legs.append(
                 {
                     "leg": leg,
@@ -229,10 +251,14 @@ def main() -> None:
                     "finalize_s": fin_s,
                     "finalize_mode": "full" if leg == 0 else "delta",
                     "finalize_redo_docs": redo,
+                    "committed_gens": len(gens),
+                    "fold_fired": fold_fired,
+                    "post_fold_diff_rows": fold_diff,
                     "curated_chunks": curated_view(spark, out).count(),
                 }
             )
             print(json.dumps(legs[-1]), flush=True)
+            assert fold_diff in (None, 0), "post-fold view != full recompute"
         total = round(time.perf_counter() - t_all, 2)
 
         # invariants at full scale

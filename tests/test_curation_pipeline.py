@@ -547,10 +547,15 @@ def test_incremental_finalize_equals_full_recompute(spark, tmp_path):
     # untouched docs still byte-identical, served from gen 0
     assert by_doc[12][0]["text"] == PRISTINE
     assert by_doc[20][0]["text"] == LONG_B
-    gen_of = {
-        (r["doc_id"], r["chunk_idx"]): r["gen"]
-        for r in spark.read.parquet(os.path.join(out, "curated")).collect()
-    }
+    # the LIVE (latest) generation per chunk: untouched docs still
+    # served from gen 0, re-finalized docs from gen 1.  max() rather
+    # than a last-row-wins dict — a chunk key of a re-finalized doc
+    # legitimately exists in BOTH gens and collect order is not part
+    # of the contract.
+    gen_of: dict[tuple, int] = {}
+    for r in spark.read.parquet(os.path.join(out, "curated")).collect():
+        key = (r["doc_id"], r["chunk_idx"])
+        gen_of[key] = max(gen_of.get(key, 0), r["gen"])
     assert gen_of[(20, 0)] == 0 and gen_of[(12, 0)] == 0
     assert gen_of[(10, 0)] == 1 and gen_of[(15, 0)] == 1
 
@@ -750,3 +755,77 @@ def test_finalize_recovers_crashed_compaction_before_reading_history(
     assert rows == _sorted_rows(pipe.finalize_frame(spark))
     excised = {r["doc_id"]: r["excised_tokens"] for r in rows}
     assert excised[11] > 0  # non-rep carrier lost the boiler span
+
+
+def test_refinalize_applies_new_policy_like_a_fresh_corpus(spark, tmp_path):
+    """Round-11 VERDICT task 2: refinalize(**new_settings) is the
+    sanctioned way to change cut policy mid-life — it re-records the
+    spec and runs a full cut.  Proof obligation: a span_min_docs
+    change applied by refinalize over an AGED corpus (several delta
+    generations deep) yields exactly the curated table a FRESH corpus
+    finalized once under that setting would produce; and delta cuts
+    after the refinalize run under the new policy without the
+    mixed-policy guard firing."""
+    import pytest
+
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+
+    batches = [
+        [{"doc_id": 10, "text": CARRIER_A}, {"doc_id": 12, "text": PRISTINE}],
+        [{"doc_id": 15, "text": DOC15}, {"doc_id": 20, "text": LONG_B}],
+        [{"doc_id": 16, "text": DOC16}, {"doc_id": 40, "text": DOC40}],
+    ]
+
+    def build(root: str, finalize_each: bool) -> CuratedCorpusPipeline:
+        feed, out = os.path.join(root, "feed"), os.path.join(root, "out")
+        pipe = CuratedCorpusPipeline(out_dir=out, span_k=4, span_min_docs=2)
+        for i, batch in enumerate(batches):
+            _write_feed(feed, [batch], prefix=f"b{i}")
+            q = pipe.start(
+                read_doc_stream(spark, feed, max_files_per_trigger=1).select(
+                    "doc_id", "text"
+                )
+            )
+            assert q.awaitTermination(300)
+            if finalize_each:
+                pipe.finalize(spark)  # gen 0 full, then deltas
+        return pipe
+
+    # aged corpus: three generations of cuts under span_min_docs=2
+    aged = build(str(tmp_path / "aged"), finalize_each=True)
+    assert len(aged._committed_gens()) >= 2
+
+    # policy change mid-life: only BOILER2 carried by >= 3 docs now
+    # qualifies (15/16/... hold it via DOC15/DOC16 — with min_docs=3 it
+    # no longer does, so prior excisions must be undone)
+    aged.refinalize(spark, span_min_docs=3)
+    aged_rows = _sorted_rows(curated_view(spark, aged.out_dir))
+
+    # fresh corpus, single finalize under the new setting
+    fresh_root = str(tmp_path / "fresh")
+    fresh = build(fresh_root, finalize_each=False)
+    fresh.span_min_docs = 3
+    fresh.finalize(spark)
+    fresh_rows = _sorted_rows(curated_view(spark, fresh.out_dir))
+    assert aged_rows == fresh_rows
+
+    # the spec was re-recorded: a delta cut under the new policy works
+    _write_feed(
+        os.path.join(str(tmp_path / "aged"), "feed"),
+        [[{"doc_id": 60, "text": DOC60}]],
+        prefix="late",
+    )
+    q = aged.start(
+        read_doc_stream(
+            spark, os.path.join(str(tmp_path / "aged"), "feed"), max_files_per_trigger=1
+        ).select("doc_id", "text")
+    )
+    assert q.awaitTermination(300)
+    aged.finalize(spark)  # auto -> delta; no mixed-policy raise
+    assert {r["doc_id"] for r in _sorted_rows(curated_view(spark, aged.out_dir))} == {
+        10, 12, 15, 16, 20, 40, 60,
+    }
+
+    # fingerprint-shaping settings stay locked even through refinalize
+    with pytest.raises(ValueError, match="locked"):
+        aged.refinalize(spark, span_k=6)

@@ -1141,3 +1141,70 @@ def test_banded_lsh_candidate_rate_follows_theory(spark):
     assert sum(0.0 < e < 1.0 for e in ests) > 100, "estimates collapsed to {0,1}"
     mean = sum(ests) / len(ests)
     assert 0.4 <= mean <= 0.6, mean
+
+
+def test_signature_jaccard_concentration_hoeffding(spark):
+    """Round-11 VERDICT task 4: the quantitative guard the round-10
+    universal-family fix made possible.  The k-slot estimator is a mean
+    of k {0,1} indicators with P(agree)=J, so Hoeffding gives
+    P(|est - J| >= t) <= 2*exp(-2*k*t^2).  For k=64, t=0.15 that is
+    ~0.112.  Over 300 disjoint-vocabulary pairs built to EXACT
+    shingle-Jaccard J (three J levels), the empirical violation rate
+    must respect the bound (x1.5 sampling slack), and the empirical
+    standard error must sit near the binomial value sqrt(J(1-J)/k) —
+    bounded from BOTH sides: a degenerate one-permutation family
+    concentrates at sd ~ sqrt(J(1-J)) (all-or-nothing, ~6x too wide),
+    while a constant estimator has sd 0 (too narrow to be a k-sample
+    estimate).
+
+    Construction (as in the candidate-rate test): 20-token docs over a
+    per-pair vocabulary sharing an m-token prefix -> J = s/(36-s) with
+    s = m-2 shared 3-shingles of 18 per side."""
+    import math
+
+    from real_time_financial_market_data_pipeline_spark.operators.dedup import (
+        banded_signatures,
+        signature_jaccard,
+    )
+
+    K = 64
+    N = 300
+    # m-token shared prefix -> s = m-2 shared shingles, J = s/(36-s)
+    levels = {14: 12 / 24, 11: 9 / 27, 17: 15 / 21}  # J = 0.5, 1/3, ~0.714
+    for m, true_j in levels.items():
+        rows = []
+        for p in range(N):
+            base = [f"m{m}p{p}w{i}" for i in range(20)]
+            alt = base[:m] + [f"m{m}p{p}x{i}" for i in range(20 - m)]
+            rows.append((2 * p, " ".join(base)))
+            rows.append((2 * p + 1, " ".join(alt)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        sigs = {
+            r["id"]: r["sig"]
+            for r in banded_signatures(df, num_hashes=K, bands=4)
+            .select("id", "sig")
+            .dropDuplicates(["id"])
+            .collect()
+        }
+        ests = [
+            r["j"]
+            for r in spark.createDataFrame(
+                [(sigs[2 * p], sigs[2 * p + 1]) for p in range(N)],
+                "a array<bigint>, b array<bigint>",
+            )
+            .select(signature_jaccard(F.col("a"), F.col("b")).alias("j"))
+            .collect()
+        ]
+        t = 0.15
+        hoeffding = 2 * math.exp(-2 * K * t * t)  # 0.112 at k=64
+        violations = sum(abs(e - true_j) >= t for e in ests) / N
+        assert violations <= 1.5 * hoeffding, (m, true_j, violations)
+        mean = sum(ests) / N
+        assert abs(mean - true_j) <= 3 * math.sqrt(true_j * (1 - true_j) / K), (
+            m, true_j, mean,
+        )
+        sd = math.sqrt(sum((e - mean) ** 2 for e in ests) / (N - 1))
+        binom_sd = math.sqrt(true_j * (1 - true_j) / K)
+        # both sides: 0.5x catches a collapsed (constant) estimator,
+        # 2x catches the degenerate Bernoulli coin (sd ~ 8x binomial)
+        assert 0.5 * binom_sd <= sd <= 2.0 * binom_sd, (m, true_j, sd, binom_sd)

@@ -240,6 +240,43 @@ class CuratedCorpusPipeline:
             setattr(self, key, value)
         return self.finalize(spark, mode="full")
 
+    def publish_bucketed(
+        self, spark, table: str = "curated_serving", n_buckets: int = 8
+    ) -> str:
+        """Publish the merged curated view as a doc_id-BUCKETED serving
+        table (round-11, the NOTES.md candidate): bucketBy(doc_id) +
+        sortBy(doc_id, chunk_idx) through an external table at
+        `out_dir/curated_serving` — the same Cassandra-partition-key
+        re-expression the gold tables use (materialize.py:60).  A
+        doc_id point lookup prunes to ONE bucket file
+        (SelectedBucketsCount in the scan), and every per-doc
+        aggregate/window/join clusters on a distribution the scan
+        already satisfies — zero Exchange at read time (plan-pinned in
+        tests/test_curation_pipeline.py).
+
+        Positioning: the generational `curated/` layout stays the
+        TRAINING-SCAN path (split-partition pruning, delta-cheap
+        maintenance); this is the audit/serving companion for "show me
+        this document's curated chunks" — provenance inspection, spot
+        checks, per-doc joins — where the generational layout would
+        pay a full scan plus the supersede join per lookup.  Re-run
+        after a finalize to refresh (one overwrite, priced like one
+        full read of the curated table; the one shuffle happens here,
+        at write time, so no read ever pays it)."""
+        view = curated_view(spark, self.out_dir)
+        path = os.path.join(self.out_dir, "curated_serving")
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        (
+            view.repartition(n_buckets, "doc_id")
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(n_buckets, "doc_id")
+            .sortBy("doc_id", "chunk_idx")
+            .option("path", path)
+            .saveAsTable(table)
+        )
+        return table
+
     def _committed_gens(self) -> list[int]:
         """Generations whose COMMIT marker (the finalize_state docs
         list, written last, with Spark's _SUCCESS) landed.  A crash

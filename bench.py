@@ -19,10 +19,36 @@ from real_time_financial_market_data_pipeline_spark.session import get_spark
 # Round each bench entry FIRST appeared in (round-8 VERDICT task 4):
 # cross-round comparisons need the comparable subset — the sum over
 # entries that already existed last round — computed IN the payload
-# instead of by hand from old BENCH_r*.json files.  Bump CURRENT_ROUND
-# when adding entries in a new round; unlisted entries default to
-# CURRENT_ROUND (i.e. new, excluded from the comparable total).
-CURRENT_ROUND = 10
+# instead of by hand from old BENCH_r*.json files.  Unlisted entries
+# default to CURRENT_ROUND (i.e. new, excluded from the comparable
+# total).
+
+
+def _derive_round() -> int:
+    """The current round number, DERIVED rather than hand-bumped
+    (round-12 VERDICT task 1: the hand-maintained constant silently
+    stayed at 10 through round 11, mislabeling the digest, skipping the
+    prev-round comparison, and clobbering the committed round-10 local
+    payload).  Resolution order: the BENCH_ROUND env var if set, else
+    max(N of committed BENCH_rNN.json) + 1 — the driver commits
+    BENCH_r{N}.json at the END of round N, so during round N+1 the
+    newest driver artifact is N."""
+    env = os.environ.get("BENCH_ROUND", "")
+    if env.isdigit():
+        return int(env)
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+CURRENT_ROUND = _derive_round()
 ENTRY_ROUNDS = {
     "asof_purchase_view": 1,
     "dedup_exact_docs": 1,
@@ -67,6 +93,7 @@ ENTRY_ROUNDS = {
     "span_internal_excise": 8,
     "curated_pipeline_drain": 9,
     "curated_pipeline_finalize": 9,
+    "curated_pipeline_delta_finalize": 10,
 }
 
 HEADLINE = [

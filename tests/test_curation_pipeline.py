@@ -609,9 +609,26 @@ def test_curated_view_ignores_uncommitted_generation(spark, tmp_path):
     pipe.finalize(spark)
     full = _sorted_rows(curated_view(spark, out))
 
-    # simulate the crash: delete gen 1's commit marker
+    # crash point A — after the docs marker, BEFORE the manifest write
+    # (round-12: the manifest is the last commit step): readers follow
+    # the stale-but-consistent manifest and see the PREVIOUS state; the
+    # writer sees the committed gen, and the next (no-op) finalize
+    # refreshes the manifest so readers catch up without a recompute
+    from real_time_financial_market_data_pipeline_spark.streaming.curation import (
+        _write_curated_manifest,
+    )
+
+    _write_curated_manifest(out, [0])
+    assert _sorted_rows(curated_view(spark, out)) == base  # stale, consistent
+    pipe.finalize(spark)  # delta finds nothing to redo; manifest refreshed
+    assert _sorted_rows(curated_view(spark, out)) == full
+
+    # crash point B — BEFORE the docs marker landed: gen 1 is invisible
+    # to writer and readers alike, and a re-run repairs it by
+    # recomputing the same delta
     marker = os.path.join(out, "finalize_state", "docs", "gen=1", "_SUCCESS")
     os.remove(marker)
+    _write_curated_manifest(out, [0])
     assert _sorted_rows(curated_view(spark, out)) == base  # rolled back
     pipe.finalize(spark)  # re-runs the same delta
     assert _sorted_rows(curated_view(spark, out)) == full
@@ -1147,3 +1164,116 @@ def test_finalize_gate_filter_reads_metrics_as_attributes(spark, tmp_path):
     # and the Filter consumes the attribute, not a re-inlined metric
     # expression (no aliasing inside a Filter line)
     assert all("AS quality#" not in lines[i] for i in gate)
+
+
+def test_fold_under_concurrent_reader_and_grace_sweep(spark, tmp_path):
+    """Round-12 VERDICT task 5: a reader evaluating curated_view WHILE
+    generations fold sees a complete committed state — never an error,
+    never a partial/mixed row set.  The fold tombstones superseded
+    generations instead of deleting them (their rows and markers stay
+    on disk for readers holding a pre-fold manifest) and the NEXT
+    finalize's grace sweep removes them; the reader's generation set
+    comes from one atomically-replaced manifest file."""
+    import threading
+
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+    from real_time_financial_market_data_pipeline_spark.streaming.curation import (
+        _committed_generations,
+        _read_curated_manifest,
+    )
+
+    feed, out = str(tmp_path / "feed"), str(tmp_path / "out")
+    texts = {
+        10: CARRIER_A, 11: CARRIER_B, 20: LONG_B, 30: DOC40,
+        40: DOC15, 41: DOC16, 50: INTERNAL, 60: DOC60,
+    }
+    ids = sorted(texts)
+    _write_feed(feed, [[{"doc_id": ids[0], "text": texts[ids[0]]}]])
+    # max_gens=2: every second finalize folds
+    pipe = CuratedCorpusPipeline(
+        out_dir=out, span_k=4, span_min_docs=2, curated_max_gens=2
+    )
+    q = pipe.start(read_doc_stream(spark, feed).select("doc_id", "text"))
+    assert q.awaitTermination(300)
+    pipe.finalize(spark)
+
+    stop = threading.Event()
+    errors: list[str] = []
+    observed: set[frozenset] = set()
+
+    def reader() -> None:
+        while not stop.is_set():
+            try:
+                docs = frozenset(
+                    r["doc_id"]
+                    for r in curated_view(spark, out).select("doc_id").collect()
+                )
+                observed.add(docs)
+            except Exception as exc:  # noqa: BLE001 — the assertion target
+                errors.append(f"{type(exc).__name__}: {exc}"[:500])
+                return
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    valid_states: list[set] = [set(ids[:1])]
+    try:
+        for i, doc_id in enumerate(ids[1:], start=1):
+            _write_feed(feed, [[{"doc_id": doc_id, "text": texts[doc_id]}]], prefix=f"b{i}")
+            q = pipe.start(read_doc_stream(spark, feed).select("doc_id", "text"))
+            assert q.awaitTermination(300)
+            pipe.finalize(spark)  # every 2nd call folds (max_gens=2)
+            valid_states.append(set(ids[: i + 1]))
+    finally:
+        stop.set()
+        t.join(timeout=120)
+    assert not errors, errors
+    # every observed doc set is exactly one committed cut state —
+    # nothing partial, nothing mixed across generations
+    assert observed, "reader never completed a read"
+    for docs in observed:
+        assert set(docs) in valid_states, (sorted(docs), valid_states)
+
+    # folds happened and the manifest tracks the writer's committed set
+    committed = _committed_generations(out)
+    assert committed and len(committed) <= 2
+    assert _read_curated_manifest(out) == committed
+
+    # grace mechanics: fold tombstones, next finalize sweeps.  Force one
+    # more fold and check the superseded gen survives until the cut after.
+    # (retention 0 = sweep at the very next cut; the reader phase above
+    # ran with the default retention so a slow read can span cycles)
+    pipe.fold_retention_sec = 0.0
+    import glob
+
+    pre = set(_committed_generations(out))
+    _write_feed(feed, [[{"doc_id": 90, "text": DOC3}]], prefix="z1")
+    q = pipe.start(read_doc_stream(spark, feed).select("doc_id", "text"))
+    assert q.awaitTermination(300)
+    pipe.finalize(spark)
+    now = _committed_generations(out)
+    on_disk = {
+        int(d.split("=")[1])
+        for d in glob.glob(os.path.join(out, "curated", "gen=*"))
+        for d in [os.path.basename(d)]
+    }
+    if len(pre) == 2:  # this cut folded: superseded gens still on disk
+        assert len(now) == 1
+        assert (pre | set(now)) <= on_disk
+        # ... and the following cut's grace sweep removes them
+        _write_feed(feed, [[{"doc_id": 91, "text": PRISTINE}]], prefix="z2")
+        q = pipe.start(read_doc_stream(spark, feed).select("doc_id", "text"))
+        assert q.awaitTermination(300)
+        pipe.finalize(spark)
+        manifest = set(_read_curated_manifest(out) or [])
+        swept = {
+            int(d.split("=")[1])
+            for d in os.listdir(os.path.join(out, "curated"))
+            if d.startswith("gen=")
+        }
+        assert swept <= (set(_committed_generations(out)) | manifest)
+        assert not (pre & swept)  # pre-fold gens are gone
+
+    # final content is the full corpus regardless of fold timing
+    expect = set(ids) | ({90, 91} if len(pre) == 2 else {90})
+    got = {r["doc_id"] for r in curated_view(spark, out).select("doc_id").collect()}
+    assert got == expect

@@ -81,6 +81,7 @@ from real_time_financial_market_data_pipeline_spark.operators.sampling import tr
 from real_time_financial_market_data_pipeline_spark.streaming.incremental import (
     IncrementalDedupJob,
     corpus_view,
+    span_postings_pruned as _postings_pruned_here,
     span_postings_view,
     span_stats_view,
     stored_span_k,
@@ -139,6 +140,17 @@ class CuratedCorpusPipeline:
     test_frac: float = 0.1
     # --- operations ---
     compact_every: int | None = 8
+    # Opt-in monotone doc_id ingest contract (round-12 VERDICT task 4):
+    # enforced per batch by the job; licenses finalize() to PRUNE the
+    # span-postings inverted index down to the not-yet-settled
+    # fingerprints after each cut (see prune_span_postings for the
+    # soundness argument).  Off = postings behavior exactly as before.
+    monotone_ids: bool = False
+    # Per-dir rewrite threshold for the postings prune: skip a rewrite
+    # when the removable fraction is below this (skipping is sound —
+    # see prune_span_postings).  Raise on skew-light corpora where the
+    # rewrite wouldn't pay for itself.
+    prune_min_removed_frac: float = 0.0
     # Fold curated generations (see finalize) into one when the
     # committed count exceeds this — bounds the per-read supersede
     # join and the directory listing, same motivation as compact_every.
@@ -175,6 +187,7 @@ class CuratedCorpusPipeline:
             internal_min_occurrences=self.internal_min_occurrences,
             span_postings=True,
             compact_every=self.compact_every,
+            monotone_ids=self.monotone_ids,
             trigger=self.trigger,
         )
 
@@ -462,6 +475,10 @@ class CuratedCorpusPipeline:
         if (
             cur_loc
             and os.path.isdir(cur_loc)
+            # the location must be one of THIS pipeline's snapshots — a
+            # same-named table serving a different corpus would
+            # otherwise donate its bucket files to the hardlink reuse
+            and os.path.dirname(os.path.normpath(cur_loc)) == os.path.normpath(root)
             and _table_bucket_spec(spark, table) == (n_buckets, ["doc_id"])
             and os.path.isfile(os.path.join(cur_loc, _SERVING_GENS_MARKER))
         ):
@@ -629,6 +646,12 @@ class CuratedCorpusPipeline:
         # Mirrors IncrementalDedupJob.start(); no-op (one listdir per
         # table) when nothing crashed.
         self.job().recover(spark)
+        if self.monotone_ids:
+            from real_time_financial_market_data_pipeline_spark.streaming.incremental import (
+                recover_pruned_postings,
+            )
+
+            recover_pruned_postings(self.out_dir)
         committed = self._committed_gens()
         postings_exist = os.path.isdir(
             os.path.join(self.out_dir, "index_spanpostings")
@@ -707,6 +730,22 @@ class CuratedCorpusPipeline:
         _write_curated_manifest(self.out_dir, committed + [gen])
         if len(committed) + 1 > self.curated_max_gens:
             self._fold_gens(spark)
+        # span-postings pruning (round-12 task 4): with the monotone-id
+        # contract, every fp in the JUST-COMMITTED snapshot is settled
+        # forever — drop its posting rows (one anti-join rewrite per
+        # batch dir, stream-stopped); the inverted index keeps only the
+        # not-yet-settled tail instead of full corpus history
+        if self.monotone_ids and postings_exist and not spans_now.isEmpty():
+            from real_time_financial_market_data_pipeline_spark.streaming.incremental import (
+                prune_span_postings,
+            )
+
+            prune_span_postings(
+                spark,
+                self.out_dir,
+                spans_now,
+                min_removed_frac=self.prune_min_removed_frac,
+            )
         return out_path
 
     def _sweep_stale_gens(self, committed: list[int]) -> None:
@@ -922,10 +961,19 @@ class CuratedCorpusPipeline:
             # boilerplate — and every early corpus — hits this)
             untouched = corpus
             corpus_sweep = None
-        elif os.path.isdir(os.path.join(self.out_dir, "index_spanpostings")):
+        elif os.path.isdir(os.path.join(self.out_dir, "index_spanpostings")) and (
+            doc_filter is not None or not _postings_pruned_here(self.out_dir)
+        ):
             # doc_ids holding any qualifying fp — small (the span-
             # bearing minority), materialized once for the semi/anti
-            # pair below
+            # pair below.  On a PRUNED corpus (monotone_ids pruning ran)
+            # this split is only sound for DELTA cuts: a redo doc always
+            # keeps at least one live posting row (new docs post-date
+            # the prune; changed fps never settle), but a FULL cut's
+            # old holders of settled fps are gone from the index — full
+            # cuts there take the full-sweep branch (corpus_sweep stays
+            # the whole corpus), trading refinalize cost for the bounded
+            # index (see prune_span_postings).
             affected = (
                 span_postings_view(spark, self.out_dir)
                 .join(spans.select("fp"), "fp")

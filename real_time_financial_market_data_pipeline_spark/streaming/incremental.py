@@ -196,6 +196,19 @@ class IncrementalDedupJob:
     # post-crash replay still overwrites only its own delta.  None
     # disables (compact() remains available stream-stopped).
     compact_every: int | None = None
+    # Opt-in MONOTONE doc_id ingest contract (round-12 VERDICT task 4):
+    # every batch's smallest doc_id must exceed every previously
+    # ingested id (enforced per batch against a crash-safe high-water
+    # mark; violation fails the stream).  What it buys: once a span fp
+    # qualifies, its min-(id, pos) representative can never move again
+    # (new docs only have LARGER ids), so the fp can never re-enter a
+    # delta finalize's changed set — its posting rows are DEAD for redo
+    # detection and prune_span_postings may delete them.  WITHOUT the
+    # contract that pruning is unsound (a later smaller-id doc moves
+    # the rep and the delta would miss the old holders), so the default
+    # keeps today's behavior exactly.  Lifetime-locked like every
+    # fingerprint-shaping setting.
+    monotone_ids: bool = False
     # Optional STATELESS per-batch preparation applied before anything
     # else (repair, decontamination, fingerprinting, dedup): batch_df
     # -> batch_df with the same doc_id/text contract.  Running it here
@@ -338,6 +351,7 @@ class IncrementalDedupJob:
             "internal_min_occurrences": (
                 self.internal_min_occurrences if self.repair_internal else None
             ),
+            "monotone_ids": self.monotone_ids,
         }
         marker = os.path.join(self.out_dir, _CORPUS_SPEC_MARKER)
         if os.path.exists(marker):
@@ -367,6 +381,9 @@ class IncrementalDedupJob:
                 "internal_k": None,
                 "internal_min_occurrences": None,
                 "span_postings": False,
+                # added round 12: corpora built before the flag existed
+                # never enforced (or relied on) monotone ids
+                "monotone_ids": False,
             }
             diffs = {
                 key: (prior.get(key, legacy_defaults.get(key)), spec[key])
@@ -438,6 +455,31 @@ class IncrementalDedupJob:
                 .filter(F.col("_idrn") == 1)
                 .drop("_idrn")
             )
+
+            # monotone-doc_id contract enforcement (round-12 task 4):
+            # one map-side min/max over the batch against the high-water
+            # mark.  Replay-safe: the mark is advanced only AFTER the
+            # batch's writes, keyed by batch_id — a replayed batch
+            # (batch_id <= mark's) skips the check (its ids were already
+            # admitted), and a crash before the mark update leaves the
+            # mark at the previous batch, so the re-run validates
+            # against exactly what the first run did.
+            mono_max = None
+            if self.monotone_ids:
+                wm = _read_monotone_watermark(self.out_dir)
+                row = batch_df.agg(
+                    F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+                ).first()
+                mono_max = row["mx"]
+                if wm is not None and batch_id > wm["batch_id"] and row["mn"] <= wm["max_id"]:
+                    raise ValueError(
+                        f"monotone_ids contract violated: batch {batch_id} "
+                        f"contains doc_id {row['mn']} <= previously ingested "
+                        f"max {wm['max_id']} — the span-postings pruning this "
+                        "contract licenses would silently miss redo docs; "
+                        "re-ingest with strictly increasing ids or rebuild "
+                        "the corpus with monotone_ids=False"
+                    )
 
             if self.pre_transform is not None:
                 batch_df = self.pre_transform(batch_df)
@@ -725,6 +767,17 @@ class IncrementalDedupJob:
                     os.path.join(self.out_dir, "index_sigs", f"batch_id={batch_id}")
                 )
 
+            # advance the monotone high-water mark only after every
+            # table write above landed (crash-before-here = re-run
+            # validates identically; see the check at batch entry)
+            if self.monotone_ids and mono_max is not None:
+                wm = _read_monotone_watermark(self.out_dir)
+                if wm is None or batch_id > wm["batch_id"]:
+                    prev = wm["max_id"] if wm is not None else mono_max
+                    _write_monotone_watermark(
+                        self.out_dir, batch_id, max(mono_max, prev)
+                    )
+
             # inline auto-compaction (round-9 VERDICT task 1): bound
             # the batch-dir count the next batches must list.  Safe
             # here — foreachBatch is serialized per query, and the
@@ -859,6 +912,138 @@ def span_postings_view(spark, out_dir: str) -> DataFrame:
             "span_postings=True (and at least one non-empty batch) first"
         )
     return spark.read.parquet(path).select("fp", "doc_id")
+
+
+_MONOTONE_WATERMARK = "_monotone_watermark.json"
+_POSTINGS_PRUNED_MARKER = "_pruned.json"
+
+
+def _read_monotone_watermark(out_dir: str) -> dict | None:
+    import json
+
+    try:
+        with open(os.path.join(out_dir, _MONOTONE_WATERMARK)) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def _write_monotone_watermark(out_dir: str, batch_id: int, max_id) -> None:
+    import json
+
+    path = os.path.join(out_dir, _MONOTONE_WATERMARK)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"batch_id": batch_id, "max_id": max_id}, fh)
+    os.replace(tmp, path)
+
+
+def span_postings_pruned(out_dir: str) -> bool:
+    """True when prune_span_postings ever removed rows from this corpus
+    — the signal for a FULL finalize cut to fall back to the full
+    fingerprint sweep (settled fps' old holders are no longer
+    discoverable through the postings; delta cuts stay posting-driven,
+    see prune_span_postings)."""
+    return os.path.isfile(
+        os.path.join(out_dir, "index_spanpostings", _POSTINGS_PRUNED_MARKER)
+    )
+
+
+def recover_pruned_postings(out_dir: str) -> None:
+    """Finish a prune rewrite a crash interrupted: for every staged
+    `_prune_inprog_<dir>` either publish it (the target dir already
+    moved aside) or discard it (the target is intact); stale trash is
+    always dropped.  One listdir when nothing crashed."""
+    import re
+    import shutil
+
+    path = os.path.join(out_dir, "index_spanpostings")
+    if not os.path.isdir(path):
+        return
+    for d in os.listdir(path):
+        m = re.fullmatch(r"_prune_inprog_(.+)", d)
+        if m:
+            target = os.path.join(path, m.group(1))
+            if os.path.isdir(target):
+                shutil.rmtree(os.path.join(path, d))
+            else:
+                os.rename(os.path.join(path, d), target)
+        elif re.fullmatch(r"_prune_trash_.+", d):
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
+
+def prune_span_postings(
+    spark, out_dir: str, settled: DataFrame, min_removed_frac: float = 0.0
+) -> int:
+    """Delete posting rows of SETTLED span fingerprints (round-12
+    VERDICT task 4) — sound ONLY under the monotone_ids ingest
+    contract, which the caller (CuratedCorpusPipeline.finalize) gates.
+
+    Why the rows are dead: `settled` is the qualifying span set of the
+    generation that just COMMITTED.  Under monotone ids a qualifying
+    fp's min-(id, pos) representative can never move (new docs only
+    have larger ids) and n_docs only grows, so the fp can never appear
+    in a later delta's changed set — the changed-fps -> postings join
+    (`_redo_docs`) will never look these rows up again.  The
+    posting-pruned excision split stays sound for DELTA cuts too: a
+    redo doc is either new (its posting rows were written after this
+    prune) or holds a changed fp (never settled, so never pruned) —
+    either way at least one live row classifies it affected, and the
+    excision itself re-fingerprints the doc's own text against the
+    full span set.  FULL cuts lose the split (old holders of settled
+    fps are no longer discoverable) — span_postings_pruned() marks the
+    corpus so finalize_frame falls back to the full sweep there.
+
+    Mechanics: per batch-partition rewrite through a staged-rename pair
+    (write `_prune_inprog_<d>` complete, move `<d>` aside, move staged
+    in, drop trash) — the same two-rename publish as the compaction
+    refold; recover_pruned_postings finishes a crashed swap.  Runs
+    stream-stopped.  Returns rows removed.
+
+    Cost control: each cut already pays one O(postings) SCAN for the
+    redo join, but a rewrite costs ~2-3x a scan, so a dir is only
+    rewritten when the removable fraction is at least
+    `min_removed_frac` (0 = any removal).  Skipping is always sound:
+    leftover settled rows are never looked up by the changed-fps join
+    and at worst classify a few extra docs onto the delta sweep path.
+    Size the threshold to the corpus's boilerplate skew — the rows
+    this prune targets are the heavy-tailed posting lists of
+    template/license spans (one fp shared by millions of docs); the
+    unique-window tail is irreducible by correctness (a sub-threshold
+    fp may still qualify later and must find its old holders)."""
+    import shutil
+
+    path = os.path.join(out_dir, "index_spanpostings")
+    if not os.path.isdir(path):
+        return 0
+    recover_pruned_postings(out_dir)
+    settled = settled.select("fp")
+    removed = 0
+    for d in sorted(os.listdir(path)):
+        if not d.startswith("batch_id="):
+            continue
+        full = os.path.join(path, d)
+        cur = spark.read.parquet(full)
+        keep = cur.join(settled, "fp", "left_anti")
+        n_before, n_after = cur.count(), keep.count()
+        if n_after == n_before or (
+            n_before and (n_before - n_after) / n_before < min_removed_frac
+        ):
+            continue
+        inprog = os.path.join(path, f"_prune_inprog_{d}")
+        trash = os.path.join(path, f"_prune_trash_{d}")
+        shutil.rmtree(inprog, ignore_errors=True)
+        keep.write.mode("overwrite").parquet(inprog)
+        os.rename(full, trash)
+        os.rename(inprog, full)
+        shutil.rmtree(trash)
+        removed += n_before - n_after
+    if removed:
+        import json
+
+        with open(os.path.join(path, _POSTINGS_PRUNED_MARKER), "w") as fh:
+            json.dump({"pruned": True}, fh)
+    return removed
 
 
 def common_spans_view(

@@ -6,7 +6,15 @@ streaming phase, finalize cost as the corpus grows, and the invariant
 set (clean / dup-free / byte-preserving) at full scale.
 
     python scripts/curation_scale.py [base_sf_dir] [out_json] \
-        [n_replicas] [n_batches] [legs] [curated_max_gens]
+        [n_replicas] [n_batches] [legs] [curated_max_gens] [monotone]
+
+Round-12 (VERDICT task 4): `monotone` (0/1, default 0) opts into the
+monotone-doc_id ingest contract — the generator's ids are already
+strictly increasing in drain order — so every finalize prunes the
+span-postings inverted index down to the not-yet-settled fps; each
+leg records `postings_rows` so a monotone-vs-default pair of runs
+shows the bounded-index claim with the same view ≡ recompute
+certification.
 
 Round-11 (VERDICT task 3): one finalize per leg, so legs = cuts; with
 legs >= 12 and curated_max_gens lowered (e.g. 5) at least two
@@ -67,10 +75,22 @@ BOILER = (
     "this material is provided as is without warranty of any kind "
     "express or implied"
 )
+# round-12: the boilerplate-HEAVY variant (argv[9]) carries a longer
+# license-style block — more qualifying windows per carrier, the
+# heavy-tailed posting lists prune_span_postings targets.  Distinct
+# sentences (no internal repeats) so keep-first repair never fires on it.
+BOILER_LONG = (
+    BOILER
+    + " redistribution and use in source and binary forms with or without"
+    " modification are permitted provided that the above copyright notice"
+    " and this permission notice appear in all copies of the software"
+)
+BOILER_EVERY = 5  # 1-in-N docs carry the block (argv[8])
 REPEAT = "chorus alpha beta gamma delta epsilon refrain"
 
 
-def make_corpus(spark, base_dir: str):
+def make_corpus(spark, base_dir: str, boiler_text: str = None):
+    boiler_text = BOILER if boiler_text is None else boiler_text
     docs = load_table(spark, base_dir, "documents").select("doc_id", "text")
     n_base = docs.count()
     parts = []
@@ -85,9 +105,12 @@ def make_corpus(spark, base_dir: str):
                 F.lit("$1"),
             ),
         )
-        boiler_carrier = F.pmod(F.xxhash64(F.col("doc_id") + F.lit(3 + i)), F.lit(5)) == 0
+        boiler_carrier = (
+            F.pmod(F.xxhash64(F.col("doc_id") + F.lit(3 + i)), F.lit(BOILER_EVERY))
+            == 0
+        )
         uniq_maybe_boiler = F.when(
-            boiler_carrier, F.concat_ws(" ", uniq, F.lit(BOILER))
+            boiler_carrier, F.concat_ws(" ", uniq, F.lit(boiler_text))
         ).otherwise(uniq)
         if i == 0:
             text = uniq_maybe_boiler  # replica 0: the originals (salted u0)
@@ -101,9 +124,12 @@ def make_corpus(spark, base_dir: str):
                     F.lit("$1"),
                 ),
             )
-            zero_boiler = F.pmod(F.xxhash64(F.col("doc_id") + F.lit(3)), F.lit(5)) == 0
+            zero_boiler = (
+                F.pmod(F.xxhash64(F.col("doc_id") + F.lit(3)), F.lit(BOILER_EVERY))
+                == 0
+            )
             zero_full = F.when(
-                zero_boiler, F.concat_ws(" ", zero_text, F.lit(BOILER))
+                zero_boiler, F.concat_ws(" ", zero_text, F.lit(boiler_text))
             ).otherwise(zero_text)
             text = (
                 F.when(sel == 0, zero_full)  # exact dup of replica 0
@@ -168,6 +194,11 @@ def main() -> None:
     if len(sys.argv) > 5:
         LEGS = int(sys.argv[5])
     curated_max_gens = int(sys.argv[6]) if len(sys.argv) > 6 else 8
+    monotone = bool(int(sys.argv[7])) if len(sys.argv) > 7 else False
+    global BOILER_EVERY
+    if len(sys.argv) > 8:
+        BOILER_EVERY = int(sys.argv[8])
+    long_boiler = bool(int(sys.argv[9])) if len(sys.argv) > 9 else False
     spark = get_spark(app_name="curation_scale")
     work = tempfile.mkdtemp(prefix="curation_scale_")
     feed, out = os.path.join(work, "feed"), os.path.join(work, "out")
@@ -177,7 +208,9 @@ def main() -> None:
             [(0, QUESTION + " choose the best answer")], "doc_id long, text string"
         )
         build_benchmark_span_index(bench_df, bench_dir, k=13)
-        corpus, n_base = make_corpus(spark, base)
+        corpus, n_base = make_corpus(
+            spark, base, BOILER_LONG if long_boiler else BOILER
+        )
         n_in = n_base * N_REPLICAS
         print(json.dumps({"input_docs": n_in, "batches": N_BATCHES}), flush=True)
 
@@ -190,6 +223,7 @@ def main() -> None:
             span_min_docs=5,
             compact_every=9,
             curated_max_gens=curated_max_gens,
+            monotone_ids=monotone,
         )
         durs: list[float] = []
         legs: list[dict] = []
@@ -255,6 +289,9 @@ def main() -> None:
                     "fold_fired": fold_fired,
                     "post_fold_diff_rows": fold_diff,
                     "curated_chunks": curated_view(spark, out).count(),
+                    "postings_rows": spark.read.parquet(
+                        os.path.join(out, "index_spanpostings")
+                    ).count(),
                 }
             )
             print(json.dumps(legs[-1]), flush=True)
@@ -300,6 +337,8 @@ def main() -> None:
             "invariant_clean_contaminated_chunks": n_contam,
             "invariant_duplicate_fingerprints": n_dup_fp,
             "full_recompute_s": full_recompute_s,
+            "monotone_ids": monotone,
+            "final_postings_rows": legs[-1]["postings_rows"],
             "view_vs_full_recompute_diff_rows": n_only_view + n_only_full,
         }
         print(json.dumps(summary), flush=True)

@@ -1277,3 +1277,111 @@ def test_fold_under_concurrent_reader_and_grace_sweep(spark, tmp_path):
     expect = set(ids) | ({90, 91} if len(pre) == 2 else {90})
     got = {r["doc_id"] for r in curated_view(spark, out).select("doc_id").collect()}
     assert got == expect
+
+
+def test_monotone_ids_postings_pruning_sound_and_bounded(spark, tmp_path):
+    """Round-12 VERDICT task 4: with the opt-in monotone-doc_id ingest
+    contract, finalize prunes the span-postings inverted index down to
+    the not-yet-settled fingerprints.  Twin corpora over identical
+    batches (A: monotone_ids=True, B: default) must stay row-identical
+    in curated_view after every cut — including the critical post-prune
+    scenario (a NEW doc holding an already-settled boilerplate fp must
+    still be excised, via its own post-prune posting rows) — while A's
+    postings table holds strictly fewer rows.  A full refinalize on the
+    pruned corpus falls back to the fingerprint sweep and stays
+    correct."""
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+    from real_time_financial_market_data_pipeline_spark.streaming.incremental import (
+        span_postings_pruned,
+        span_postings_view,
+    )
+
+    batches = [
+        [{"doc_id": 10, "text": CARRIER_A}, {"doc_id": 11, "text": CARRIER_B}],
+        [
+            {"doc_id": 20, "text": LONG_B},
+            {"doc_id": 21, "text": DOC15},
+            {"doc_id": 22, "text": DOC16},
+        ],
+        # doc 30 holds BOILER2, which SETTLED (qualified + pruned) at
+        # the previous cut — the post-prune excision scenario
+        [{"doc_id": 30, "text": "thirty late arrivals remark that " + BOILER2 + " matters for steady community growth and neighborly goodwill everywhere"}],
+    ]
+
+    def build(name: str, monotone: bool, finalize_each: bool) -> CuratedCorpusPipeline:
+        feed, out = str(tmp_path / f"{name}_feed"), str(tmp_path / f"{name}_out")
+        pipe = CuratedCorpusPipeline(
+            out_dir=out, span_k=4, span_min_docs=2, monotone_ids=monotone
+        )
+        for i, batch in enumerate(batches):
+            _write_feed(feed, [batch], prefix=f"b{i}")
+            q = pipe.start(
+                read_doc_stream(spark, feed, max_files_per_trigger=1).select(
+                    "doc_id", "text"
+                )
+            )
+            assert q.awaitTermination(300)
+            if finalize_each:
+                pipe.finalize(spark)
+        if not finalize_each:
+            pipe.finalize(spark)
+        return pipe
+
+    a = build("mono", monotone=True, finalize_each=True)
+    b = build("plain", monotone=False, finalize_each=True)
+    fresh = build("fresh", monotone=False, finalize_each=False)
+
+    rows_a = _sorted_rows(curated_view(spark, a.out_dir))
+    rows_b = _sorted_rows(curated_view(spark, b.out_dir))
+    rows_f = _sorted_rows(curated_view(spark, fresh.out_dir))
+    assert rows_a == rows_b == rows_f
+    # doc 30 WAS excised post-prune (BOILER2 removed)
+    d30 = [r for r in rows_a if r["doc_id"] == 30]
+    assert d30 and all(BOILER2 not in r["text"] for r in d30)
+    assert sum(r["excised_tokens"] for r in d30) > 0
+
+    # the pruned index is strictly smaller and marked
+    n_a = span_postings_view(spark, a.out_dir).count()
+    n_b = span_postings_view(spark, b.out_dir).count()
+    assert n_a < n_b, (n_a, n_b)
+    assert span_postings_pruned(a.out_dir)
+    assert not span_postings_pruned(b.out_dir)
+
+    # full cut on the pruned corpus: sweep fallback, still identical
+    a.refinalize(spark, quality_min=0.0)
+    b.refinalize(spark, quality_min=0.0)
+    assert _sorted_rows(curated_view(spark, a.out_dir)) == _sorted_rows(
+        curated_view(spark, b.out_dir)
+    )
+
+    # the contract is lifetime-locked like every index-shaping setting
+    import pytest
+
+    flipped = CuratedCorpusPipeline(
+        out_dir=a.out_dir, span_k=4, span_min_docs=2, monotone_ids=False
+    )
+    with pytest.raises(ValueError, match="lifetime"):
+        flipped.job()._validate_config()
+
+
+def test_monotone_ids_violation_fails_the_stream(spark, tmp_path):
+    """The monotone contract is ENFORCED, not assumed: a batch whose
+    smallest doc_id does not exceed the high-water mark fails the
+    stream (silently admitting it would make the postings pruning
+    unsound)."""
+    import pytest
+
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+
+    feed, out = str(tmp_path / "feed"), str(tmp_path / "out")
+    pipe = CuratedCorpusPipeline(
+        out_dir=out, span_k=4, span_min_docs=2, monotone_ids=True
+    )
+    _write_feed(feed, [[{"doc_id": 10, "text": CARRIER_A}]])
+    q = pipe.start(read_doc_stream(spark, feed).select("doc_id", "text"))
+    assert q.awaitTermination(300)
+
+    _write_feed(feed, [[{"doc_id": 5, "text": CARRIER_B}]], prefix="bad")
+    q = pipe.start(read_doc_stream(spark, feed).select("doc_id", "text"))
+    with pytest.raises(Exception, match="monotone_ids contract violated"):
+        q.awaitTermination(300)

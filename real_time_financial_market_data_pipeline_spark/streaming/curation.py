@@ -438,14 +438,18 @@ class CuratedCorpusPipeline:
           by generations committed AFTER the published snapshot
           (snapshot marker `_published_gens.json` vs the current commit
           markers; doc_id→bucket is Spark's own deterministic
-          pmod(murmur3, n)).  Untouched buckets' files are HARDLINKED
-          from the previous snapshot — zero read, shuffle, or write for
-          them (on an object store this is the manifest-reuse a
-          snapshot table format performs; the hardlink is the local-FS
-          analogue).  Correct because a bucket with no redo doc holds
-          exactly its old rows.  Requires the published marker's gens
-          to all still exist (a generation FOLD renumbers them → falls
-          back to full), and the same bucket spec.
+          pmod(murmur3, n)).  Inputs are DELTA-sized end to end: the
+          previous snapshot's affected-bucket FILES (minus the redo
+          docs' stale rows) plus the new generations' own row dirs —
+          the published majority is neither read, shuffled, nor
+          rewritten, and untouched buckets' files are HARDLINKED from
+          the previous snapshot (on an object store this is the
+          manifest-reuse a snapshot table format performs; the
+          hardlink is the local-FS analogue).  Correct because a
+          bucket with no redo doc holds exactly its old rows.
+          Requires the published marker's gens to all still exist (a
+          generation FOLD renumbers them → falls back to full), and
+          the same bucket spec.
         - "auto" (default): "delta" when eligible and the table is
           stale, no-op when already fresh, else "full"."""
         import json
@@ -512,27 +516,73 @@ class CuratedCorpusPipeline:
                 spark, curated_view(spark, self.out_dir), table, n_buckets, inprog
             )
         else:
-            # buckets holding any re-curated doc (Spark's bucket id IS
-            # pmod(murmur3(doc_id), n) — pinned by the content test)
+            # DELTA inputs only — no full-view read, no supersede join
+            # over the published majority:
+            #   redo docs + affected buckets  <- the new gens' docs lists
+            #   old rows of affected buckets  <- the previous snapshot's
+            #       affected-bucket FILES (a file read sized to the
+            #       affected slice), minus the redo docs' stale rows
+            #   fresh rows                    <- the new generations' own
+            #       row dirs, latest-new-gen-per-doc (a doc re-curated
+            #       twice since the publish takes its newest rows; a doc
+            #       GATED OUT appears in the docs list with no rows and
+            #       is correctly dropped)
+            redo = _docs_lists(spark, self.out_dir, new_gens).distinct()
             bucket_of = F.pmod(F.hash("doc_id"), F.lit(n_buckets))
             affected = sorted(
-                r["b"]
-                for r in _docs_lists(spark, self.out_dir, new_gens)
-                .select(bucket_of.alias("b"))
-                .distinct()
-                .collect()
+                r["b"] for r in redo.select(bucket_of.alias("b")).distinct().collect()
             )
+            kept = set(affected)
+            prev_files = [
+                os.path.join(cur_loc, f)
+                for f in os.listdir(cur_loc)
+                if (m := re.search(r"_(\d{5})\.c.*\.parquet$", f))
+                and int(m.group(1)) in kept
+            ]
+            keep_old = (
+                spark.read.parquet(*prev_files).join(redo, "doc_id", "left_anti")
+                if prev_files
+                else None
+            )
+            cur_dir = self.curated_dir()
+            # a committed gen whose redo docs were ALL gated out (or
+            # deduped away) has a marker but zero data files — parquet
+            # schema inference would fail on it; its docs still count
+            # as redo (their stale rows must leave keep_old)
+            data_gens = [
+                g
+                for g in new_gens
+                if any(
+                    f.endswith(".parquet")
+                    for _r, _d, fs in os.walk(os.path.join(cur_dir, f"gen={g}"))
+                    for f in fs
+                )
+            ]
+            fresh = None
+            if data_gens:
+                last = (
+                    _docs_lists(spark, self.out_dir, new_gens, with_gen=True)
+                    .groupBy("doc_id")
+                    .agg(F.max("_lg").alias("_lg"))
+                )
+                fresh = (
+                    spark.read.option("basePath", cur_dir)
+                    .parquet(*[os.path.join(cur_dir, f"gen={g}") for g in data_gens])
+                    .join(last, "doc_id")
+                    .filter(F.col("gen") == F.col("_lg"))
+                    .drop("gen", "_lg")
+                )
+            if keep_old is not None and fresh is not None:
+                assembled = keep_old.unionByName(fresh)
+            else:
+                assembled = fresh if fresh is not None else keep_old
             tmpdir = os.path.join(root, "_publish_delta_tmp")
             shutil.rmtree(tmpdir, ignore_errors=True)
-            self._write_serving_snapshot(
-                spark,
-                curated_view(spark, self.out_dir).filter(bucket_of.isin(affected)),
-                table,
-                n_buckets,
-                tmpdir,
-            )
+            if assembled is not None:
+                self._write_serving_snapshot(spark, assembled, table, n_buckets, tmpdir)
+            else:
+                os.makedirs(tmpdir)  # affected buckets are legitimately empty
             os.makedirs(inprog)
-            kept = set(affected)
             for f in os.listdir(cur_loc):  # untouched buckets: reuse files
                 m = re.search(r"_(\d{5})\.c.*\.parquet$", f)
                 if m and int(m.group(1)) not in kept:

@@ -1385,3 +1385,93 @@ def test_monotone_ids_violation_fails_the_stream(spark, tmp_path):
     q = pipe.start(read_doc_stream(spark, feed).select("doc_id", "text"))
     with pytest.raises(Exception, match="monotone_ids contract violated"):
         q.awaitTermination(300)
+
+
+def test_publish_and_prune_crash_recovery_paths(spark, tmp_path):
+    """Round-12 crash-path pins for the new protocols:
+    (a) a crashed publish leaves only `_publish_inprog` debris — the
+        live table keeps serving and the next publish clears it;
+    (b) a prune swap interrupted between its two renames (batch dir
+        moved aside, staged dir not yet in) is finished by
+        recover_pruned_postings — no posting rows are lost;
+    (c) a stale staged prune dir whose target is intact is discarded."""
+    import shutil
+
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+    from real_time_financial_market_data_pipeline_spark.streaming.incremental import (
+        recover_pruned_postings,
+        span_postings_view,
+    )
+
+    pipe = _publish_pipe(spark, tmp_path, "crashpub")
+    table = "crashpub_serving_t"
+    pipe.publish_bucketed(spark, table=table, n_buckets=4)
+    before = sorted(
+        (r["doc_id"], r["chunk_idx"]) for r in spark.table(table).collect()
+    )
+
+    # (a) crash mid-publish: staged dir exists, catalog untouched
+    root = pipe._serving_root(table)
+    inprog = os.path.join(root, "_publish_inprog")
+    os.makedirs(inprog, exist_ok=True)
+    with open(os.path.join(inprog, "partial.parquet"), "w") as fh:
+        fh.write("garbage")  # half-written debris
+    assert sorted(
+        (r["doc_id"], r["chunk_idx"]) for r in spark.table(table).collect()
+    ) == before  # reader unaffected by the debris
+    pipe.publish_bucketed(spark, table=table, n_buckets=4, mode="full")
+    assert not os.path.exists(os.path.join(inprog, "partial.parquet"))
+    assert sorted(
+        (r["doc_id"], r["chunk_idx"]) for r in spark.table(table).collect()
+    ) == before
+
+    # (b)+(c): prune-swap recovery on the postings table
+    mono = CuratedCorpusPipeline(
+        out_dir=str(tmp_path / "mono_out"), span_k=4, span_min_docs=2,
+        monotone_ids=True,
+    )
+    feed = str(tmp_path / "mono_feed")
+    _write_feed(
+        feed,
+        [[{"doc_id": 10, "text": CARRIER_A}, {"doc_id": 11, "text": CARRIER_B},
+          {"doc_id": 20, "text": LONG_B}]],
+    )
+    q = mono.start(read_doc_stream(spark, feed).select("doc_id", "text"))
+    assert q.awaitTermination(300)
+    mono.finalize(spark)  # commits + prunes (BOILER settles)
+    post = os.path.join(mono.out_dir, "index_spanpostings")
+    n_rows = span_postings_view(spark, mono.out_dir).count()
+    dirs = [d for d in os.listdir(post) if d.startswith("batch_id=")]
+    assert dirs
+    d = dirs[0]
+    # simulate the crash between the two renames: target moved aside,
+    # staged dir holds the full rewrite
+    shutil.copytree(os.path.join(post, d), os.path.join(post, f"_prune_inprog_{d}"))
+    shutil.move(os.path.join(post, d), os.path.join(post, f"_prune_trash_{d}"))
+    recover_pruned_postings(mono.out_dir)
+    assert os.path.isdir(os.path.join(post, d))
+    assert not os.path.isdir(os.path.join(post, f"_prune_trash_{d}"))
+    assert span_postings_view(spark, mono.out_dir).count() == n_rows
+    # (c) stale staged dir with intact target: discarded
+    shutil.copytree(os.path.join(post, d), os.path.join(post, f"_prune_inprog_{d}"))
+    recover_pruned_postings(mono.out_dir)
+    assert not os.path.isdir(os.path.join(post, f"_prune_inprog_{d}"))
+    assert span_postings_view(spark, mono.out_dir).count() == n_rows
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+
+
+def test_delta_publish_after_refinalize_full_cut(spark, tmp_path):
+    """A refinalize (full cut) commits a generation whose docs list is
+    the WHOLE corpus — a following delta publish must classify every
+    bucket affected and rebuild them all from the new generation's
+    rows, landing exactly curated_view under the new policy."""
+    pipe = _publish_pipe(spark, tmp_path, "refpub")
+    table = "refpub_serving_t"
+    pipe.publish_bucketed(spark, table=table, n_buckets=4)
+    pipe.refinalize(spark, quality_min=0.0)
+    pipe.publish_bucketed(spark, table=table, n_buckets=4, mode="delta")
+    key = lambda r: (r["doc_id"], r["chunk_idx"])  # noqa: E731
+    assert sorted((r.asDict() for r in spark.table(table).collect()), key=key) == sorted(
+        (r.asDict() for r in curated_view(spark, pipe.out_dir).collect()), key=key
+    )
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")

@@ -115,7 +115,14 @@ class MedallionStreamJob:
             if os.path.isdir(path):
                 bound = committed_fold_bound(path, self._gold_commit_logs(layer))
                 folded += compact_latest_state(
-                    spark, path, list(self.GOLD_KEYS), only_below=bound
+                    spark,
+                    path,
+                    list(self.GOLD_KEYS),
+                    only_below=bound,
+                    # dashboard readers poll these layers: leave the
+                    # superseded dirs visible (per-key-latest resolves
+                    # them away) until the next compact's grace cleanup
+                    defer_retire=True,
                 )
         return folded
 
@@ -501,6 +508,10 @@ class QuoteEnrichJob:
             list(self.BEST_QUOTE_KEYS),
             only_below=bound,
             resolve=_resolve_best_quote,
+            # max_by re-reduce is idempotent under re-inclusion of
+            # superseded partials: grace-defer their deletion for
+            # concurrent best_quote_view readers
+            defer_retire=True,
         )
 
     def start(
@@ -630,7 +641,20 @@ class QuoteEnrichJob:
 def best_quote_view(spark, out_dir: str) -> DataFrame:
     """Serving view over QuoteEnrichJob's best_quote layer: per-batch
     partial maxima re-reduced to the global best quote per trade."""
-    return _resolve_best_quote(spark.read.parquet(os.path.join(out_dir, "best_quote")))
+    # polling-reader posture: with the snapshot-visible-first deferred
+    # retirement (compact_best_quote defer_retire=True), any file set a
+    # concurrent compaction removes mid-read is fully superseded by
+    # files this read retains — ignoreMissingFiles turns the race into
+    # a consistent prior-or-current state instead of a FAILED_READ_FILE.
+    # Residual contract: DataFrame CONSTRUCTION (schema inference reads
+    # one footer before scan options apply) can still transiently race
+    # a retirement rename — callers that poll should retry construction;
+    # a successfully constructed frame always resolves consistently.
+    return _resolve_best_quote(
+        spark.read.option("ignoreMissingFiles", "true").parquet(
+            os.path.join(out_dir, "best_quote")
+        )
+    )
 
 
 @dataclass
@@ -687,7 +711,12 @@ class LatestPricesStreamJob:
             self.table_dir(), os.path.join(self.checkpoints(), "latest_prices")
         )
         return compact_latest_state(
-            spark, self.table_dir(), list(self.KEYS), only_below=bound
+            spark,
+            self.table_dir(),
+            list(self.KEYS),
+            only_below=bound,
+            # Q8 dashboards poll this layer: grace-defer retirement
+            defer_retire=True,
         )
 
     def publish_bucketed(
@@ -765,4 +794,9 @@ def latest_prices_view(spark, out_dir: str) -> DataFrame:
     path = os.path.join(out_dir, "latest_prices")
     if not os.path.isdir(path):
         return spark.createDataFrame([], LATEST_OUTPUT_SCHEMA)
-    return latest_state_on_read(spark.read.parquet(path), ["symbol"])
+    # polling-reader posture (see best_quote_view): superseded files a
+    # concurrent deferred-retirement compaction removes mid-read are
+    # covered by the snapshot this read retains
+    return latest_state_on_read(
+        spark.read.option("ignoreMissingFiles", "true").parquet(path), ["symbol"]
+    )

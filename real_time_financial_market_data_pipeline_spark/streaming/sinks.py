@@ -303,15 +303,18 @@ def finish_staged_compaction(
     publish phase was interrupted by a crash — call at STREAM START,
     before the first history read (round-10 ADVICE).
 
-    The hazard: `compact_latest_state`'s publish phase deletes the old
-    `batch_id=` dirs BEFORE renaming the staged snapshot in.  A crash in
-    that window leaves the only complete copy of the folded history in
-    an underscore-prefixed `_compact_staged_*` dir — invisible to
-    parquet readers.  For a plain update-mode sink that's a stale read
-    until the next cadence point; for `IncrementalDedupJob` it's
-    CORRUPTING: the restarted stream replays the uncommitted batch,
-    whose `_read_prior` then dedups against incomplete history, and
-    duplicates of folded docs permanently enter the corpus.
+    The hazard: a crash inside `compact_latest_state`'s publish phase
+    can leave the folded history underscore-staged (invisible to
+    parquet readers) or mid-retirement (pending marker present).  For
+    a plain update-mode sink that's a stale read until the next
+    cadence point; for `IncrementalDedupJob` it's CORRUPTING: the
+    restarted stream replays the uncommitted batch, whose
+    `_read_prior` then dedups against incomplete history, and
+    duplicates of folded docs permanently enter the corpus.  (Since
+    round 12 the publish is snapshot-visible-FIRST with a resumable
+    pending marker, which shrinks the invisible-history window to the
+    pre-rename instant — but the stale-read/incomplete-history hazard
+    at a crash point is the same, hence this start()-time recovery.)
 
     Delegates to `compact_latest_state`, whose staged-marker handling
     already implements the two safe outcomes (finish the publish, or
@@ -323,7 +326,10 @@ def finish_staged_compaction(
     """
     if not os.path.isdir(path):
         return False
-    if not any(d.startswith("_compact_staged_") for d in os.listdir(path)):
+    if not any(
+        d.startswith("_compact_staged_") or d == _PUBLISH_PENDING
+        for d in os.listdir(path)
+    ):
         return False
     bound = committed_fold_bound(path, commit_log_dirs)
     compact_latest_state(spark, path, key_cols, only_below=bound, resolve=resolve)
@@ -337,6 +343,7 @@ def compact_latest_state(
     only_below: int | None = None,
     resolve: Callable[[DataFrame], DataFrame] | None = None,
     snapshot_writer: Callable[[DataFrame, str], None] | None = None,
+    defer_retire: bool = False,
 ) -> int:
     """Fold an update-mode sink's accumulated `batch_id=<n>` emission
     directories into ONE resolved snapshot directory (per-key latest by
@@ -355,17 +362,37 @@ def compact_latest_state(
          then atomically rename it to `_compact_staged_<maxid>` —
          underscore-prefixed dirs are invisible to parquet readers, and
          the rename is the completeness marker;
-      2. publish: delete the old batch_id dirs, rename the staged dir to
-         `batch_id=<maxid>`.
+      2. publish (round-12: SNAPSHOT-VISIBLE-FIRST): write the
+         `_compact_publish_pending.json` marker, move the ORIGINAL
+         `batch_id=<maxid>` dir aside, rename the staged dir to
+         `batch_id=<maxid>`, then retire every older batch dir via
+         rename into `_compact_retired` (invisible; µs per dir) and
+         delete the marker + retired dirs last.
+    Why visible-first: the pre-round-12 order (delete old dirs, THEN
+    rename the snapshot in) had a window where the only complete copy
+    of history sat in an invisible dir — a concurrent dashboard
+    reader's listing mid-publish saw a partial (or empty) dir set.
+    Now a listing at ANY instant resolves to a consistent state for
+    the upsert/idempotent-resolve sinks readers actually poll: old
+    dirs + the new snapshot resolve to the snapshot (per-key latest
+    by batch_id; the snapshot carries the max id), and the one-rename
+    window around `batch_id=<maxid>` yields the as-of-previous-batch
+    state.  (Sum-of-partials tables — index_spanfps — remain
+    single-owner/stream-stopped reads by contract: a mid-publish
+    merge there would transiently double-count; nothing reads them
+    concurrently.)
     A crash in phase 1 leaves the table untouched (partial staging is
-    never marked complete); a re-run after a crash in phase 2 detects
-    the staged marker, skips recompute, and finishes the deletes+rename —
-    UNLESS batches landed after the crash (the stream was restarted before
-    the compaction re-run, appending batch_id dirs above the staged
-    max_id). A staged snapshot only covers batches ≤ its max_id, so in
-    that case the stale stage is discarded and the snapshot recomputed
-    over everything currently on disk; finishing the stale publish would
-    delete the newer dirs and permanently lose their updates.
+    never marked complete).  A crash anywhere in phase 2 leaves the
+    pending marker, and the next call (or finish_staged_compaction at
+    stream start) RESUMES the same publish exactly — never a refold,
+    so exact-reduce resolves cannot double-count retired dirs.  A
+    staged snapshot WITHOUT a pending marker follows the old rules:
+    finish it, unless batches landed after the crash (stream restarted
+    before the re-run) — a stale stage only covers batches ≤ its
+    max_id, so it is discarded and recomputed; its publish would
+    retire nothing it doesn't cover (dirs above max_id survive), but
+    the recompute folds everything in one pass instead of leaving a
+    two-dir layout.
 
     `resolve` overrides the fold's reduction: it receives the combined
     frame (with `batch_id`) and returns the resolved snapshot rows.  The
@@ -403,6 +430,29 @@ def compact_latest_state(
             if re.fullmatch(r"batch_id=\d+", d) and _in_scope(int(d.split("=")[1]))
         ]
 
+    # grace cleanup: delete the superseded dirs a PREVIOUS deferred
+    # publish left visible (see defer_retire below) — they have had a
+    # full compaction cadence for in-flight readers to finish.  Runs
+    # unconditionally so flavors compose (e.g. a deferred latest-prices
+    # compact followed by the bucketed publish, which requires a
+    # single-snapshot layout).
+    for d in _read_retire_pending(path):
+        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    _clear_retire_pending(path)
+
+    # resume a publish a crash interrupted (pending marker present):
+    # the staged snapshot (if any) goes visible and the superseded dirs
+    # retire — never a refold, see the protocol note above
+    pending_max = _read_publish_pending(path)
+    if pending_max is not None:
+        staged = [d for d in os.listdir(path) if d.startswith("_compact_staged_")]
+        _finish_publish(
+            path,
+            pending_max,
+            os.path.join(path, staged[0]) if staged else None,
+            defer_retire=defer_retire,
+        )
+
     staged = [d for d in os.listdir(path) if d.startswith("_compact_staged_")]
     if staged:
         staged_max = int(staged[0].rsplit("_", 1)[-1])
@@ -436,11 +486,114 @@ def compact_latest_state(
         staged_dir = os.path.join(path, f"_compact_staged_{max_id}")
         os.rename(inprog, staged_dir)  # atomic completeness marker
 
+    _write_publish_pending(path, max_id)
+    return _finish_publish(path, max_id, staged_dir, defer_retire=defer_retire)
+
+
+_PUBLISH_PENDING = "_compact_publish_pending.json"
+_RETIRE_PENDING = "_compact_retire_pending.json"
+
+
+def _read_retire_pending(path: str) -> list[str]:
+    import json
+
+    try:
+        with open(os.path.join(path, _RETIRE_PENDING)) as fh:
+            return [str(d) for d in json.load(fh)["dirs"]]
+    except (OSError, ValueError, KeyError):
+        return []
+
+
+def _clear_retire_pending(path: str) -> None:
+    try:
+        os.remove(os.path.join(path, _RETIRE_PENDING))
+    except OSError:
+        pass
+
+
+def _read_publish_pending(path: str) -> int | None:
+    import json
+
+    try:
+        with open(os.path.join(path, _PUBLISH_PENDING)) as fh:
+            return int(json.load(fh)["max_id"])
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def _write_publish_pending(path: str, max_id: int) -> None:
+    import json
+
+    marker = os.path.join(path, _PUBLISH_PENDING)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"max_id": max_id}, fh)
+    os.replace(tmp, marker)
+
+
+def _finish_publish(
+    path: str, max_id: int, staged_dir: str | None, defer_retire: bool = False
+) -> int:
+    """The resumable publish phase of compact_latest_state (see its
+    protocol note): make the staged snapshot visible as
+    `batch_id=<max_id>`, then retire every older batch dir — either
+    immediately (rename into the invisible `_compact_retired`, delete)
+    or, with `defer_retire`, by LEAVING them visible and recording them
+    in `_compact_retire_pending.json` for the NEXT compaction's grace
+    cleanup.  Deferral is sound ONLY for idempotent resolves (per-key
+    latest / max re-reduce): superseded dirs + the snapshot resolve to
+    exactly the snapshot, so a reader that listed the directory at ANY
+    instant keeps every file it saw for a full compaction cadence — the
+    same grace-retention pattern as the curated table's fold.  Sum-of-
+    partials tables must keep immediate retirement (their single-owner
+    read contract already excludes concurrent readers).  Every step is
+    idempotent under re-run from the pending marker; dirs above max_id
+    (the uncommitted tail, or batches appended after a crash) are never
+    touched."""
+    import json
+    import re
+    import shutil
+
+    retired = os.path.join(path, "_compact_retired")
+    tgt = os.path.join(path, f"batch_id={max_id}")
+    if staged_dir is None and not os.path.isdir(tgt):
+        # unreachable by the protocol (the marker is written while the
+        # staged dir exists; it only vanishes by becoming tgt) — but if
+        # external tampering produced it, retiring anything would lose
+        # the only copy: drop the marker and do nothing
+        try:
+            os.remove(os.path.join(path, _PUBLISH_PENDING))
+        except OSError:
+            pass
+        return 0
+    shutil.rmtree(retired, ignore_errors=True)
+    os.makedirs(retired)
     folded = 0
-    for d in _scoped_dirs():
-        shutil.rmtree(os.path.join(path, d))
-        folded += 1
-    os.rename(staged_dir, os.path.join(path, f"batch_id={max_id}"))
+    if staged_dir is not None and os.path.isdir(staged_dir):
+        if os.path.isdir(tgt):  # the ORIGINAL max dir: superseded
+            os.rename(tgt, os.path.join(retired, f"batch_id={max_id}.orig"))
+            folded += 1
+        os.rename(staged_dir, tgt)  # the snapshot goes VISIBLE here
+    older = [
+        d
+        for d in os.listdir(path)
+        if (m := re.fullmatch(r"batch_id=(\d+)", d)) and int(m.group(1)) < max_id
+    ]
+    if defer_retire:
+        tmp = os.path.join(path, _RETIRE_PENDING + ".tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"dirs": older}, fh)
+        os.replace(tmp, os.path.join(path, _RETIRE_PENDING))
+        folded += len(older)
+    else:
+        for d in older:
+            os.rename(os.path.join(path, d), os.path.join(retired, d))
+            folded += 1
+    try:
+        os.remove(os.path.join(path, _PUBLISH_PENDING))
+    except OSError:
+        pass
+    shutil.rmtree(retired, ignore_errors=True)
     return folded
 
 

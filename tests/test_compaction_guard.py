@@ -152,7 +152,10 @@ def test_compact_gold_with_uncommitted_tail_survives_replay(spark, tmp_path):
     ) == expected
 
     # commit log complete again: a follow-up compact folds fully
+    # (deferred retirement: the superseded dirs stay VISIBLE — and
+    # resolve away — until the NEXT compact's grace cleanup)
     assert job.compact_gold(spark) > 0
+    job.compact_gold(spark)  # grace cleanup collapses the layout
     assert len(_batch_ids(gold_dir)) == 1
     assert _sorted_rows(
         latest_state_on_read(spark.read.parquet(gold_dir), keys)
@@ -204,6 +207,7 @@ def test_compact_best_quote_with_uncommitted_tail_survives_replay(spark, tmp_pat
     assert _sorted_rows(best_quote_view(spark, out)) == expected
 
     assert job.compact_best_quote(spark) > 0
+    job.compact_best_quote(spark)  # grace cleanup collapses the layout
     assert len(_batch_ids(best_dir)) == 1
     assert _sorted_rows(best_quote_view(spark, out)) == expected
 
@@ -250,6 +254,7 @@ def test_latest_prices_compact_with_uncommitted_tail_survives_replay(spark, tmp_
     assert _sorted_rows(latest_prices_view(spark, out)) == expected
 
     assert job.compact(spark) > 0
+    job.compact(spark)  # grace cleanup collapses the layout
     assert len(_batch_ids(table_dir)) == 1
     assert _sorted_rows(latest_prices_view(spark, out)) == expected
 
@@ -359,8 +364,12 @@ def test_staged_recovery_respects_uncommitted_tail(spark, tmp_path):
 
 
 def _crash_mid_publish(monkeypatch, compact_call):
-    """Drive the real compaction into the publish-rename hazard window:
-    old batch dirs deleted, staged snapshot not yet renamed in."""
+    """Drive the real compaction into the publish-rename hazard window.
+    Round-12 snapshot-visible-first shape: the pending marker is down,
+    the ORIGINAL max dir is retired aside, the staged snapshot has not
+    yet been renamed visible — older batch dirs are still readable (a
+    concurrent reader sees the consistent as-of-previous-batch state,
+    no longer an empty dir set)."""
     real_rename = os.rename
 
     def crashing_rename(src, dst):
@@ -413,7 +422,10 @@ def test_quote_enrich_start_recovers_crashed_compaction(spark, tmp_path, monkeyp
     _crash_mid_publish(monkeypatch, lambda: job.compact_best_quote(spark))
     dirs = os.listdir(best_dir)
     assert any(d.startswith("_compact_staged_") for d in dirs), dirs
-    assert not _batch_ids(best_dir), dirs  # history invisible
+    # round-12 crash shape: publish pending, original max dir retired
+    # aside, OLDER batches still visible (consistent prior state)
+    assert "_compact_publish_pending.json" in dirs, dirs
+    assert max(_batch_ids(best_dir), default=-1) < 2, dirs
 
     job = drain()  # restart: recovery must run BEFORE the stream
     assert not any(
@@ -456,7 +468,9 @@ def test_latest_prices_start_recovers_crashed_manual_compact(spark, tmp_path, mo
     assert any(
         d.startswith("_compact_staged_") for d in os.listdir(table_dir)
     )
-    assert not _batch_ids(table_dir)
+    # round-12 crash shape: pending marker down, original max dir
+    # retired aside, older batches still visible
+    assert "_compact_publish_pending.json" in os.listdir(table_dir)
 
     # restart with NEW data for a different symbol: pre-round-10 the
     # new batch would land above the stage and the stale-check would
@@ -472,3 +486,129 @@ def test_latest_prices_start_recovers_crashed_manual_compact(spark, tmp_path, mo
     assert set(rows) == {"AAPL", "MSFT", "NVDA"}
     for sym, row in {r[0]: r for r in expected}.items():
         assert rows[sym] == row
+
+
+def test_compact_under_concurrent_reader_consistent_states(spark, tmp_path):
+    """Round-12 snapshot-visible-first publish: a dashboard reader
+    polling latest_state_on_read THROUGH repeated compactions always
+    resolves to a consistent per-key-latest state (the value of some
+    batch prefix), never an error and never an empty/partial mix — the
+    old delete-then-rename order had a window where the only complete
+    history sat in an invisible staged dir."""
+    import threading
+
+    from real_time_financial_market_data_pipeline_spark.streaming.sinks import (
+        compact_latest_state,
+        latest_state_on_read,
+    )
+
+    path = str(tmp_path / "layer")
+
+    def write_batch(i: int) -> None:
+        spark.createDataFrame(
+            [("AAPL", float(100 + i))], "symbol string, price double"
+        ).write.mode("overwrite").parquet(os.path.join(path, f"batch_id={i}"))
+
+    for i in range(6):
+        write_batch(i)
+
+    stop = threading.Event()
+    errors: list[str] = []
+    seen: set[float] = set()
+
+    def reader() -> None:
+        while not stop.is_set():
+            # CONSTRUCTION may transiently race a retirement rename
+            # (schema inference samples one footer before the scan
+            # options apply) — that phase is retryable by contract.
+            # RESOLUTION (the collect) must never fail and must always
+            # be a consistent state: the scan holds ignoreMissingFiles
+            # and every file set it can lose is superseded by files it
+            # keeps.
+            df = None
+            for _ in range(5):
+                try:
+                    df = spark.read.option("ignoreMissingFiles", "true").parquet(path)
+                    break
+                except Exception:  # noqa: BLE001 — construction retry
+                    continue
+            if df is None:
+                errors.append("construction failed 5x in a row")
+                return
+            try:
+                rows = latest_state_on_read(df, ["symbol"]).collect()
+                assert len(rows) == 1
+                seen.add(rows[0]["price"])
+            except Exception as exc:  # noqa: BLE001 — the assertion target
+                errors.append(f"{type(exc).__name__}: {exc}"[:300])
+                return
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    try:
+        # dashboard posture: superseded dirs stay visible (resolved
+        # away by per-key latest) until the NEXT compact's grace
+        # cleanup — a reader's listing at any instant stays readable
+        compact_latest_state(spark, path, ["symbol"], defer_retire=True)
+        for round_start in (6, 10):
+            for i in range(round_start, round_start + 4):
+                write_batch(i)
+            compact_latest_state(spark, path, ["symbol"], defer_retire=True)
+    finally:
+        stop.set()
+        t.join(timeout=120)
+    assert not errors, errors
+    assert seen, "reader never completed a read"
+    valid = {float(100 + i) for i in range(14)}
+    assert seen <= valid, (sorted(seen), "non-prefix state observed")
+    assert os.path.exists(os.path.join(path, "batch_id=13"))
+
+
+def test_crashed_retire_resumes_without_refold_double_count(spark, tmp_path, monkeypatch):
+    """A crash DURING the retire loop (snapshot already visible, some
+    superseded dirs still on disk, pending marker down) must RESUME the
+    same publish — not refold.  With an exact-reduce resolve (sum of
+    partials, the index_spanfps shape) a refold over snapshot + leftover
+    partials would silently double-count; the pending marker prevents
+    it."""
+    from pyspark.sql import functions as F
+
+    from real_time_financial_market_data_pipeline_spark.streaming.sinks import (
+        compact_latest_state,
+    )
+
+    path = str(tmp_path / "partials")
+    for i in range(3):  # three partial dirs: key "a" contributes 1 each
+        spark.createDataFrame([("a", 1)], "k string, n int").write.parquet(
+            os.path.join(path, f"batch_id={i}")
+        )
+
+    def sum_resolve(combined):
+        return combined.groupBy("k").agg(F.sum("n").cast("int").alias("n"))
+
+    real_rename = os.rename
+    fails = {"n": 0}
+
+    def crashing_rename(src, dst):
+        if "_compact_retired" in str(dst) and "_compact_retired" not in str(src):
+            fails["n"] += 1
+            if fails["n"] >= 2:  # let the orig-max retire through; die mid-loop
+                raise RuntimeError("simulated crash during retire")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crashing_rename)
+    with pytest.raises(RuntimeError, match="simulated crash during retire"):
+        compact_latest_state(spark, path, ["k"], resolve=sum_resolve)
+    monkeypatch.undo()
+
+    dirs = os.listdir(path)
+    assert "_compact_publish_pending.json" in dirs, dirs
+    assert "batch_id=2" in dirs  # the snapshot went visible before the crash
+
+    # resume: must finish the retire, NOT refold snapshot + leftovers
+    compact_latest_state(spark, path, ["k"], resolve=sum_resolve)
+    assert sorted(d for d in os.listdir(path) if d.startswith("batch_id=")) == [
+        "batch_id=2"
+    ]
+    rows = spark.read.parquet(path).collect()
+    assert [(r["k"], r["n"]) for r in rows] == [("a", 3)], rows  # not 4/5

@@ -657,14 +657,17 @@ def test_auto_compaction_cadence(spark, tmp_path):
 
 
 def test_crash_mid_compaction_publish_recovers_at_start(spark, tmp_path, monkeypatch):
-    """Round-10 ADVICE (medium): the inline compaction's publish phase
-    deletes old batch dirs BEFORE renaming the staged snapshot in.  A
-    crash in that window leaves the only complete copy of folded
-    history underscore-staged (invisible to parquet) — and the restart
-    REPLAYS the uncommitted batch, whose _read_prior would dedup
-    against incomplete history and let duplicates of folded docs
-    permanently enter the corpus.  start() must finish the staged
-    publish before the first history read."""
+    """Round-10 ADVICE (medium): a crash inside the compaction's
+    publish phase leaves the folded history underscore-staged
+    (invisible to parquet) — and the restart REPLAYS the uncommitted
+    batch, whose _read_prior would dedup against incomplete history
+    and let duplicates of folded docs permanently enter the corpus.
+    start() must finish the staged publish before the first history
+    read.  (Round-12 snapshot-visible-first shape: at the simulated
+    crash point the pending marker is down, the ORIGINAL max in-scope
+    dir is retired aside, and OLDER batch dirs are still visible —
+    history is no longer fully invisible, but it is still incomplete
+    for _read_prior until recovery runs.)"""
     import re
 
     feed, out = str(tmp_path / "feed"), str(tmp_path / "out")
@@ -711,12 +714,14 @@ def test_crash_mid_compaction_publish_recovers_at_start(spark, tmp_path, monkeyp
         IncrementalDedupJob(out_dir=out).compact(spark)
     monkeypatch.undo()
 
-    # the hazard state: history folded away into an invisible staged
-    # dir; only the uncommitted tail delta remains visible
+    # the hazard state: the in-scope max dir retired aside mid-publish
+    # (pending marker present), older in-scope dirs + the uncommitted
+    # tail still visible — incomplete history either way
     dirs = sorted(os.listdir(corpus_dir))
     assert any(d.startswith("_compact_staged_") for d in dirs), dirs
+    assert "_compact_publish_pending.json" in dirs, dirs
     visible = [d for d in dirs if re.fullmatch(r"batch_id=\d+", d)]
-    assert visible == [f"batch_id={n}"], dirs
+    assert f"batch_id={n}" in visible and len(visible) < n + 1, dirs
 
     # restart: start() must recover the stage BEFORE the replay of
     # batch n — the dup of folded doc 1 stays dropped

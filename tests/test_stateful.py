@@ -281,7 +281,10 @@ def test_latest_prices_stream_job_end_to_end(spark, tmp_path):
     assert rows["AAPL"]["last_price"] == 110.0 and rows["AAPL"]["price_change"] == 10.0
     assert rows["MSFT"]["last_price"] == 50.0 and rows["MSFT"]["price_change"] is None
 
-    # post-drain compaction folded the emissions into one snapshot dir
+    # post-drain compaction folded the emissions into one snapshot;
+    # deferred retirement keeps the superseded dir visible (resolved
+    # away) until the next compact's grace cleanup collapses the layout
+    job.compact(spark)
     dirs = [d for d in os.listdir(job.table_dir()) if d.startswith("batch_id=")]
     assert len(dirs) == 1
 

@@ -162,6 +162,17 @@ class CuratedCorpusPipeline:
     # window can hit deleted files; size it to the longest expected
     # read.  0 deletes at the next finalize.
     fold_retention_sec: float = 600.0
+    # Opt-in serving-table freshness hook (round-13 VERDICT task 3):
+    # when True, every finalize() ends by re-publishing the bucketed
+    # serving table via publish_bucketed(mode="auto") — no-op when the
+    # table already reflects every committed generation, delta-sized
+    # when cheap, full otherwise (including after a generation fold,
+    # whose renumbering makes the delta ineligible).  The staleness
+    # contract becomes "never stale after a cut" instead of "re-run
+    # publish_bucketed manually".
+    auto_publish: bool = False
+    serving_table: str = "curated_serving"
+    serving_buckets: int = 8
     trigger: dict = field(default_factory=lambda: {"availableNow": True})
 
     def job(self) -> IncrementalDedupJob:
@@ -429,8 +440,12 @@ class CuratedCorpusPipeline:
         intervening window — concurrent point reads see old-or-new
         rows, never a missing table and never missing files
         (republish-under-reader test in tests/test_curation_pipeline.py).
-        A crash mid-publish leaves only `_publish_inprog` debris that
-        the next publish clears; the live table is untouched.
+        A crash mid-publish leaves either `_publish_inprog` debris or
+        (between the snap rename and the catalog swap) an UNDECLARED
+        snap_K dir; the next publish clears both — retention spares
+        exactly the snapshot the catalog pointed at on entry, so
+        debris can never displace the reader-visible previous
+        snapshot.  The live table is untouched either way.
 
         Modes (mirrors finalize):
         - "full": rewrite every bucket from curated_view.
@@ -449,9 +464,18 @@ class CuratedCorpusPipeline:
           bucket with no redo doc holds exactly its old rows.
           Requires the published marker's gens to all still exist (a
           generation FOLD renumbers them → falls back to full), and
-          the same bucket spec.
+          the same bucket spec.  DEFENSE (round-13 VERDICT task 2):
+          the file→bucket mapping parses Spark's private bucketed
+          file-name format, so if any previous-snapshot parquet file
+          fails the format regex the publish warns and falls back to
+          "full" (correct under any naming) instead of silently
+          dropping unmapped files' rows.
         - "auto" (default): "delta" when eligible and the table is
-          stale, no-op when already fresh, else "full"."""
+          stale, no-op when already fresh, else "full"; an
+          auto-resolved delta additionally falls back to "full" when
+          the redo docs touch more than half the buckets (the delta's
+          file-minus-join assembly would cost more than the straight
+          rewrite it avoids)."""
         import json
         import re
         import shutil
@@ -459,6 +483,7 @@ class CuratedCorpusPipeline:
         self._check_serving_ident(table)
         if mode not in ("auto", "full", "delta"):
             raise ValueError(f"publish mode must be auto/full/delta (got {mode!r})")
+        mode_arg = mode  # the caller's request, before auto-resolution
         from real_time_financial_market_data_pipeline_spark.streaming.sinks import (
             _BUCKET_SPEC_MARKER,
             _table_bucket_spec,
@@ -507,6 +532,49 @@ class CuratedCorpusPipeline:
                 )
             if not new_gens:
                 return table
+            # Bucket-file-name guard (round-13 VERDICT task 2): the
+            # delta path selects the previous snapshot's affected-bucket
+            # files, and hardlinks the untouched ones, by parsing the
+            # bucket id out of Spark's PRIVATE bucketed file-name format
+            # (part-...-<uuid>_NNNNN.c....parquet).  If a Spark upgrade
+            # changes that naming, the regex matches nothing and the
+            # delta would silently DROP every previously published row —
+            # so any non-conforming data file forces a full publish
+            # (correct under any naming) instead.
+            import warnings
+
+            nonconforming = [
+                f
+                for f in os.listdir(cur_loc)
+                if f.endswith(".parquet")
+                and not re.search(r"_(\d{5})\.c.*\.parquet$", f)
+            ]
+            if nonconforming:
+                warnings.warn(
+                    "publish_bucketed: previous snapshot holds parquet "
+                    "files that do not match Spark's bucketed file-name "
+                    f"format (e.g. {nonconforming[0]!r}) — the delta "
+                    "path cannot map files to buckets; falling back to "
+                    "a full publish",
+                    stacklevel=2,
+                )
+                mode = "full"
+
+        redo = affected = None
+        if mode == "delta":
+            redo = _docs_lists(spark, self.out_dir, new_gens).distinct()
+            bucket_of = F.pmod(F.hash("doc_id"), F.lit(n_buckets))
+            affected = sorted(
+                r["b"] for r in redo.select(bucket_of.alias("b")).distinct().collect()
+            )
+            # Affected-fraction fallback (round-13 VERDICT task 3): when
+            # the redo set touches more than half the buckets, the delta
+            # assembles nearly the whole table from the slower
+            # file-minus-join path — a full rewrite is cheaper and
+            # yields the same snapshot.  Only an auto-resolved delta
+            # falls back; an EXPLICIT mode="delta" is honored as asked.
+            if mode_arg == "auto" and len(affected) * 2 > n_buckets:
+                mode = "full"
 
         inprog = os.path.join(root, "_publish_inprog")
         shutil.rmtree(inprog, ignore_errors=True)
@@ -527,11 +595,8 @@ class CuratedCorpusPipeline:
             #       twice since the publish takes its newest rows; a doc
             #       GATED OUT appears in the docs list with no rows and
             #       is correctly dropped)
-            redo = _docs_lists(spark, self.out_dir, new_gens).distinct()
-            bucket_of = F.pmod(F.hash("doc_id"), F.lit(n_buckets))
-            affected = sorted(
-                r["b"] for r in redo.select(bucket_of.alias("b")).distinct().collect()
-            )
+            # (redo + affected were computed above, before the
+            # affected-fraction fallback decision)
             kept = set(affected)
             prev_files = [
                 os.path.join(cur_loc, f)
@@ -603,10 +668,24 @@ class CuratedCorpusPipeline:
         snap = os.path.join(root, f"snap_{new_id}")
         os.rename(inprog, snap)
         self._declare_serving_table(spark, table, n_buckets, snap)
-        # retention: keep the immediately previous snapshot for readers
-        # that resolved the old location before the swap; drop older
-        for sid in snaps[:-1]:
-            shutil.rmtree(os.path.join(root, f"snap_{sid}"), ignore_errors=True)
+        # Retention: keep the snapshot the CATALOG pointed at on entry
+        # (cur_loc) — that is the one in-flight readers resolved — and
+        # drop every other pre-existing snap dir.  Keying on cur_loc
+        # rather than snaps[-1] (round-13 ADVICE) matters after a crash
+        # between os.rename and _declare_serving_table: that window
+        # leaves an UNDECLARED snap_K with a higher id than the
+        # reader-visible one, and a snaps[-1] rule would retain the
+        # debris while deleting the snapshot readers still use.
+        prev_id = None
+        if cur_loc and os.path.dirname(os.path.normpath(cur_loc)) == os.path.normpath(
+            root
+        ):
+            m = re.fullmatch(r"snap_(\d+)", os.path.basename(os.path.normpath(cur_loc)))
+            if m:
+                prev_id = int(m.group(1))
+        for sid in snaps:
+            if sid != prev_id:
+                shutil.rmtree(os.path.join(root, f"snap_{sid}"), ignore_errors=True)
         return table
 
     def _committed_gens(self) -> list[int]:
@@ -763,6 +842,14 @@ class CuratedCorpusPipeline:
                 # left stale by a crash-before-manifest-write, so readers
                 # catch up to the committed frontier even on no-op cuts
                 _write_curated_manifest(self.out_dir, committed)
+                if self.auto_publish:
+                    # repair serving staleness a crash-between-commit-
+                    # and-publish left behind; no-op when fresh
+                    self.publish_bucketed(
+                        spark,
+                        table=self.serving_table,
+                        n_buckets=self.serving_buckets,
+                    )
                 return out_path
             frame = self.finalize_frame(spark, doc_filter=redo, _spans=spans_now)
             gen_docs = redo
@@ -795,6 +882,16 @@ class CuratedCorpusPipeline:
                 self.out_dir,
                 spans_now,
                 min_removed_frac=self.prune_min_removed_frac,
+            )
+        if self.auto_publish:
+            # freshness hook (round-13 VERDICT task 3): the serving
+            # table is never stale after a cut.  Runs AFTER the commit
+            # marker + manifest (a publish crash leaves a committed
+            # corpus with a stale-but-consistent serving table, repaired
+            # by the next cut's publish) and after the fold/prune
+            # housekeeping so the publish sees the final gen layout.
+            self.publish_bucketed(
+                spark, table=self.serving_table, n_buckets=self.serving_buckets
             )
         return out_path
 

@@ -1011,6 +1011,7 @@ def prune_span_postings(
     template/license spans (one fp shared by millions of docs); the
     unique-window tail is irreducible by correctness (a sub-threshold
     fp may still qualify later and must find its old holders)."""
+    import json
     import shutil
 
     path = os.path.join(out_dir, "index_spanpostings")
@@ -1018,6 +1019,7 @@ def prune_span_postings(
         return 0
     recover_pruned_postings(out_dir)
     settled = settled.select("fp")
+    marker = os.path.join(path, _POSTINGS_PRUNED_MARKER)
     removed = 0
     for d in sorted(os.listdir(path)):
         if not d.startswith("batch_id="):
@@ -1030,6 +1032,17 @@ def prune_span_postings(
             n_before and (n_before - n_after) / n_before < min_removed_frac
         ):
             continue
+        # Marker BEFORE the first rewrite (round-13 ADVICE): a crash
+        # after a dir's two-rename swap but before a trailing marker
+        # would leave a partially pruned index that a later FULL cut
+        # would still posting-split, silently emitting unexcised text.
+        # Semantics are "may be pruned" — a marker with zero rows
+        # actually removed only forces the conservative full sweep.
+        if not os.path.isfile(marker):
+            tmp = marker + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"pruned": True}, fh)
+            os.replace(tmp, marker)
         inprog = os.path.join(path, f"_prune_inprog_{d}")
         trash = os.path.join(path, f"_prune_trash_{d}")
         shutil.rmtree(inprog, ignore_errors=True)
@@ -1038,11 +1051,6 @@ def prune_span_postings(
         os.rename(inprog, full)
         shutil.rmtree(trash)
         removed += n_before - n_after
-    if removed:
-        import json
-
-        with open(os.path.join(path, _POSTINGS_PRUNED_MARKER), "w") as fh:
-            json.dump({"pruned": True}, fh)
     return removed
 
 

@@ -569,6 +569,10 @@ class QuoteEnrichJob:
                 best_keys,
                 os.path.join(self.checkpoints(), "quotes_enriched"),
                 resolve=_resolve_best_quote,
+                # compact_best_quote defers retirement for concurrent
+                # best_quote_view readers; a post-crash refold at stream
+                # start must keep the same grace posture
+                defer_retire=True,
             )
 
             joined = trades_with_quotes(

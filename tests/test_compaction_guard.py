@@ -612,3 +612,87 @@ def test_crashed_retire_resumes_without_refold_double_count(spark, tmp_path, mon
     ]
     rows = spark.read.parquet(path).collect()
     assert [(r["k"], r["n"]) for r in rows] == [("a", 3)], rows  # not 4/5
+
+
+def test_deferred_publish_crash_resume_keeps_reader_grace(spark, tmp_path, monkeypatch):
+    """Round-13 ADVICE pin: a crash inside a DEFERRED publish between
+    writing _compact_retire_pending.json and clearing the publish-
+    pending marker must not let the next compaction sweep the
+    just-deferred dirs with zero grace.  The resume (checked BEFORE the
+    grace cleanup) re-defers them with the flavor RECORDED in the
+    pending marker, so the superseded dirs a pre-crash reader listed
+    stay on disk through the whole resuming compaction."""
+    from real_time_financial_market_data_pipeline_spark.streaming.sinks import (
+        _read_publish_pending,
+        compact_latest_state,
+        latest_state_on_read,
+    )
+
+    path = str(tmp_path / "layer")
+    for i in range(3):
+        spark.createDataFrame(
+            [("AAPL", float(100 + i))], "symbol string, price double"
+        ).write.parquet(os.path.join(path, f"batch_id={i}"))
+
+    real_remove = os.remove
+
+    def crashing_remove(p):
+        if str(p).endswith("_compact_publish_pending.json"):
+            raise RuntimeError("simulated crash before marker clear")
+        return real_remove(p)
+
+    monkeypatch.setattr(os, "remove", crashing_remove)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        compact_latest_state(spark, path, ["symbol"], defer_retire=True)
+    monkeypatch.undo()
+
+    dirs = os.listdir(path)
+    assert "_compact_publish_pending.json" in dirs, dirs
+    assert "_compact_retire_pending.json" in dirs, dirs
+    assert _batch_ids(path) == {0, 1, 2}, dirs  # deferred dirs visible
+    # the marker recorded the publish's flavor
+    assert _read_publish_pending(path) == (2, True)
+
+    # next cadence call (the layer's normal deferred compact): the
+    # pre-fix order ran the grace cleanup FIRST and deleted batches
+    # 0-1 before resuming — zero grace.  Now the resume re-defers
+    # them and the cleanup is skipped for this call.
+    compact_latest_state(spark, path, ["symbol"], defer_retire=True)
+    dirs = os.listdir(path)
+    assert "_compact_publish_pending.json" not in dirs, dirs
+    assert "_compact_retire_pending.json" in dirs, dirs
+    assert _batch_ids(path) == {0, 1, 2}, dirs  # grace preserved
+    resolved = latest_state_on_read(
+        spark.read.parquet(path), ["symbol"]
+    ).collect()
+    assert [(r["symbol"], r["price"]) for r in resolved] == [("AAPL", 102.0)]
+
+    # the call AFTER that is the grace boundary: cleanup sweeps
+    compact_latest_state(spark, path, ["symbol"], defer_retire=True)
+    assert _batch_ids(path) == {2}
+    resolved = latest_state_on_read(
+        spark.read.parquet(path), ["symbol"]
+    ).collect()
+    assert [(r["symbol"], r["price"]) for r in resolved] == [("AAPL", 102.0)]
+
+
+def test_publish_pending_marker_records_and_defaults_flavor(tmp_path):
+    """Unit pin: the pending marker round-trips the defer flavor, and a
+    pre-round-13 marker (no flavor key) defaults to immediate
+    retirement — the conservative reading for old crash debris."""
+    import json
+
+    from real_time_financial_market_data_pipeline_spark.streaming.sinks import (
+        _PUBLISH_PENDING,
+        _read_publish_pending,
+        _write_publish_pending,
+    )
+
+    path = str(tmp_path)
+    _write_publish_pending(path, 7, True)
+    assert _read_publish_pending(path) == (7, True)
+    _write_publish_pending(path, 9, False)
+    assert _read_publish_pending(path) == (9, False)
+    with open(os.path.join(path, _PUBLISH_PENDING), "w") as fh:
+        json.dump({"max_id": 4}, fh)  # old-format marker
+    assert _read_publish_pending(path) == (4, False)

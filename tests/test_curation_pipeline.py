@@ -1475,3 +1475,270 @@ def test_delta_publish_after_refinalize_full_cut(spark, tmp_path):
         (r.asDict() for r in curated_view(spark, pipe.out_dir).collect()), key=key
     )
     spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+
+
+def test_prune_marker_written_before_first_rewrite(spark, tmp_path):
+    """Round-13 ADVICE (medium): a crash after the first batch dir's
+    prune swap but before a TRAILING marker write would leave a
+    partially pruned index with span_postings_pruned() == False — a
+    later FULL cut would then take the postings-split branch and
+    silently emit old holders of settled fps unexcised.  The marker
+    must land BEFORE the first rewrite ("may be pruned" semantics); a
+    marker with zero rows actually removed is sound (it only forces
+    the conservative full sweep)."""
+    import pytest
+
+    from real_time_financial_market_data_pipeline_spark.streaming.incremental import (
+        prune_span_postings,
+        recover_pruned_postings,
+        span_postings_pruned,
+        span_postings_view,
+    )
+
+    out = str(tmp_path / "idx")
+    post = os.path.join(out, "index_spanpostings")
+    for i in range(2):
+        spark.createDataFrame(
+            [(100 + i, 1), (999, 2)], "fp long, doc_id long"
+        ).write.parquet(os.path.join(post, f"batch_id={i}"))
+
+    # no qualifying removal -> NO marker (unprofitable cuts keep the
+    # postings-split available for full cuts)
+    assert prune_span_postings(spark, out, spark.createDataFrame([(777,)], "fp long")) == 0
+    assert not span_postings_pruned(out)
+
+    # crash DURING the first dir's swap (target dir -> trash rename):
+    # the marker must already be down
+    settled = spark.createDataFrame([(999,)], "fp long")
+    real_rename = os.rename
+
+    def crashing_rename(src, dst):
+        if "_prune_trash_" in str(dst):
+            raise RuntimeError("simulated crash mid prune swap")
+        return real_rename(src, dst)
+
+    os.rename = crashing_rename
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            prune_span_postings(spark, out, settled)
+    finally:
+        os.rename = real_rename
+    assert span_postings_pruned(out)  # pre-fix: False (silent unsoundness)
+
+    # recovery + re-run: rows of the settled fp leave both dirs
+    recover_pruned_postings(out)
+    assert span_postings_view(spark, out).count() == 4  # nothing lost
+    assert prune_span_postings(spark, out, settled) == 2
+    assert span_postings_pruned(out)
+    rows = {(r["fp"], r["doc_id"]) for r in span_postings_view(spark, out).collect()}
+    assert rows == {(100, 1), (101, 1)}
+
+
+def test_publish_retention_spares_catalog_snapshot_over_debris(spark, tmp_path):
+    """Round-13 ADVICE (low): a crash between the snap rename and the
+    catalog swap leaves an UNDECLARED snap_K debris dir with a higher
+    id than the reader-visible snapshot.  The next publish's retention
+    must spare the snapshot the CATALOG points at (cur_loc) — not
+    snaps[-1], which would retain the debris and delete the directory
+    in-flight readers still resolve."""
+    import shutil
+
+    pipe = _publish_pipe(spark, tmp_path, "retain")
+    table = "retain_serving_t"
+    pipe.publish_bucketed(spark, table=table, n_buckets=4, mode="full")
+    pipe.publish_bucketed(spark, table=table, n_buckets=4, mode="full")
+    root = pipe._serving_root(table)
+    declared = pipe._serving_location(spark, table)
+    assert os.path.basename(declared) == "snap_1"
+    expect = sorted(
+        (r["doc_id"], r["chunk_idx"]) for r in spark.table(table).collect()
+    )
+
+    # simulate the crash window: a fully-renamed but never-declared
+    # snapshot with a higher id
+    debris = os.path.join(root, "snap_2")
+    shutil.copytree(declared, debris)
+
+    pipe.publish_bucketed(spark, table=table, n_buckets=4, mode="full")
+    assert os.path.basename(pipe._serving_location(spark, table)) == "snap_3"
+    # the reader-visible previous snapshot survived; the debris did not
+    assert os.path.isdir(declared)
+    assert not os.path.isdir(debris)
+    assert not os.path.isdir(os.path.join(root, "snap_0"))
+    assert sorted(
+        (r["doc_id"], r["chunk_idx"]) for r in spark.table(table).collect()
+    ) == expect
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+
+
+def test_delta_publish_filename_guard_falls_back_to_full(spark, tmp_path):
+    """Round-13 VERDICT task 2: the delta publish maps previous-
+    snapshot files to buckets by parsing Spark's PRIVATE bucketed
+    file-name format.  A file that fails the format regex (a future
+    Spark naming change, or foreign debris) must force a warned
+    full-publish fallback — the pre-guard behavior silently DROPPED
+    every non-redo row of the affected buckets and every untouched
+    bucket."""
+    import shutil
+
+    import pytest
+
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+
+    pipe = _publish_pipe(spark, tmp_path, "nameguard")
+    n, table = 4, "nameguard_serving_t"
+    pipe.publish_bucketed(spark, table=table, n_buckets=n)
+
+    # make the table stale (a delta cut) so auto resolves to delta
+    feed = str(tmp_path / "nameguard_feed")
+    _write_feed(feed, [[{"doc_id": 60, "text": DOC60}]], prefix="late")
+    q = pipe.start(read_doc_stream(spark, feed).select("doc_id", "text"))
+    assert q.awaitTermination(300)
+    pipe.finalize(spark)
+
+    # plant a valid-parquet file whose NAME doesn't carry a bucket id
+    cur = pipe._serving_location(spark, table)
+    src = next(f for f in os.listdir(cur) if f.endswith(".parquet"))
+    shutil.copy2(os.path.join(cur, src), os.path.join(cur, "part-oddly-named.parquet"))
+
+    with pytest.warns(UserWarning, match="bucketed file-name"):
+        pipe.publish_bucketed(spark, table=table, n_buckets=n)
+
+    # the fallback rebuilt everything from curated_view: content exact,
+    # no unmappable file carried forward, every file conforms
+    new_loc = pipe._serving_location(spark, table)
+    assert new_loc != cur
+    files = [f for f in os.listdir(new_loc) if f.endswith(".parquet")]
+    assert files
+    import re as _re
+
+    assert all(_re.search(r"_(\d{5})\.c.*\.parquet$", f) for f in files), files
+    key = lambda r: (r["doc_id"], r["chunk_idx"])  # noqa: E731
+    assert sorted(
+        (r.asDict() for r in spark.table(table).collect()), key=key
+    ) == sorted(
+        (r.asDict() for r in curated_view(spark, pipe.out_dir).collect()), key=key
+    )
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+
+
+def test_auto_delta_high_affected_fraction_falls_back_to_full(spark, tmp_path):
+    """Round-13 VERDICT task 3 (fallback half): an AUTO-resolved delta
+    that would rebuild more than half the buckets takes the plain full
+    rewrite instead (the delta's file-minus-join assembly would cost
+    more than it avoids); an EXPLICIT mode='delta' is honored as
+    asked.  Path taken is observed through the staging dir each mode
+    writes its snapshot to."""
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+
+    pipe = _publish_pipe(spark, tmp_path, "fracfall")
+    n, table = 2, "fracfall_serving_t"
+    pipe.publish_bucketed(spark, table=table, n_buckets=n)
+
+    calls: list[str] = []
+    orig = pipe._write_serving_snapshot
+
+    def spy(spark_, frame, table_, n_buckets_, dest):
+        calls.append(os.path.basename(dest))
+        return orig(spark_, frame, table_, n_buckets_, dest)
+
+    pipe._write_serving_snapshot = spy
+
+    # ids covering BOTH buckets (pmod(hash, 2)) -> affected fraction 1
+    cand = spark.createDataFrame(
+        [(i,) for i in range(60, 80)], "doc_id long"
+    ).select("doc_id", F.pmod(F.hash("doc_id"), F.lit(n)).alias("b"))
+    by_bucket = {r["b"]: r["doc_id"] for r in cand.collect()}
+    assert set(by_bucket) == {0, 1}
+    feed = str(tmp_path / "fracfall_feed")
+    _write_feed(
+        feed,
+        [[{"doc_id": int(by_bucket[0]), "text": DOC60},
+          {"doc_id": int(by_bucket[1]), "text": DOC15}]],
+        prefix="wide",
+    )
+    q = pipe.start(read_doc_stream(spark, feed).select("doc_id", "text"))
+    assert q.awaitTermination(300)
+    pipe.finalize(spark)
+
+    pipe.publish_bucketed(spark, table=table, n_buckets=n)  # auto
+    assert calls and calls[-1] == "_publish_inprog", calls  # full path
+
+    # stale again -> EXPLICIT delta still honored even at fraction 1
+    bigger = max(by_bucket.values()) + max(by_bucket.values())
+    wide2 = {
+        r["b"]: r["doc_id"]
+        for r in spark.createDataFrame(
+            [(int(bigger) + i,) for i in range(20)], "doc_id long"
+        ).select("doc_id", F.pmod(F.hash("doc_id"), F.lit(n)).alias("b")).collect()
+    }
+    assert set(wide2) == {0, 1}
+    _write_feed(
+        feed,
+        [[{"doc_id": int(wide2[0]), "text": DOC16},
+          {"doc_id": int(wide2[1]), "text": LONG_B}]],
+        prefix="wider",
+    )
+    q = pipe.start(read_doc_stream(spark, feed).select("doc_id", "text"))
+    assert q.awaitTermination(300)
+    pipe.finalize(spark)
+    pipe.publish_bucketed(spark, table=table, n_buckets=n, mode="delta")
+    assert calls[-1] == "_publish_delta_tmp", calls
+
+    # both paths end at the same place: content exact
+    key = lambda r: (r["doc_id"], r["chunk_idx"])  # noqa: E731
+    assert sorted(
+        (r.asDict() for r in spark.table(table).collect()), key=key
+    ) == sorted(
+        (r.asDict() for r in curated_view(spark, pipe.out_dir).collect()), key=key
+    )
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+
+
+def test_auto_publish_serving_never_stale_across_cuts_and_fold(spark, tmp_path):
+    """Round-13 VERDICT task 3 (hook half): with auto_publish=True the
+    serving table reflects EVERY committed generation immediately
+    after each finalize — across delta cuts AND a generation fold
+    (whose renumbering forces the publish's own full fallback) — and
+    its content always equals curated_view."""
+    import json
+
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+    from real_time_financial_market_data_pipeline_spark.streaming.curation import _SERVING_GENS_MARKER
+
+    feed, out = str(tmp_path / "ap_feed"), str(tmp_path / "ap_out")
+    table = "autopub_serving_t"
+    pipe = CuratedCorpusPipeline(
+        out_dir=out,
+        span_k=4,
+        span_min_docs=2,
+        curated_max_gens=2,  # the third cut folds
+        fold_retention_sec=0.0,
+        auto_publish=True,
+        serving_table=table,
+        serving_buckets=4,
+    )
+    batches = [
+        [{"doc_id": 10, "text": CARRIER_A}, {"doc_id": 11, "text": CARRIER_B}],
+        [{"doc_id": 20, "text": LONG_B}, {"doc_id": 21, "text": DOC15}],
+        [{"doc_id": 30, "text": DOC16}],
+        [{"doc_id": 40, "text": DOC40}],
+    ]
+    key = lambda r: (r["doc_id"], r["chunk_idx"])  # noqa: E731
+    for i, batch in enumerate(batches):
+        _write_feed(feed, [batch], prefix=f"b{i}")
+        q = pipe.start(read_doc_stream(spark, feed).select("doc_id", "text"))
+        assert q.awaitTermination(300)
+        pipe.finalize(spark)
+        loc = pipe._serving_location(spark, table)
+        assert loc is not None
+        with open(os.path.join(loc, _SERVING_GENS_MARKER)) as fh:
+            assert json.load(fh)["gens"] == pipe._committed_gens(), f"stale after cut {i}"
+        assert sorted(
+            (r.asDict() for r in spark.table(table).collect()), key=key
+        ) == sorted(
+            (r.asDict() for r in curated_view(spark, out).collect()), key=key
+        ), f"content drift after cut {i}"
+    # the fold actually happened during the run (gens were renumbered)
+    assert len(pipe._committed_gens()) < len(batches)
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")

@@ -29,7 +29,13 @@ from real_time_financial_market_data_pipeline_spark.pipeline.validate import (
     dead_letter_records,
     with_validation_errors,
 )
-from real_time_financial_market_data_pipeline_spark.streaming.sinks import SinkManager, parquet_file_sink, parquet_sink
+from real_time_financial_market_data_pipeline_spark.streaming.sinks import (
+    SinkManager,
+    _manifest_add,
+    parquet_file_sink,
+    parquet_sink,
+    read_update_sink,
+)
 
 
 @dataclass
@@ -604,6 +610,9 @@ class QuoteEnrichJob:
                     best_quote_per_trade(batch_df).write.mode("overwrite").parquet(
                         os.path.join(best_dir, f"batch_id={batch_id}")
                     )
+                    # same manifest contract as parquet_sink.write_batch
+                    # (best_quote_view routes reads through it)
+                    _manifest_add(best_dir, f"batch_id={batch_id}")
                 finally:
                     batch_df.unpersist()
 
@@ -645,19 +654,15 @@ class QuoteEnrichJob:
 def best_quote_view(spark, out_dir: str) -> DataFrame:
     """Serving view over QuoteEnrichJob's best_quote layer: per-batch
     partial maxima re-reduced to the global best quote per trade."""
-    # polling-reader posture: with the snapshot-visible-first deferred
-    # retirement (compact_best_quote defer_retire=True), any file set a
-    # concurrent compaction removes mid-read is fully superseded by
-    # files this read retains — ignoreMissingFiles turns the race into
-    # a consistent prior-or-current state instead of a FAILED_READ_FILE.
-    # Residual contract: DataFrame CONSTRUCTION (schema inference reads
-    # one footer before scan options apply) can still transiently race
-    # a retirement rename — callers that poll should retry construction;
-    # a successfully constructed frame always resolves consistently.
+    # polling-reader posture: manifest-routed construction
+    # (read_update_sink) — one manifest read names the exact dir set,
+    # and dirs leave the manifest before retirement with a full
+    # compaction cadence of on-disk grace (compact_best_quote
+    # defer_retire=True), so construction no longer races a retirement
+    # rename (the pre-round-13 retry-construction caveat is gone) and
+    # resolution is always a consistent prior-or-current state.
     return _resolve_best_quote(
-        spark.read.option("ignoreMissingFiles", "true").parquet(
-            os.path.join(out_dir, "best_quote")
-        )
+        read_update_sink(spark, os.path.join(out_dir, "best_quote"))
     )
 
 
@@ -787,6 +792,21 @@ class LatestPricesStreamJob:
                 spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
+def gold_view(spark, out_dir: str, layer: str = "gold_5m") -> DataFrame:
+    """Resolved read of a streamed gold layer (one row per
+    symbol/window: latest emission wins) — the polling counterpart of
+    the bucketed serving table for dashboards that read between
+    publishes.  Manifest-routed (read_update_sink): one manifest read
+    names the exact batch-dir set, so the read is O(live dirs) not
+    O(dirs-ever-written) and never races a compaction's retirement."""
+    from real_time_financial_market_data_pipeline_spark.streaming.sinks import latest_state_on_read
+
+    path = os.path.join(out_dir, layer)
+    return latest_state_on_read(
+        read_update_sink(spark, path), list(MedallionStreamJob.GOLD_KEYS)
+    )
+
+
 def latest_prices_view(spark, out_dir: str) -> DataFrame:
     """One row per symbol: the latest emission wins (max batch_id per
     symbol — the read side of the Cassandra upsert the reference
@@ -798,9 +818,8 @@ def latest_prices_view(spark, out_dir: str) -> DataFrame:
     path = os.path.join(out_dir, "latest_prices")
     if not os.path.isdir(path):
         return spark.createDataFrame([], LATEST_OUTPUT_SCHEMA)
-    # polling-reader posture (see best_quote_view): superseded files a
-    # concurrent deferred-retirement compaction removes mid-read are
-    # covered by the snapshot this read retains
-    return latest_state_on_read(
-        spark.read.option("ignoreMissingFiles", "true").parquet(path), ["symbol"]
-    )
+    # polling-reader posture (see best_quote_view): manifest-routed
+    # construction, no retry caveat; superseded files a concurrent
+    # deferred-retirement compaction removes mid-read are covered by
+    # the snapshot this read retains
+    return latest_state_on_read(read_update_sink(spark, path), ["symbol"])

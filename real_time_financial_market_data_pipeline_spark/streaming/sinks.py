@@ -69,6 +69,11 @@ def parquet_sink(
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(os.path.join(path, f"batch_id={batch_id}"))
+        # manifest AFTER the data: a crash between leaves an on-disk dir
+        # the manifest doesn't name yet — the replayed batch overwrites
+        # it and re-adds (idempotent); manifest-routed readers just see
+        # the as-of-previous-batch state until then
+        _manifest_add(path, f"batch_id={batch_id}")
 
     if compact_keys is not None:
         # finish any compaction publish a crash interrupted, so readers
@@ -685,6 +690,21 @@ def _finish_publish(
             os.rename(tgt, os.path.join(retired, f"batch_id={max_id}.orig"))
             folded += 1
         os.rename(staged_dir, tgt)  # the snapshot goes VISIBLE here
+    # reader manifest BEFORE retirement: once the snapshot is visible,
+    # the live set is {snapshot} ∪ {dirs above max_id} (uncommitted
+    # tail / post-crash appends) — superseded dirs leave the manifest
+    # HERE, and with defer_retire stay on disk for a full cadence, so a
+    # manifest-routed read (read_update_sink) never names a dir that
+    # can vanish mid-construction.  Recomputed from the listing, so a
+    # crash-resume re-running this step is idempotent.
+    _write_reader_manifest(
+        path,
+        [
+            d
+            for d in os.listdir(path)
+            if (m := re.fullmatch(r"batch_id=(\d+)", d)) and int(m.group(1)) >= max_id
+        ],
+    )
     older = [
         d
         for d in os.listdir(path)

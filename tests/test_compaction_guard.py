@@ -498,8 +498,10 @@ def test_compact_under_concurrent_reader_consistent_states(spark, tmp_path):
     import threading
 
     from real_time_financial_market_data_pipeline_spark.streaming.sinks import (
+        _manifest_add,
         compact_latest_state,
         latest_state_on_read,
+        read_update_sink,
     )
 
     path = str(tmp_path / "layer")
@@ -508,6 +510,8 @@ def test_compact_under_concurrent_reader_consistent_states(spark, tmp_path):
         spark.createDataFrame(
             [("AAPL", float(100 + i))], "symbol string, price double"
         ).write.mode("overwrite").parquet(os.path.join(path, f"batch_id={i}"))
+        # mirror parquet_sink.write_batch's manifest contract
+        _manifest_add(path, f"batch_id={i}")
 
     for i in range(6):
         write_batch(i)
@@ -518,25 +522,17 @@ def test_compact_under_concurrent_reader_consistent_states(spark, tmp_path):
 
     def reader() -> None:
         while not stop.is_set():
-            # CONSTRUCTION may transiently race a retirement rename
-            # (schema inference samples one footer before the scan
-            # options apply) — that phase is retryable by contract.
-            # RESOLUTION (the collect) must never fail and must always
-            # be a consistent state: the scan holds ignoreMissingFiles
-            # and every file set it can lose is superseded by files it
-            # keeps.
-            df = None
-            for _ in range(5):
-                try:
-                    df = spark.read.option("ignoreMissingFiles", "true").parquet(path)
-                    break
-                except Exception:  # noqa: BLE001 — construction retry
-                    continue
-            if df is None:
-                errors.append("construction failed 5x in a row")
-                return
+            # round-13: manifest-routed construction (read_update_sink)
+            # is TOTAL — no retry loop.  The manifest is replaced
+            # atomically, dirs leave it BEFORE retirement, and dropped
+            # dirs stay on disk a full compaction cadence (defer_retire
+            # grace), so every dir a current manifest names exists for
+            # the whole construction AND resolution must always be a
+            # consistent per-key-latest state.
             try:
-                rows = latest_state_on_read(df, ["symbol"]).collect()
+                rows = latest_state_on_read(
+                    read_update_sink(spark, path), ["symbol"]
+                ).collect()
                 assert len(rows) == 1
                 seen.add(rows[0]["price"])
             except Exception as exc:  # noqa: BLE001 — the assertion target
@@ -696,3 +692,109 @@ def test_publish_pending_marker_records_and_defaults_flavor(tmp_path):
     with open(os.path.join(path, _PUBLISH_PENDING), "w") as fh:
         json.dump({"max_id": 4}, fh)  # old-format marker
     assert _read_publish_pending(path) == (4, False)
+
+
+def test_reader_manifest_protocol(spark, tmp_path):
+    """Round-13 task 1: the batch-dir reader manifest.  One manifest
+    read names the exact live dir set — pins the full lifecycle:
+    writer appends, publish rewrites (snapshot + dirs above the fold
+    bound, superseded dirs OUT while their files stay on disk for the
+    defer_retire grace), grace sweep deletes nothing a current
+    manifest names, and a manifest-less layer falls back to the plain
+    listing read."""
+    from real_time_financial_market_data_pipeline_spark.streaming.sinks import (
+        _manifest_add,
+        _read_reader_manifest,
+        compact_latest_state,
+        latest_state_on_read,
+        read_update_sink,
+    )
+
+    path = str(tmp_path / "layer")
+
+    def write_batch(i: int, price: float) -> None:
+        spark.createDataFrame(
+            [("AAPL", price)], "symbol string, price double"
+        ).write.mode("overwrite").parquet(os.path.join(path, f"batch_id={i}"))
+        _manifest_add(path, f"batch_id={i}")
+
+    for i in range(4):
+        write_batch(i, 100.0 + i)
+    assert _read_reader_manifest(path) == [f"batch_id={i}" for i in range(4)]
+
+    # deferred publish bounded below 3 (the uncommitted-tail shape):
+    # manifest = snapshot (batch_id=2) + the excluded tail (batch_id=3);
+    # superseded dirs 0-1 leave the manifest but STAY on disk (grace)
+    compact_latest_state(spark, path, ["symbol"], only_below=3, defer_retire=True)
+    assert _read_reader_manifest(path) == ["batch_id=2", "batch_id=3"]
+    assert _batch_ids(path) == {0, 1, 2, 3}
+    rows = latest_state_on_read(read_update_sink(spark, path), ["symbol"]).collect()
+    assert [(r["symbol"], r["price"]) for r in rows] == [("AAPL", 103.0)]
+
+    # next cadence point: grace sweep deletes 0-1 (they left the
+    # manifest a full cadence ago) and the fold publishes batch_id=3
+    write_batch(4, 104.0)
+    compact_latest_state(spark, path, ["symbol"], only_below=5, defer_retire=True)
+    assert _read_reader_manifest(path) == ["batch_id=4"]
+    assert 0 not in _batch_ids(path) and 1 not in _batch_ids(path)
+    rows = latest_state_on_read(read_update_sink(spark, path), ["symbol"]).collect()
+    assert [(r["symbol"], r["price"]) for r in rows] == [("AAPL", 104.0)]
+
+    # manifest-less layer: read_update_sink == plain listing read
+    bare = str(tmp_path / "bare")
+    for i in range(2):
+        spark.createDataFrame(
+            [("MSFT", 300.0 + i)], "symbol string, price double"
+        ).write.parquet(os.path.join(bare, f"batch_id={i}"))
+    assert _read_reader_manifest(bare) is None
+    rows = latest_state_on_read(read_update_sink(spark, bare), ["symbol"]).collect()
+    assert [(r["symbol"], r["price"]) for r in rows] == [("MSFT", 301.0)]
+
+    # bootstrap: the first _manifest_add on an upgraded layer captures
+    # the pre-existing dirs from the listing
+    spark.createDataFrame(
+        [("MSFT", 302.0)], "symbol string, price double"
+    ).write.parquet(os.path.join(bare, "batch_id=2"))
+    _manifest_add(bare, "batch_id=2")
+    assert _read_reader_manifest(bare) == [f"batch_id={i}" for i in range(3)]
+
+
+def test_manifest_views_match_listing_reads_after_drain(spark, tmp_path):
+    """E2E: after a MedallionStreamJob drain (parquet_sink writes the
+    manifest per batch; inline compaction rewrites it), the
+    manifest-routed gold_view equals the raw listing read — the
+    manifest names exactly the live history."""
+    from real_time_financial_market_data_pipeline_spark.streaming.sinks import (
+        _read_reader_manifest,
+        latest_state_on_read,
+    )
+    from real_time_financial_market_data_pipeline_spark.streaming.jobs import MedallionStreamJob, gold_view
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    _write_jsonl(feed, "b0.json", [
+        {"s": "AAPL", "p": 190.0, "v": 100, "t": T0},
+        {"s": "AAPL", "p": 191.0, "v": 50, "t": T0 + 60_000},
+        {"s": "MSFT", "p": 380.0, "v": 10, "t": T0 + 1000},
+    ])
+    out = str(tmp_path / "out")
+    job = MedallionStreamJob(out_dir=out, gold_window_slow=None, dead_letters=False)
+    mgr = job.start(read_trade_stream(spark, str(feed)))
+    assert mgr.await_all(timeout_s=300)
+    job.compact_gold(spark)
+
+    gold_dir = os.path.join(out, "gold_5m")
+    manifest = _read_reader_manifest(gold_dir)
+    assert manifest, "drain + compact left no reader manifest"
+    # every manifest dir exists; every live dir is named
+    live = {d for d in os.listdir(gold_dir) if d.startswith("batch_id=")}
+    assert set(manifest) <= live
+    via_manifest = _sorted_rows(gold_view(spark, out))
+    via_listing = _sorted_rows(
+        latest_state_on_read(
+            spark.read.option("ignoreMissingFiles", "true").parquet(gold_dir),
+            list(MedallionStreamJob.GOLD_KEYS),
+        )
+    )
+    assert via_manifest == via_listing
+    assert via_manifest, "gold layer empty after drain"

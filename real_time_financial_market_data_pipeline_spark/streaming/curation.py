@@ -151,6 +151,18 @@ class CuratedCorpusPipeline:
     # see prune_span_postings).  Raise on skew-light corpora where the
     # rewrite wouldn't pay for itself.
     prune_min_removed_frac: float = 0.0
+    # FUSED pruning (round-13 VERDICT task 4): instead of finalize
+    # paying a separate per-dir count+rewrite pass, record the settled
+    # fp set (incremental.record_settled_fps) and let the postings
+    # table's own compaction — which rewrites every folded dir anyway —
+    # drop those rows inside its resolve.  Near-zero per-cut prune cost
+    # when compaction cadence ≈ cut cadence; the trade is space-reclaim
+    # LATENCY (settled rows linger until the next compaction, bounded
+    # by compact_every).  Requires compact_every (otherwise rows would
+    # never be removed).  Not lifetime-locked: flipping modes between
+    # cuts is sound — both write the may-be-pruned marker before any
+    # removal, and each cut's settled set subsumes the previous one.
+    prune_fused: bool = False
     # Fold curated generations (see finalize) into one when the
     # committed count exceeds this — bounds the per-read supersede
     # join and the directory listing, same motivation as compact_every.
@@ -873,16 +885,32 @@ class CuratedCorpusPipeline:
         # batch dir, stream-stopped); the inverted index keeps only the
         # not-yet-settled tail instead of full corpus history
         if self.monotone_ids and postings_exist and not spans_now.isEmpty():
-            from real_time_financial_market_data_pipeline_spark.streaming.incremental import (
-                prune_span_postings,
-            )
+            if self.prune_fused:
+                # fused form (round-13 task 4): record the settled set;
+                # the postings table's next compaction drops the rows
+                # inside the rewrite it performs anyway
+                if self.compact_every is None:
+                    raise ValueError(
+                        "prune_fused=True requires compact_every: without a "
+                        "compaction cadence the recorded settled rows would "
+                        "never be removed — use the default eager prune"
+                    )
+                from real_time_financial_market_data_pipeline_spark.streaming.incremental import (
+                    record_settled_fps,
+                )
 
-            prune_span_postings(
-                spark,
-                self.out_dir,
-                spans_now,
-                min_removed_frac=self.prune_min_removed_frac,
-            )
+                record_settled_fps(self.out_dir, spans_now)
+            else:
+                from real_time_financial_market_data_pipeline_spark.streaming.incremental import (
+                    prune_span_postings,
+                )
+
+                prune_span_postings(
+                    spark,
+                    self.out_dir,
+                    spans_now,
+                    min_removed_frac=self.prune_min_removed_frac,
+                )
         if self.auto_publish:
             # freshness hook (round-13 VERDICT task 3): the serving
             # table is never stale after a cut.  Runs AFTER the commit

@@ -279,9 +279,32 @@ class IncrementalDedupJob:
             (
                 os.path.join(self.out_dir, "index_spanpostings"),
                 ["fp", "doc_id"],
-                None,
+                # fused pruning (round-13 task 4): when a settled set is
+                # pending, the compaction rewrite that happens anyway
+                # also drops those rows; identical to the default fold
+                # otherwise
+                self._postings_resolve,
             ),
         ]
+
+    def _postings_resolve(self, combined: DataFrame) -> DataFrame:
+        """Postings fold: exact per-key dedup (same as the default
+        per-key-latest — keys are unique), MINUS the currently-settled
+        fps when a fused prune recording is pending
+        (record_settled_fps).  The anti-join rides the rewrite the
+        compaction performs anyway, so the per-cut prune cost folds to
+        ~0 on corpora where compaction cadence ≈ cut cadence.  Sound by
+        the same argument as prune_span_postings (the may-be-pruned
+        marker landed before the pending set existed; settled rows are
+        never looked up by the changed-fps join); bit-identical to the
+        unfused fold when nothing is pending."""
+        from real_time_financial_market_data_pipeline_spark.streaming.sinks import latest_state_on_read
+
+        resolved = latest_state_on_read(combined, ["fp", "doc_id"])
+        pending = pending_settled_fps(combined.sparkSession, self.out_dir)
+        if pending is not None:
+            resolved = resolved.join(pending, "fp", "left_anti")
+        return resolved
 
     def recover(self, spark) -> int:
         """Finish any compaction publish a crash interrupted — runs in
@@ -938,6 +961,70 @@ def _write_monotone_watermark(out_dir: str, batch_id: int, max_id) -> None:
     os.replace(tmp, path)
 
 
+_PRUNE_PENDING = "_prune_pending"
+
+
+def _mark_postings_pruned(path: str) -> None:
+    """Write the may-be-pruned marker (idempotent, atomic).  MUST land
+    before any posting row can be dropped — see prune_span_postings and
+    record_settled_fps; semantics are 'may be pruned', so a marker with
+    zero rows actually removed only forces the conservative full-sweep
+    path on FULL cuts."""
+    import json
+
+    marker = os.path.join(path, _POSTINGS_PRUNED_MARKER)
+    if not os.path.isfile(marker):
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"pruned": True}, fh)
+        os.replace(tmp, marker)
+
+
+def record_settled_fps(out_dir: str, settled: "DataFrame") -> bool:
+    """FUSED pruning, record side (round-13 VERDICT task 4): persist the
+    settled fp set under the postings table so its NEXT compaction —
+    which rewrites every folded dir anyway — drops the settled rows
+    inside its resolve (IncrementalDedupJob._postings_resolve) instead
+    of finalize paying a separate per-dir count+rewrite pass
+    (prune_span_postings).  Same soundness envelope: the may-be-pruned
+    marker is written BEFORE the pending set goes live (no row can be
+    dropped without the marker), and rows linger at most one compaction
+    cadence (skipping/deferring removal is always sound — leftover
+    settled rows are never looked up by the changed-fps join).
+
+    The pending set is OVERWRITTEN each cut: under the monotone-qualify
+    invariant (n_docs only grows) the settled set of cut N+1 is a
+    superset of cut N's, so the latest recording subsumes every prior
+    one — no clear protocol needed, and a crash between the two renames
+    below merely leaves no pending set (rows linger until the next
+    cut re-records; sound).  Returns False when the postings table
+    doesn't exist (nothing to prune)."""
+    import shutil
+
+    path = os.path.join(out_dir, "index_spanpostings")
+    if not os.path.isdir(path):
+        return False
+    _mark_postings_pruned(path)
+    inprog = os.path.join(path, _PRUNE_PENDING + "_inprog")
+    shutil.rmtree(inprog, ignore_errors=True)
+    settled.select("fp").write.mode("overwrite").parquet(inprog)
+    final = os.path.join(path, _PRUNE_PENDING)
+    shutil.rmtree(final, ignore_errors=True)
+    os.rename(inprog, final)
+    return True
+
+
+def pending_settled_fps(spark, out_dir: str) -> "DataFrame | None":
+    """The recorded settled fp set awaiting fused removal, or None.
+    Underscore-prefixed, so table-level parquet reads never see it."""
+    p = os.path.join(out_dir, "index_spanpostings", _PRUNE_PENDING)
+    if not os.path.isdir(p) or not any(
+        f.endswith(".parquet") for f in os.listdir(p)
+    ):
+        return None
+    return spark.read.parquet(p)
+
+
 def span_postings_pruned(out_dir: str) -> bool:
     """True when prune_span_postings ever removed rows from this corpus
     — the signal for a FULL finalize cut to fall back to the full
@@ -1011,7 +1098,6 @@ def prune_span_postings(
     template/license spans (one fp shared by millions of docs); the
     unique-window tail is irreducible by correctness (a sub-threshold
     fp may still qualify later and must find its old holders)."""
-    import json
     import shutil
 
     path = os.path.join(out_dir, "index_spanpostings")
@@ -1019,7 +1105,6 @@ def prune_span_postings(
         return 0
     recover_pruned_postings(out_dir)
     settled = settled.select("fp")
-    marker = os.path.join(path, _POSTINGS_PRUNED_MARKER)
     removed = 0
     for d in sorted(os.listdir(path)):
         if not d.startswith("batch_id="):
@@ -1036,13 +1121,7 @@ def prune_span_postings(
         # after a dir's two-rename swap but before a trailing marker
         # would leave a partially pruned index that a later FULL cut
         # would still posting-split, silently emitting unexcised text.
-        # Semantics are "may be pruned" — a marker with zero rows
-        # actually removed only forces the conservative full sweep.
-        if not os.path.isfile(marker):
-            tmp = marker + ".tmp"
-            with open(tmp, "w") as fh:
-                json.dump({"pruned": True}, fh)
-            os.replace(tmp, marker)
+        _mark_postings_pruned(path)
         inprog = os.path.join(path, f"_prune_inprog_{d}")
         trash = os.path.join(path, f"_prune_trash_{d}")
         shutil.rmtree(inprog, ignore_errors=True)

@@ -8,6 +8,12 @@ set (clean / dup-free / byte-preserving) at full scale.
     python scripts/curation_scale.py [base_sf_dir] [out_json] \
         [n_replicas] [n_batches] [legs] [curated_max_gens] [monotone]
 
+Round-13 (VERDICT task 4): `monotone=2` additionally sets
+`prune_fused=True` — finalize only RECORDS the settled set and the
+postings table's own compaction (compact_every=9 here) drops the rows
+inside the rewrite it performs anyway; compare `finalize_s` and
+`postings_rows` against a `monotone=1` (eager) twin.
+
 Round-12 (VERDICT task 4): `monotone` (0/1, default 0) opts into the
 monotone-doc_id ingest contract — the generator's ids are already
 strictly increasing in drain order — so every finalize prunes the
@@ -194,7 +200,9 @@ def main() -> None:
     if len(sys.argv) > 5:
         LEGS = int(sys.argv[5])
     curated_max_gens = int(sys.argv[6]) if len(sys.argv) > 6 else 8
-    monotone = bool(int(sys.argv[7])) if len(sys.argv) > 7 else False
+    mono_arg = int(sys.argv[7]) if len(sys.argv) > 7 else 0
+    monotone = mono_arg >= 1
+    prune_fused = mono_arg == 2
     global BOILER_EVERY
     if len(sys.argv) > 8:
         BOILER_EVERY = int(sys.argv[8])
@@ -224,6 +232,7 @@ def main() -> None:
             compact_every=9,
             curated_max_gens=curated_max_gens,
             monotone_ids=monotone,
+            prune_fused=prune_fused,
         )
         durs: list[float] = []
         legs: list[dict] = []
@@ -338,6 +347,7 @@ def main() -> None:
             "invariant_duplicate_fingerprints": n_dup_fp,
             "full_recompute_s": full_recompute_s,
             "monotone_ids": monotone,
+            "prune_fused": prune_fused,
             "final_postings_rows": legs[-1]["postings_rows"],
             "view_vs_full_recompute_diff_rows": n_only_view + n_only_full,
         }

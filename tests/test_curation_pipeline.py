@@ -1742,3 +1742,107 @@ def test_auto_publish_serving_never_stale_across_cuts_and_fold(spark, tmp_path):
     # the fold actually happened during the run (gens were renumbered)
     assert len(pipe._committed_gens()) < len(batches)
     spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+
+
+def test_fused_prune_rides_compaction_and_stays_equivalent(spark, tmp_path):
+    """Round-13 VERDICT task 4: prune_fused=True records the settled fp
+    set at each cut (record_settled_fps) and the postings table's own
+    compaction — a rewrite it performs anyway — drops those rows inside
+    its resolve, replacing the eager per-dir count+rewrite pass.  Twin
+    guarantee unchanged from the eager form: curated_view stays
+    row-identical to an unpruned twin and a from-scratch recompute
+    after every cut, including the post-prune excision scenario (a NEW
+    doc holding an already-settled fp), while the fused corpus's
+    postings table ends strictly smaller.  Fused without a compaction
+    cadence is refused (rows would never be removed)."""
+    import pytest
+
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+    from real_time_financial_market_data_pipeline_spark.streaming.incremental import (
+        pending_settled_fps,
+        span_postings_pruned,
+        span_postings_view,
+    )
+
+    batches = [
+        [{"doc_id": 10, "text": CARRIER_A}, {"doc_id": 11, "text": CARRIER_B}],
+        [
+            {"doc_id": 20, "text": LONG_B},
+            {"doc_id": 21, "text": DOC15},
+            {"doc_id": 22, "text": DOC16},
+        ],
+        # doc 30 holds BOILER2, settled at a previous cut — the
+        # post-prune excision scenario
+        [{"doc_id": 30, "text": "thirty late arrivals remark that " + BOILER2 + " matters for steady community growth and neighborly goodwill everywhere"}],
+    ]
+
+    def build(name: str, **kw) -> CuratedCorpusPipeline:
+        feed, out = str(tmp_path / f"{name}_feed"), str(tmp_path / f"{name}_out")
+        pipe = CuratedCorpusPipeline(out_dir=out, span_k=4, span_min_docs=2, **kw)
+        for i, batch in enumerate(batches):
+            _write_feed(feed, [batch], prefix=f"b{i}")
+            q = pipe.start(
+                read_doc_stream(spark, feed, max_files_per_trigger=1).select(
+                    "doc_id", "text"
+                )
+            )
+            assert q.awaitTermination(300)
+            pipe.finalize(spark)
+        return pipe
+
+    # compact_every=1: inline compaction fires every batch, so each
+    # cut's recorded settled set is swept by the very next drain
+    a = build("fused", monotone_ids=True, prune_fused=True, compact_every=1)
+    b = build("plain", monotone_ids=False, compact_every=1)
+
+    rows_a = _sorted_rows(curated_view(spark, a.out_dir))
+    rows_b = _sorted_rows(curated_view(spark, b.out_dir))
+    assert rows_a == rows_b
+    d30 = [r for r in rows_a if r["doc_id"] == 30]
+    assert d30 and all(BOILER2 not in r["text"] for r in d30)
+    assert sum(r["excised_tokens"] for r in d30) > 0
+
+    # the marker landed at record time (before any removal could)
+    assert span_postings_pruned(a.out_dir)
+    assert not span_postings_pruned(b.out_dir)
+    # the final cut's recording is pending; a stream-stopped compaction
+    # sweeps it inside its rewrite — after which the fused postings
+    # table is strictly smaller than the unpruned twin's
+    assert pending_settled_fps(spark, a.out_dir) is not None
+    a.job().compact(spark)
+    b.job().compact(spark)
+    n_a = span_postings_view(spark, a.out_dir).count()
+    n_b = span_postings_view(spark, b.out_dir).count()
+    assert n_a < n_b, (n_a, n_b)
+    assert _sorted_rows(curated_view(spark, a.out_dir)) == rows_a
+
+    # delta cut AFTER the fused sweep: redo detection still classifies
+    # a new holder of a settled fp via its own post-sweep posting rows
+    feed = str(tmp_path / "fused_feed")
+    for pipe, nm in ((a, "fused"), (b, "plain")):
+        f = str(tmp_path / f"{nm}_feed")
+        _write_feed(f, [[{"doc_id": 40, "text": "forty new arrivals note that " + BOILER2 + " still matters for community spirit and shared neighborly goodwill today"}]], prefix="b3")
+        q = pipe.start(
+            read_doc_stream(spark, f, max_files_per_trigger=1).select("doc_id", "text")
+        )
+        assert q.awaitTermination(300)
+        pipe.finalize(spark)
+    rows_a2 = _sorted_rows(curated_view(spark, a.out_dir))
+    rows_b2 = _sorted_rows(curated_view(spark, b.out_dir))
+    assert rows_a2 == rows_b2
+    d40 = [r for r in rows_a2 if r["doc_id"] == 40]
+    assert d40 and all(BOILER2 not in r["text"] for r in d40)
+
+    # misconfiguration is refused, not silently a leak
+    bad = CuratedCorpusPipeline(
+        out_dir=str(tmp_path / "bad_out"), span_k=4, span_min_docs=2,
+        monotone_ids=True, prune_fused=True, compact_every=None,
+    )
+    f = str(tmp_path / "bad_feed")
+    _write_feed(f, [batches[0]], prefix="b0")
+    q = bad.start(
+        read_doc_stream(spark, f, max_files_per_trigger=1).select("doc_id", "text")
+    )
+    assert q.awaitTermination(300)
+    with pytest.raises(ValueError, match="prune_fused"):
+        bad.finalize(spark)

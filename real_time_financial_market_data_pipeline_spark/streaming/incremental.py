@@ -293,17 +293,21 @@ class IncrementalDedupJob:
         fps when a fused prune recording is pending
         (record_settled_fps).  The anti-join rides the rewrite the
         compaction performs anyway, so the per-cut prune cost folds to
-        ~0 on corpora where compaction cadence ≈ cut cadence.  Sound by
-        the same argument as prune_span_postings (the may-be-pruned
-        marker landed before the pending set existed; settled rows are
-        never looked up by the changed-fps join); bit-identical to the
-        unfused fold when nothing is pending."""
+        ~0 on corpora where compaction cadence ≈ cut cadence.  Scoped
+        to doc_id <= the recording's watermark: rows of docs ingested
+        AFTER the recording cut must stay live for the next delta
+        cut's excision split (see record_settled_fps).  Sound by the
+        same argument as prune_span_postings within that scope;
+        bit-identical to the unfused fold when nothing is pending."""
         from real_time_financial_market_data_pipeline_spark.streaming.sinks import latest_state_on_read
 
         resolved = latest_state_on_read(combined, ["fp", "doc_id"])
         pending = pending_settled_fps(combined.sparkSession, self.out_dir)
         if pending is not None:
-            resolved = resolved.join(pending, "fp", "left_anti")
+            fps, max_doc_id = pending
+            curated = resolved.filter(F.col("doc_id") <= F.lit(max_doc_id))
+            later = resolved.filter(F.col("doc_id") > F.lit(max_doc_id))
+            resolved = curated.join(fps, "fp", "left_anti").unionByName(later)
         return resolved
 
     def recover(self, spark) -> int:
@@ -992,37 +996,65 @@ def record_settled_fps(out_dir: str, settled: "DataFrame") -> bool:
     cadence (skipping/deferring removal is always sound — leftover
     settled rows are never looked up by the changed-fps join).
 
+    The recording also captures the monotone HIGH-WATER MARK (max
+    ingested doc_id) at cut time, and the fused removal is scoped to
+    rows with doc_id <= that mark.  This reproduces the eager prune's
+    cadence exactly: prune_span_postings only ever sees rows of docs
+    the cut just curated, but a compaction can run MID-DRAIN and would
+    otherwise delete rows of docs ingested AFTER the cut — rows the
+    next delta cut's excision split still needs (a new doc whose only
+    qualifying spans are settled would lose its last live row and be
+    classified untouched, emitting unexcised text; caught by the
+    round-13 fused twin aging run's fold certification).  Docs above
+    the mark keep their rows until a LATER cut — which curates them —
+    records a higher mark.
+
     The pending set is OVERWRITTEN each cut: under the monotone-qualify
     invariant (n_docs only grows) the settled set of cut N+1 is a
-    superset of cut N's, so the latest recording subsumes every prior
-    one — no clear protocol needed, and a crash between the two renames
-    below merely leaves no pending set (rows linger until the next
-    cut re-records; sound).  Returns False when the postings table
-    doesn't exist (nothing to prune)."""
+    superset of cut N's and its watermark is >= cut N's, so the latest
+    recording subsumes every prior one — no clear protocol needed, and
+    a crash between the two renames below merely leaves no pending set
+    (rows linger until the next cut re-records; sound).  Returns False
+    when the postings table doesn't exist or no watermark has been
+    written yet (nothing can be scoped safely)."""
+    import json
     import shutil
 
     path = os.path.join(out_dir, "index_spanpostings")
     if not os.path.isdir(path):
         return False
+    wm = _read_monotone_watermark(out_dir)
+    if wm is None:
+        return False
     _mark_postings_pruned(path)
     inprog = os.path.join(path, _PRUNE_PENDING + "_inprog")
     shutil.rmtree(inprog, ignore_errors=True)
     settled.select("fp").write.mode("overwrite").parquet(inprog)
+    with open(os.path.join(inprog, "_watermark.json"), "w") as fh:
+        json.dump({"max_doc_id": wm["max_id"]}, fh)
     final = os.path.join(path, _PRUNE_PENDING)
     shutil.rmtree(final, ignore_errors=True)
     os.rename(inprog, final)
     return True
 
 
-def pending_settled_fps(spark, out_dir: str) -> "DataFrame | None":
-    """The recorded settled fp set awaiting fused removal, or None.
-    Underscore-prefixed, so table-level parquet reads never see it."""
+def pending_settled_fps(spark, out_dir: str):
+    """The recorded (settled fp set, max_doc_id watermark) awaiting
+    fused removal, or None.  Underscore-prefixed dir and side file, so
+    table-level parquet reads never see either."""
+    import json
+
     p = os.path.join(out_dir, "index_spanpostings", _PRUNE_PENDING)
     if not os.path.isdir(p) or not any(
         f.endswith(".parquet") for f in os.listdir(p)
     ):
         return None
-    return spark.read.parquet(p)
+    try:
+        with open(os.path.join(p, "_watermark.json")) as fh:
+            max_doc_id = json.load(fh)["max_doc_id"]
+    except (OSError, ValueError, KeyError):
+        return None
+    return spark.read.parquet(p), max_doc_id
 
 
 def span_postings_pruned(out_dir: str) -> bool:

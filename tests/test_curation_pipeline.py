@@ -1816,12 +1816,22 @@ def test_fused_prune_rides_compaction_and_stays_equivalent(spark, tmp_path):
     assert n_a < n_b, (n_a, n_b)
     assert _sorted_rows(curated_view(spark, a.out_dir)) == rows_a
 
-    # delta cut AFTER the fused sweep: redo detection still classifies
-    # a new holder of a settled fp via its own post-sweep posting rows
-    feed = str(tmp_path / "fused_feed")
+    # delta cut AFTER the fused sweep: doc 40 (a new holder of settled
+    # BOILER2) lands in one batch, doc 41 in the NEXT — whose inline
+    # compaction (compact_every=1) folds doc 40's now-committed batch
+    # dir while the pending recording exists.  The watermark scope
+    # must keep doc 40's posting rows live (40 > the recording cut's
+    # max id) or the excision split would classify it untouched and
+    # emit the boilerplate unexcised — the exact failure the fused
+    # twin aging run's fold certification caught pre-fix.  Doc 40's
+    # context words are UNIQUE (no k-gram shared with any other doc's
+    # boundary), so its only qualifying windows are BOILER2-internal —
+    # all settled, all in the pending set: an unscoped anti-join
+    # leaves it with zero live rows and the test fails (verified).
     for pipe, nm in ((a, "fused"), (b, "plain")):
         f = str(tmp_path / f"{nm}_feed")
-        _write_feed(f, [[{"doc_id": 40, "text": "forty new arrivals note that " + BOILER2 + " still matters for community spirit and shared neighborly goodwill today"}]], prefix="b3")
+        _write_feed(f, [[{"doc_id": 40, "text": "forty fresh reviews mention quietly " + BOILER2 + " whereas distant hills echo calm evening songs across quiet meadows tonight"}]], prefix="b3")
+        _write_feed(f, [[{"doc_id": 41, "text": "forty one plain unique closing statements about gardens rivers and mountain paths for everyone"}]], prefix="b4")
         q = pipe.start(
             read_doc_stream(spark, f, max_files_per_trigger=1).select("doc_id", "text")
         )

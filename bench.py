@@ -116,6 +116,41 @@ HEADLINE = [
 ]
 
 
+def bench_host_calibration(spark) -> float:
+    """Host-speed calibration probe (round-14 VERDICT task 3): a FIXED
+    synthetic shuffle+agg over generated data — no I/O, no repo code on
+    the timed path — so round-over-round drift in this number measures
+    the HOST (co-tenant load, CPU frequency, JVM luck), not the engine.
+    Three consecutive rounds burned adjudication effort proving "host
+    drift, not regression" by hand (r11-r13, each via same-box worktree
+    A/B); the digest now carries this entry and a calibration-normalized
+    delta so drift self-adjudicates.  8M rows -> 262k-key hash agg ->
+    scalar re-agg, min of 3 after one untimed codegen warm run; ~0.8 s
+    on an idle 32-thread host.  NOT part of any total."""
+    from pyspark.sql import functions as F
+
+    def run() -> None:
+        (
+            spark.range(0, 8_000_000, 1, 32)
+            .select(
+                (F.col("id") % 262_144).alias("k"),
+                ((F.col("id") * 2654435761) % 1_000_033).alias("v"),
+            )
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("c"), F.max("v").alias("m"))
+            .agg(F.sum("s"), F.sum("c"), F.max("m"))
+            .collect()
+        )
+
+    run()  # codegen/plan warm — untimed
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def bench_bucketed_serving(spark, sf_dir: str) -> dict[str, float]:
     """Round-2/3 VERDICT before/after: the serving queries that cluster
     on symbol — Q5 (latest 50 bars), Q6/Q7 (volume/trade_count by
@@ -632,6 +667,15 @@ def main() -> None:
     except Exception:
         pass
 
+    # host-speed calibration, taken at both ends of the run (the run is
+    # ~2 minutes; co-tenant load can arrive mid-run) — NOT in timings,
+    # so totals stay comparable with prior rounds
+    cal_start = cal_end = None
+    try:
+        cal_start = bench_host_calibration(spark)
+    except Exception as exc:  # noqa: BLE001
+        errors["host_calibration"] = f"{type(exc).__name__}: {exc}".splitlines()[0][:500]
+
     for name in HEADLINE:
         _guard(name, lambda name=name: _min_of_2(
             lambda: QUERIES[name](spark, sf_dir).count()
@@ -760,6 +804,21 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["curated_pipeline"] = f"{type(exc).__name__}: {exc}".splitlines()[0][:500]
 
+    try:
+        cal_end = bench_host_calibration(spark)
+    except Exception as exc:  # noqa: BLE001
+        errors["host_calibration_end"] = f"{type(exc).__name__}: {exc}".splitlines()[0][:500]
+    host_calibration = None
+    if cal_start is not None or cal_end is not None:
+        vals = [v for v in (cal_start, cal_end) if v is not None]
+        host_calibration = {
+            "start_s": cal_start,
+            "end_s": cal_end,
+            # mean of both ends: the ratio should reflect TYPICAL host
+            # speed across the run, not just its quietest instant
+            "mean_s": round(sum(vals) / len(vals), 3),
+        }
+
     durs = sorted(best_chained[2])
     batch_stats = (
         {
@@ -796,6 +855,7 @@ def main() -> None:
         "queries": timings,
         "streaming_batches": batch_stats,
         "quote_enrich_batches": quote_batch_stats,
+        "host_calibration": host_calibration,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
@@ -852,6 +912,31 @@ def main() -> None:
         key=lambda r: r[2] / r[1],
         reverse=True,
     )[:5]
+    # calibration-normalized deltas (round-14 VERDICT task 3): divide
+    # this round's timings by the host-speed ratio vs the previous
+    # round's calibration probe before flagging regressions — a uniform
+    # host slowdown then self-adjudicates instead of costing a manual
+    # worktree A/B.  Raw regressions stay in the digest alongside: code
+    # regressions show in BOTH lists, pure host drift only in the raw.
+    prev_cal = (prev.get("host_calibration") or {}).get("mean_s")
+    cal_mean = (host_calibration or {}).get("mean_s")
+    cal_ratio = (
+        round(cal_mean / prev_cal, 3)
+        if cal_mean and prev_cal and prev_cal > 0
+        else None
+    )
+    norm = cal_ratio if cal_ratio else 1.0
+    regressions_norm = sorted(
+        (
+            (name, prev_q[name], round(t / norm, 3))
+            for name, t in timings.items()
+            if name in prev_q
+            and prev_q[name] > 0.05
+            and t / norm > prev_q[name] * 1.10
+        ),
+        key=lambda r: r[2] / r[1],
+        reverse=True,
+    )[:5]
     digest = {
         "bench_digest": True,
         "bench_round": CURRENT_ROUND,
@@ -859,10 +944,17 @@ def main() -> None:
         "comparable_total": comparable,
         "prev_total": prev.get("headline_comparable_total"),
         "prev_round": prev.get("bench_round"),
+        "calibration_s": cal_mean,
+        "prev_calibration_s": prev_cal,
+        "calibration_ratio": cal_ratio,
+        "total_normalized": round(total / norm, 3) if cal_ratio else None,
         "n_entries": len(timings),
         "n_errors": len(errors),
         "worst_regressions": [
             [n, p, c] for n, p, c in regressions
+        ],
+        "worst_regressions_normalized": [
+            [n, p, c] for n, p, c in regressions_norm
         ],
         "new_entries": {
             n: t

@@ -251,6 +251,7 @@ class IncrementalDedupJob:
 
         commit_log = os.path.join(self.checkpoints(), "incremental_dedup")
         folded = 0
+        self._prune_applied_candidate = None
         for path, key_cols, resolve in self._fold_specs():
             if not os.path.isdir(path):
                 continue
@@ -258,6 +259,15 @@ class IncrementalDedupJob:
             folded += compact_latest_state(
                 spark, path, key_cols, only_below=bound, resolve=resolve
             )
+        # the postings fold ran its settled anti-join and its publish
+        # completed (compact_latest_state returned): mark the recording
+        # applied so the next compaction skips the join until a new cut
+        # re-records (round-14 task 1).  Unset when the fold was a
+        # no-op (<=1 dir) or resumed a crashed publish without
+        # re-resolving — those paths keep the conservative re-pay.
+        if self._prune_applied_candidate is not None:
+            _write_prune_applied(self.out_dir, self._prune_applied_candidate)
+            self._prune_applied_candidate = None
         return folded
 
     def _fold_specs(self):
@@ -298,16 +308,31 @@ class IncrementalDedupJob:
         AFTER the recording cut must stay live for the next delta
         cut's excision split (see record_settled_fps).  Sound by the
         same argument as prune_span_postings within that scope;
-        bit-identical to the unfused fold when nothing is pending."""
+        bit-identical to the unfused fold when nothing is pending.
+
+        ALREADY-APPLIED SKIP (round-14 VERDICT task 1): when the
+        applied mark matches the pending identity — a previous
+        compaction ran this anti-join and published — the join is
+        skipped (bit-identical, see _write_prune_applied).  Otherwise
+        the identity is stashed on the job; compact()/recover() write
+        the mark only after the publish completes, so a crash between
+        resolve and publish conservatively re-pays the join."""
         from real_time_financial_market_data_pipeline_spark.streaming.sinks import latest_state_on_read
 
         resolved = latest_state_on_read(combined, ["fp", "doc_id"])
-        pending = pending_settled_fps(combined.sparkSession, self.out_dir)
-        if pending is not None:
-            fps, max_doc_id = pending
-            curated = resolved.filter(F.col("doc_id") <= F.lit(max_doc_id))
-            later = resolved.filter(F.col("doc_id") > F.lit(max_doc_id))
-            resolved = curated.join(fps, "fp", "left_anti").unionByName(later)
+        ident = _pending_prune_identity(self.out_dir)
+        if ident is not None and ident != _read_prune_applied(self.out_dir):
+            pending = pending_settled_fps(combined.sparkSession, self.out_dir)
+            if pending is not None:
+                fps, max_doc_id = pending
+                curated = resolved.filter(F.col("doc_id") <= F.lit(max_doc_id))
+                later = resolved.filter(F.col("doc_id") > F.lit(max_doc_id))
+                resolved = curated.join(fps, "fp", "left_anti").unionByName(later)
+                self._prune_applied_candidate = ident
+                # observability: lets tests (and operators) verify the
+                # already-applied skip — repeat compactions must not
+                # grow this counter until a new cut re-records
+                self._prune_joins_run = getattr(self, "_prune_joins_run", 0) + 1
         return resolved
 
     def recover(self, spark) -> int:
@@ -322,10 +347,19 @@ class IncrementalDedupJob:
         from real_time_financial_market_data_pipeline_spark.streaming.sinks import finish_staged_compaction
 
         commit_log = os.path.join(self.checkpoints(), "incremental_dedup")
-        return sum(
+        self._prune_applied_candidate = None
+        recovered = sum(
             finish_staged_compaction(spark, path, key_cols, commit_log, resolve=resolve)
             for path, key_cols, resolve in self._fold_specs()
         )
+        # same applied-mark rule as compact(): only when a recovery
+        # REFOLD actually re-ran the postings resolve (stale stage
+        # discarded) and published — resuming a crashed publish without
+        # re-resolving leaves the mark absent (conservative re-pay)
+        if self._prune_applied_candidate is not None:
+            _write_prune_applied(self.out_dir, self._prune_applied_candidate)
+            self._prune_applied_candidate = None
+        return recovered
 
     def _read_prior(self, spark, table: str, batch_id: int) -> DataFrame | None:
         """Partition-pruned read of a table's batches STRICTLY BELOW the
@@ -1031,7 +1065,12 @@ def record_settled_fps(out_dir: str, settled: "DataFrame") -> bool:
     shutil.rmtree(inprog, ignore_errors=True)
     settled.select("fp").write.mode("overwrite").parquet(inprog)
     with open(os.path.join(inprog, "_watermark.json"), "w") as fh:
-        json.dump({"max_doc_id": wm["max_id"]}, fh)
+        # batch_id joins max_doc_id as the recording's IDENTITY: a
+        # compaction that applied this exact recording marks it applied
+        # (_write_prune_applied) and later compactions skip the
+        # anti-join until a new cut records a different identity
+        # (round-14 VERDICT task 1)
+        json.dump({"max_doc_id": wm["max_id"], "batch_id": wm["batch_id"]}, fh)
     final = os.path.join(path, _PRUNE_PENDING)
     shutil.rmtree(final, ignore_errors=True)
     os.rename(inprog, final)
@@ -1042,6 +1081,22 @@ def pending_settled_fps(spark, out_dir: str):
     """The recorded (settled fp set, max_doc_id watermark) awaiting
     fused removal, or None.  Underscore-prefixed dir and side file, so
     table-level parquet reads never see either."""
+    p = os.path.join(out_dir, "index_spanpostings", _PRUNE_PENDING)
+    ident = _pending_prune_identity(out_dir)
+    if ident is None:
+        return None
+    return spark.read.parquet(p), ident[0]
+
+
+_PRUNE_APPLIED = "_prune_applied.json"
+
+
+def _pending_prune_identity(out_dir: str) -> tuple[int, int | None] | None:
+    """(max_doc_id, batch_id) identity of the pending settled-fp
+    recording, or None when there is no readable pending set.  batch_id
+    is None for recordings written before round 14 (identity still
+    works — the applied compare just falls back to the watermark
+    alone)."""
     import json
 
     p = os.path.join(out_dir, "index_spanpostings", _PRUNE_PENDING)
@@ -1051,10 +1106,51 @@ def pending_settled_fps(spark, out_dir: str):
         return None
     try:
         with open(os.path.join(p, "_watermark.json")) as fh:
-            max_doc_id = json.load(fh)["max_doc_id"]
+            d = json.load(fh)
+            return int(d["max_doc_id"]), (
+                int(d["batch_id"]) if "batch_id" in d else None
+            )
     except (OSError, ValueError, KeyError):
         return None
-    return spark.read.parquet(p), max_doc_id
+
+
+def _read_prune_applied(out_dir: str) -> tuple[int, int | None] | None:
+    """Identity of the last settled-fp recording a compaction APPLIED
+    (anti-join executed and its publish completed), or None."""
+    import json
+
+    try:
+        with open(
+            os.path.join(out_dir, "index_spanpostings", _PRUNE_APPLIED)
+        ) as fh:
+            d = json.load(fh)
+            return int(d["max_doc_id"]), (
+                int(d["batch_id"]) if d.get("batch_id") is not None else None
+            )
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def _write_prune_applied(out_dir: str, ident: tuple[int, int | None]) -> None:
+    """Mark a settled-fp recording as applied (round-14 VERDICT task 1):
+    written by compact()/recover() AFTER the postings fold's publish
+    completes, never inside the resolve itself — a crash between
+    resolve and publish must leave the mark absent so the next
+    compaction conservatively re-pays the (idempotent) anti-join.
+    While the mark matches the pending identity, _postings_resolve
+    skips the anti-join: every row the pending set could remove is
+    already gone from the snapshot, and post-recording deltas only
+    carry doc_ids above the watermark (monotone contract), which the
+    scoped removal never touches — so the skip is bit-identical, not
+    just sound.  A new cut re-records with a different identity and the
+    join runs again."""
+    import json
+
+    marker = os.path.join(out_dir, "index_spanpostings", _PRUNE_APPLIED)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"max_doc_id": ident[0], "batch_id": ident[1]}, fh)
+    os.replace(tmp, marker)
 
 
 def span_postings_pruned(out_dir: str) -> bool:

@@ -53,15 +53,34 @@ def parquet_sink(
     fold never races the writer; excluding the current batch id keeps
     the replay contract intact (a replayed batch overwrites only its own
     delta directory, never a directory holding folded history).  This
-    bounds the directory count readers must list to compact_every + 1
+    bounds the dir set readers construct from to compact_every + 1
     regardless of how long the stream runs — without it, a 10 s trigger
     accretes ~8.6k directories/day and file listing dominates read cost.
+    The inline fold defers retirement (defer_retire): superseded dirs
+    leave the reader manifest at publish but stay on disk one extra
+    cadence, so the on-disk count transiently reaches ~2x compact_every
+    while every dir a concurrent reader's manifest names keeps its
+    files for the whole construction (the read_update_sink no-retry
+    guarantee).
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            # defer_retire: this sink's resolve is always per-key latest
+            # (idempotent), so deferral is sound — and REQUIRED for the
+            # no-retry claim of read_update_sink: a polling reader
+            # (gold_view / latest_prices_view) that loaded the manifest
+            # just before this mid-drain publish would otherwise pass
+            # just-deleted dir paths to spark.read.parquet (root-path
+            # PATH_NOT_FOUND isn't covered by ignoreMissingFiles).  With
+            # deferral, every dir a pre-publish manifest names stays on
+            # disk a full compaction cadence (round-14 ADVICE, medium).
             compact_latest_state(
-                batch_df.sparkSession, path, compact_keys or [], only_below=batch_id
+                batch_df.sparkSession,
+                path,
+                compact_keys or [],
+                only_below=batch_id,
+                defer_retire=True,
             )
         if batch_df.isEmpty():
             return
@@ -92,6 +111,7 @@ def parquet_sink(
             path,
             compact_keys,
             os.path.join(checkpoint_dir, name),
+            defer_retire=True,  # the layer's flavor — see write_batch
         )
 
     stream = (
@@ -165,7 +185,18 @@ def _manifest_add(path: str, dir_name: str) -> None:
     contract per layer: foreachBatch callbacks are serialized, so no
     writer races another).  Bootstraps from a directory listing when
     the manifest doesn't exist yet — an upgraded layer starts
-    manifest-routing at its first post-upgrade batch."""
+    manifest-routing at its first post-upgrade batch.
+
+    SINGLE-WRITER CONTRACT (round-14 ADVICE, low): this is an unlocked
+    read-modify-write, serialized only by foreachBatch.  An OUT-OF-BAND
+    compact_latest_state (bench/maintenance) running while the stream
+    drains could interleave: an add that read the pre-publish manifest
+    would clobber the publish's rewrite, resurrecting superseded dirs
+    that the grace sweep later deletes while still named.  That's why
+    compact_latest_state's contract is stream-STOPPED (its own
+    docstring) — the only in-drain compaction is the INLINE one, which
+    runs inside the same serialized callback as this add.  Do not
+    compact a layer concurrently with its writing stream."""
     import re
 
     cur = _read_reader_manifest(path)
@@ -200,7 +231,18 @@ def read_update_sink(spark, path: str) -> DataFrame:
     is covered by the snapshot the read retains).
 
     Falls back to the plain listing read when no manifest exists (a
-    layer written before the manifest protocol, or never compacted)."""
+    layer written before the manifest protocol, or never compacted).
+
+    Two caveats, both bounded: (a) the manifest is authoritative only
+    for layers whose WRITER participates in the protocol (_manifest_add
+    per batch — every in-repo parquet_sink layer does); _finish_publish
+    deliberately never creates one for non-participating layers, so a
+    stale-manifest read cannot arise in-repo.  (b) On a layer that
+    never compacts, the manifest grows O(batches written) — harmless
+    (the JSON is a few bytes per dir, and the listing read it replaces
+    was O(dirs) anyway), but set compact_every on long-running
+    update-mode layers regardless: the DIRECTORY count is the real
+    scale cost, and compaction bounds both."""
     dirs = _read_reader_manifest(path)
     if dirs:
         live = [
@@ -696,15 +738,22 @@ def _finish_publish(
     # HERE, and with defer_retire stay on disk for a full cadence, so a
     # manifest-routed read (read_update_sink) never names a dir that
     # can vanish mid-construction.  Recomputed from the listing, so a
-    # crash-resume re-running this step is idempotent.
-    _write_reader_manifest(
-        path,
-        [
-            d
-            for d in os.listdir(path)
-            if (m := re.fullmatch(r"batch_id=(\d+)", d)) and int(m.group(1)) >= max_id
-        ],
-    )
+    # crash-resume re-running this step is idempotent.  Rewritten ONLY
+    # when a manifest already exists, i.e. the layer's writer opted
+    # into the protocol via _manifest_add: creating one for a layer
+    # whose writer never appends (IncrementalDedupJob's index tables)
+    # would leave a manifest that silently under-names every dir the
+    # next drain lands — read_update_sink would return stale data with
+    # no error (round-14 ADVICE, low).
+    if os.path.isfile(os.path.join(path, _READER_MANIFEST)):
+        _write_reader_manifest(
+            path,
+            [
+                d
+                for d in os.listdir(path)
+                if (m := re.fullmatch(r"batch_id=(\d+)", d)) and int(m.group(1)) >= max_id
+            ],
+        )
     older = [
         d
         for d in os.listdir(path)

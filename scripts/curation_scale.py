@@ -8,8 +8,9 @@ set (clean / dup-free / byte-preserving) at full scale.
     python scripts/curation_scale.py [base_sf_dir] [out_json] \
         [n_replicas] [n_batches] [legs] [curated_max_gens] [monotone]
 
-Round-13 (VERDICT task 4): `monotone=2` additionally sets
-`prune_fused=True` — finalize only RECORDS the settled set and the
+Round-13 (VERDICT task 4): `monotone=2` selects the fused prune — since
+round 14 via the AUTO default (prune_fused is left unset; monotone +
+compact_every make it fused) — finalize only RECORDS the settled set and the
 postings table's own compaction (compact_every=9 here) drops the rows
 inside the rewrite it performs anyway; compare `finalize_s` and
 `postings_rows` against a `monotone=1` (eager) twin.
@@ -202,7 +203,10 @@ def main() -> None:
     curated_max_gens = int(sys.argv[6]) if len(sys.argv) > 6 else 8
     mono_arg = int(sys.argv[7]) if len(sys.argv) > 7 else 0
     monotone = mono_arg >= 1
-    prune_fused = mono_arg == 2
+    # mono=2 exercises the round-14 DEFAULT (prune_fused=None, auto →
+    # fused because monotone + compact_every are both set); mono=1 pins
+    # the eager twin with an explicit opt-out
+    prune_fused = None if mono_arg == 2 else False
     global BOILER_EVERY
     if len(sys.argv) > 8:
         BOILER_EVERY = int(sys.argv[8])

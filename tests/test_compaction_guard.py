@@ -798,3 +798,91 @@ def test_manifest_views_match_listing_reads_after_drain(spark, tmp_path):
     )
     assert via_manifest == via_listing
     assert via_manifest, "gold layer empty after drain"
+
+
+def test_inline_compaction_defers_retirement_for_polled_readers(spark, tmp_path):
+    """Round-14 ADVICE (medium): parquet_sink's INLINE compaction must
+    defer retirement.  A polling reader (read_update_sink) that loaded
+    the manifest just before a mid-drain publish would otherwise pass
+    just-deleted dir paths to spark.read.parquet — root-path
+    PATH_NOT_FOUND, which ignoreMissingFiles does not cover.  With
+    defer_retire, superseded dirs leave the manifest at publish but
+    stay on disk a full compaction cadence, so every dir any current
+    manifest names exists for the whole construction."""
+    from real_time_financial_market_data_pipeline_spark.streaming.sinks import (
+        _read_reader_manifest,
+        _read_retire_pending,
+        compact_latest_state,
+        parquet_sink,
+        read_update_sink,
+    )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for i in range(6):
+        _write_jsonl(feed, f"b{i}.json", [
+            {"s": "AAPL", "p": 100.0 + i, "v": 10, "t": T0 + i * 1000},
+        ])
+        # distinct mtimes so the file source drains oldest-first
+        p = os.path.join(feed, f"b{i}.json")
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    path = str(tmp_path / "layer")
+    q = parquet_sink(
+        read_trade_stream(spark, str(feed), max_files_per_trigger=1),
+        path,
+        str(tmp_path / "ckpt"),
+        "deferred_inline",
+        output_mode="append",
+        compact_every=2,
+        compact_keys=["symbol"],
+    )
+    assert q.awaitTermination(300)
+
+    # the last inline fold (batch 4) deferred the dirs it superseded:
+    # they are recorded in retire-pending, STILL ON DISK, and OUT of
+    # the reader manifest — the grace contract polled readers rely on
+    deferred = _read_retire_pending(path)
+    assert deferred, "inline compaction retired immediately (no deferral)"
+    for d in deferred:
+        assert os.path.isdir(os.path.join(path, d)), f"deferred dir {d} deleted"
+    manifest = _read_reader_manifest(path)
+    assert manifest and not set(deferred) & set(manifest)
+    rows = latest_state_on_read(read_update_sink(spark, path), ["symbol"]).collect()
+    assert [(r["symbol"], r["price"]) for r in rows] == [("AAPL", 105.0)]
+
+    # next cadence point (stream-stopped form): the grace sweep finally
+    # deletes them — deferral is a bounded window, not a leak
+    compact_latest_state(spark, path, ["symbol"], defer_retire=True)
+    for d in deferred:
+        assert not os.path.isdir(os.path.join(path, d))
+
+
+def test_publish_never_creates_manifest_for_non_protocol_layers(spark, tmp_path):
+    """Round-14 ADVICE (low): _finish_publish only REWRITES an existing
+    reader manifest, never creates one.  A layer whose writer does not
+    call _manifest_add (IncrementalDedupJob's index tables) must stay
+    manifest-less — a publish-created manifest would silently under-name
+    every dir the next drain lands, and read_update_sink would return
+    stale data with no error."""
+    from real_time_financial_market_data_pipeline_spark.streaming.sinks import (
+        _READER_MANIFEST,
+        compact_latest_state,
+        read_update_sink,
+    )
+
+    path = str(tmp_path / "index_like")
+    for i in range(3):
+        spark.createDataFrame(
+            [("k", i, 100 + i)], "id string, seq int, val int"
+        ).write.parquet(os.path.join(path, f"batch_id={i}"))
+
+    compact_latest_state(spark, path, ["id"])
+    assert not os.path.isfile(os.path.join(path, _READER_MANIFEST))
+
+    # non-protocol writer lands another batch; the listing-fallback read
+    # sees it immediately (a stale manifest would have hidden it)
+    spark.createDataFrame(
+        [("k", 3, 103)], "id string, seq int, val int"
+    ).write.parquet(os.path.join(path, "batch_id=3"))
+    rows = latest_state_on_read(read_update_sink(spark, path), ["id"]).collect()
+    assert rows[0]["val"] == 103

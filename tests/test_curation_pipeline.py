@@ -1310,8 +1310,14 @@ def test_monotone_ids_postings_pruning_sound_and_bounded(spark, tmp_path):
 
     def build(name: str, monotone: bool, finalize_each: bool) -> CuratedCorpusPipeline:
         feed, out = str(tmp_path / f"{name}_feed"), str(tmp_path / f"{name}_out")
+        # prune_fused=False: this test pins the EAGER prune form (rows
+        # removed at finalize itself); the round-14 auto default would
+        # otherwise select fused here (monotone + compact_every) and
+        # defer removal to the next compaction — covered by
+        # test_fused_prune_rides_compaction_and_stays_equivalent
         pipe = CuratedCorpusPipeline(
-            out_dir=out, span_k=4, span_min_docs=2, monotone_ids=monotone
+            out_dir=out, span_k=4, span_min_docs=2, monotone_ids=monotone,
+            prune_fused=False,
         )
         for i, batch in enumerate(batches):
             _write_feed(feed, [batch], prefix=f"b{i}")
@@ -1425,10 +1431,12 @@ def test_publish_and_prune_crash_recovery_paths(spark, tmp_path):
         (r["doc_id"], r["chunk_idx"]) for r in spark.table(table).collect()
     ) == before
 
-    # (b)+(c): prune-swap recovery on the postings table
+    # (b)+(c): prune-swap recovery on the postings table — eager form
+    # (the _prune_inprog_* swap states are the eager rewrite's; fused
+    # removal rides the compaction publish protocol instead)
     mono = CuratedCorpusPipeline(
         out_dir=str(tmp_path / "mono_out"), span_k=4, span_min_docs=2,
-        monotone_ids=True,
+        monotone_ids=True, prune_fused=False,
     )
     feed = str(tmp_path / "mono_feed")
     _write_feed(
@@ -1791,9 +1799,14 @@ def test_fused_prune_rides_compaction_and_stays_equivalent(spark, tmp_path):
         return pipe
 
     # compact_every=1: inline compaction fires every batch, so each
-    # cut's recorded settled set is swept by the very next drain
-    a = build("fused", monotone_ids=True, prune_fused=True, compact_every=1)
+    # cut's recorded settled set is swept by the very next drain.
+    # prune_fused is NOT passed: round 14 made fused the AUTO default
+    # whenever monotone_ids + compact_every hold — this twin run pins
+    # the DEFAULT path, not an opt-in.
+    a = build("fused", monotone_ids=True, compact_every=1)
+    assert a._prune_fused_effective is True
     b = build("plain", monotone_ids=False, compact_every=1)
+    assert b._prune_fused_effective is False  # no monotone contract
 
     rows_a = _sorted_rows(curated_view(spark, a.out_dir))
     rows_b = _sorted_rows(curated_view(spark, b.out_dir))
@@ -1843,16 +1856,96 @@ def test_fused_prune_rides_compaction_and_stays_equivalent(spark, tmp_path):
     d40 = [r for r in rows_a2 if r["doc_id"] == 40]
     assert d40 and all(BOILER2 not in r["text"] for r in d40)
 
-    # misconfiguration is refused, not silently a leak
-    bad = CuratedCorpusPipeline(
-        out_dir=str(tmp_path / "bad_out"), span_k=4, span_min_docs=2,
-        monotone_ids=True, prune_fused=True, compact_every=None,
+    # misconfiguration is refused at CONSTRUCTION (round-14 ADVICE: the
+    # old finalize-time check could let a misconfigured pipeline run
+    # many cuts — or forever, with monotone_ids=False silently ignoring
+    # the flag — before surfacing)
+    with pytest.raises(ValueError, match="compact_every"):
+        CuratedCorpusPipeline(
+            out_dir=str(tmp_path / "bad_out"), span_k=4, span_min_docs=2,
+            monotone_ids=True, prune_fused=True, compact_every=None,
+        )
+    with pytest.raises(ValueError, match="monotone_ids"):
+        CuratedCorpusPipeline(
+            out_dir=str(tmp_path / "bad_out2"), span_k=4, span_min_docs=2,
+            monotone_ids=False, prune_fused=True, compact_every=1,
+        )
+    # the auto default degrades gracefully instead: no cadence → eager
+    auto_eager = CuratedCorpusPipeline(
+        out_dir=str(tmp_path / "auto_out"), span_k=4, span_min_docs=2,
+        monotone_ids=True, compact_every=None,
     )
-    f = str(tmp_path / "bad_feed")
-    _write_feed(f, [batches[0]], prefix="b0")
-    q = bad.start(
-        read_doc_stream(spark, f, max_files_per_trigger=1).select("doc_id", "text")
+    assert auto_eager._prune_fused_effective is False
+
+
+def test_fused_prune_applied_mark_skips_repeat_compactions(spark, tmp_path):
+    """Round-14 VERDICT task 1 (second half): once a compaction has
+    applied the pending settled set (anti-join executed, publish
+    complete), an applied mark with the recording's identity is
+    written — subsequent compactions of the postings table SKIP the
+    anti-join (bit-identical: the snapshot already lost those rows and
+    post-recording deltas sit above the doc_id watermark) until a new
+    cut re-records a different identity."""
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+    from real_time_financial_market_data_pipeline_spark.streaming.incremental import (
+        _pending_prune_identity,
+        _read_prune_applied,
+        span_postings_view,
     )
-    assert q.awaitTermination(300)
-    with pytest.raises(ValueError, match="prune_fused"):
-        bad.finalize(spark)
+
+    feed, out = str(tmp_path / "feed"), str(tmp_path / "out")
+    # compact_every high: inline compaction never fires in this test, so
+    # every fold below is an explicit compact() whose join count we pin
+    pipe = CuratedCorpusPipeline(
+        out_dir=out, span_k=4, span_min_docs=2,
+        monotone_ids=True, compact_every=100,
+    )
+    assert pipe._prune_fused_effective is True  # the round-14 auto default
+
+    def drain(batches, prefix):
+        _write_feed(feed, batches, prefix=prefix)
+        q = pipe.start(
+            read_doc_stream(spark, feed, max_files_per_trigger=1).select(
+                "doc_id", "text"
+            )
+        )
+        assert q.awaitTermination(300)
+
+    # two batches -> two postings dirs, so the first compact really folds
+    drain([[{"doc_id": 10, "text": CARRIER_A}, {"doc_id": 11, "text": CARRIER_B}]], "b0")
+    drain([[{"doc_id": 20, "text": LONG_B}]], "b1")
+    pipe.finalize(spark)  # fused: records the settled set
+    ident0 = _pending_prune_identity(out)
+    assert ident0 is not None
+    assert _read_prune_applied(out) is None
+
+    job = pipe.job()
+    job.compact(spark)  # applies the recording inside the fold
+    assert getattr(job, "_prune_joins_run", 0) == 1
+    assert _read_prune_applied(out) == ident0
+    rows_after_apply = sorted(
+        (r["fp"], r["doc_id"]) for r in span_postings_view(spark, out).collect()
+    )
+
+    # a new batch lands (doc above the watermark), then a REPEAT compact:
+    # the pending identity is unchanged, so the anti-join is skipped —
+    # and the result is bit-identical (old rows as applied, new doc's
+    # rows intact above the watermark)
+    drain([[{"doc_id": 30, "text": "thirty late arrivals remark that " + BOILER2 + " matters for steady community growth and neighborly goodwill everywhere"}]], "b2")
+    job.compact(spark)
+    assert getattr(job, "_prune_joins_run", 0) == 1, "repeat compaction re-paid the join"
+    assert _read_prune_applied(out) == ident0
+    rows_after_skip = sorted(
+        (r["fp"], r["doc_id"]) for r in span_postings_view(spark, out).collect()
+    )
+    assert set(rows_after_apply) <= set(rows_after_skip)
+    assert any(d == 30 for _, d in rows_after_skip), "new doc's rows lost"
+
+    # the next cut re-records (higher watermark) -> the join runs again
+    pipe.finalize(spark)
+    ident1 = _pending_prune_identity(out)
+    assert ident1 is not None and ident1 != ident0
+    drain([[{"doc_id": 40, "text": "forty one plain unique closing statements about gardens rivers and mountain paths for everyone"}]], "b3")
+    job.compact(spark)
+    assert getattr(job, "_prune_joins_run", 0) == 2
+    assert _read_prune_applied(out) == ident1

@@ -1141,9 +1141,18 @@ def _write_prune_applied(out_dir: str, ident: tuple[int, int | None]) -> None:
     skips the anti-join: every row the pending set could remove is
     already gone from the snapshot, and post-recording deltas only
     carry doc_ids above the watermark (monotone contract), which the
-    scoped removal never touches — so the skip is bit-identical, not
-    just sound.  A new cut re-records with a different identity and the
-    join runs again."""
+    scoped removal never touches — so the skip is bit-identical on the
+    normal path.  One crash edge is merely SOUND rather than
+    identical: the watermark advances before the checkpoint commit, so
+    a replayed uncommitted batch's delta can carry doc_ids <= the
+    recorded watermark; its settled rows then linger under the skip.
+    Lingering settled rows are harmless by the standing envelope (the
+    changed-fps join never looks settled fps up; extra live rows only
+    route a doc onto the excision split it didn't need — the
+    conservative direction) and bounded by one batch; a later cut
+    re-records a higher identity and they leave at its compaction.  A
+    new cut re-records with a different identity and the join runs
+    again."""
     import json
 
     marker = os.path.join(out_dir, "index_spanpostings", _PRUNE_APPLIED)

@@ -596,6 +596,13 @@ class QuoteEnrichJob:
                             best_keys,
                             only_below=batch_id,
                             resolve=_resolve_best_quote,
+                            # same deferral as parquet_sink's inline fold
+                            # (round-14 ADVICE): a polling best_quote_view
+                            # reader's manifest must never name a root dir
+                            # this publish deletes mid-construction; the
+                            # max_by re-reduce is idempotent, so deferral
+                            # is sound
+                            defer_retire=True,
                         )
                 # one materialization feeds the empty-check and both
                 # writes — without the persist, each action re-executes

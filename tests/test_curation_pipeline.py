@@ -1949,3 +1949,16 @@ def test_fused_prune_applied_mark_skips_repeat_compactions(spark, tmp_path):
     job.compact(spark)
     assert getattr(job, "_prune_joins_run", 0) == 2
     assert _read_prune_applied(out) == ident1
+
+    # crash sim: the publish completed but the mark write didn't land
+    # (the mark is written AFTER compact_latest_state returns, so this
+    # is exactly the crash-between window).  The protocol's answer is
+    # a conservative RE-PAY: the next compaction runs the (idempotent)
+    # anti-join again, regenerates the mark, and the view is unchanged.
+    rows_before = _sorted_rows(curated_view(spark, out))
+    os.remove(os.path.join(out, "index_spanpostings", "_prune_applied.json"))
+    drain([[{"doc_id": 50, "text": "fifty final remarks on orchards bridges and winding coastal trails for travellers"}]], "b4")
+    job.compact(spark)
+    assert getattr(job, "_prune_joins_run", 0) == 3, "lost mark must re-pay"
+    assert _read_prune_applied(out) == ident1
+    assert _sorted_rows(curated_view(spark, out)) == rows_before

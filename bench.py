@@ -925,18 +925,25 @@ def main() -> None:
         if cal_mean and prev_cal and prev_cal > 0
         else None
     )
-    norm = cal_ratio if cal_ratio else 1.0
-    regressions_norm = sorted(
-        (
-            (name, prev_q[name], round(t / norm, 3))
-            for name, t in timings.items()
-            if name in prev_q
-            and prev_q[name] > 0.05
-            and t / norm > prev_q[name] * 1.10
-        ),
-        key=lambda r: r[2] / r[1],
-        reverse=True,
-    )[:5]
+    # normalized fields only when a calibration ratio actually exists
+    # (round-14 ADVICE, low): with no prior probe, emitting a normalized
+    # list that duplicates the raw one would imply normalization
+    # happened when it did not — emit null instead.
+    regressions_norm = (
+        sorted(
+            (
+                (name, prev_q[name], round(t / cal_ratio, 3))
+                for name, t in timings.items()
+                if name in prev_q
+                and prev_q[name] > 0.05
+                and t / cal_ratio > prev_q[name] * 1.10
+            ),
+            key=lambda r: r[2] / r[1],
+            reverse=True,
+        )[:5]
+        if cal_ratio
+        else None
+    )
     digest = {
         "bench_digest": True,
         "bench_round": CURRENT_ROUND,
@@ -947,15 +954,17 @@ def main() -> None:
         "calibration_s": cal_mean,
         "prev_calibration_s": prev_cal,
         "calibration_ratio": cal_ratio,
-        "total_normalized": round(total / norm, 3) if cal_ratio else None,
+        "total_normalized": round(total / cal_ratio, 3) if cal_ratio else None,
         "n_entries": len(timings),
         "n_errors": len(errors),
         "worst_regressions": [
             [n, p, c] for n, p, c in regressions
         ],
-        "worst_regressions_normalized": [
-            [n, p, c] for n, p, c in regressions_norm
-        ],
+        "worst_regressions_normalized": (
+            [[n, p, c] for n, p, c in regressions_norm]
+            if regressions_norm is not None
+            else None
+        ),
         "new_entries": {
             n: t
             for n, t in timings.items()

@@ -251,7 +251,12 @@ class IncrementalDedupJob:
 
         commit_log = os.path.join(self.checkpoints(), "incremental_dedup")
         folded = 0
-        self._prune_applied_candidate = None
+        # identity (max_doc_id, batch_id, seq) stashed by
+        # _postings_resolve when its anti-join ran; written as the
+        # applied mark only after the publish completes.  The sibling
+        # `_prune_joins_run` int is a test-observability counter of
+        # anti-join executions (see _postings_resolve).
+        self._prune_applied_candidate: tuple[int, int | None, int | None] | None = None
         for path, key_cols, resolve in self._fold_specs():
             if not os.path.isdir(path):
                 continue
@@ -1060,17 +1065,27 @@ def record_settled_fps(out_dir: str, settled: "DataFrame") -> bool:
     wm = _read_monotone_watermark(out_dir)
     if wm is None:
         return False
+    seq = _next_prune_seq(out_dir)
     _mark_postings_pruned(path)
     inprog = os.path.join(path, _PRUNE_PENDING + "_inprog")
     shutil.rmtree(inprog, ignore_errors=True)
     settled.select("fp").write.mode("overwrite").parquet(inprog)
     with open(os.path.join(inprog, "_watermark.json"), "w") as fh:
-        # batch_id joins max_doc_id as the recording's IDENTITY: a
+        # (max_doc_id, batch_id, seq) is the recording's IDENTITY: a
         # compaction that applied this exact recording marks it applied
         # (_write_prune_applied) and later compactions skip the
         # anti-join until a new cut records a different identity
-        # (round-14 VERDICT task 1)
-        json.dump({"max_doc_id": wm["max_id"], "batch_id": wm["batch_id"]}, fh)
+        # (round-14 VERDICT task 1).  seq is a per-record monotone
+        # counter (round-14 ADVICE, low): two cuts at the SAME
+        # watermark — e.g. a full cut after lowering span_min_docs,
+        # which enlarges the settled set with no new drained batches —
+        # must not share an identity, or the second recording would be
+        # skipped as already-applied and its enlarged settled set
+        # silently never pruned until the watermark next advances.
+        json.dump(
+            {"max_doc_id": wm["max_id"], "batch_id": wm["batch_id"], "seq": seq},
+            fh,
+        )
     final = os.path.join(path, _PRUNE_PENDING)
     shutil.rmtree(final, ignore_errors=True)
     os.rename(inprog, final)
@@ -1091,12 +1106,14 @@ def pending_settled_fps(spark, out_dir: str):
 _PRUNE_APPLIED = "_prune_applied.json"
 
 
-def _pending_prune_identity(out_dir: str) -> tuple[int, int | None] | None:
-    """(max_doc_id, batch_id) identity of the pending settled-fp
+def _pending_prune_identity(
+    out_dir: str,
+) -> tuple[int, int | None, int | None] | None:
+    """(max_doc_id, batch_id, seq) identity of the pending settled-fp
     recording, or None when there is no readable pending set.  batch_id
-    is None for recordings written before round 14 (identity still
-    works — the applied compare just falls back to the watermark
-    alone)."""
+    is None for recordings written before round 14 and seq is None for
+    recordings written before round 15 (identity still works — the
+    applied compare just falls back to the fields present)."""
     import json
 
     p = os.path.join(out_dir, "index_spanpostings", _PRUNE_PENDING)
@@ -1107,14 +1124,32 @@ def _pending_prune_identity(out_dir: str) -> tuple[int, int | None] | None:
     try:
         with open(os.path.join(p, "_watermark.json")) as fh:
             d = json.load(fh)
-            return int(d["max_doc_id"]), (
-                int(d["batch_id"]) if "batch_id" in d else None
+            return (
+                int(d["max_doc_id"]),
+                int(d["batch_id"]) if "batch_id" in d else None,
+                int(d["seq"]) if "seq" in d else None,
             )
     except (OSError, ValueError, KeyError):
         return None
 
 
-def _read_prune_applied(out_dir: str) -> tuple[int, int | None] | None:
+def _next_prune_seq(out_dir: str) -> int:
+    """Next value of the per-record monotone cut counter: one more than
+    the highest seq visible in either the pending recording (about to
+    be overwritten) or the applied mark.  A crash that lost an
+    unapplied pending recording may hand its seq out again — fine: the
+    identity only needs to differ from the APPLIED mark, and a lost
+    recording was never applied."""
+    prev = 0
+    for ident in (_pending_prune_identity(out_dir), _read_prune_applied(out_dir)):
+        if ident is not None and ident[2] is not None:
+            prev = max(prev, ident[2])
+    return prev + 1
+
+
+def _read_prune_applied(
+    out_dir: str,
+) -> tuple[int, int | None, int | None] | None:
     """Identity of the last settled-fp recording a compaction APPLIED
     (anti-join executed and its publish completed), or None."""
     import json
@@ -1124,14 +1159,18 @@ def _read_prune_applied(out_dir: str) -> tuple[int, int | None] | None:
             os.path.join(out_dir, "index_spanpostings", _PRUNE_APPLIED)
         ) as fh:
             d = json.load(fh)
-            return int(d["max_doc_id"]), (
-                int(d["batch_id"]) if d.get("batch_id") is not None else None
+            return (
+                int(d["max_doc_id"]),
+                int(d["batch_id"]) if d.get("batch_id") is not None else None,
+                int(d["seq"]) if d.get("seq") is not None else None,
             )
     except (OSError, ValueError, KeyError):
         return None
 
 
-def _write_prune_applied(out_dir: str, ident: tuple[int, int | None]) -> None:
+def _write_prune_applied(
+    out_dir: str, ident: tuple[int, int | None, int | None]
+) -> None:
     """Mark a settled-fp recording as applied (round-14 VERDICT task 1):
     written by compact()/recover() AFTER the postings fold's publish
     completes, never inside the resolve itself — a crash between
@@ -1151,14 +1190,17 @@ def _write_prune_applied(out_dir: str, ident: tuple[int, int | None]) -> None:
     route a doc onto the excision split it didn't need — the
     conservative direction) and bounded by one batch; a later cut
     re-records a higher identity and they leave at its compaction.  A
-    new cut re-records with a different identity and the join runs
-    again."""
+    new cut re-records with a different identity — the per-record seq
+    guarantees "different" even at an unchanged watermark (round-14
+    ADVICE) — and the join runs again."""
     import json
 
     marker = os.path.join(out_dir, "index_spanpostings", _PRUNE_APPLIED)
     tmp = marker + ".tmp"
     with open(tmp, "w") as fh:
-        json.dump({"max_doc_id": ident[0], "batch_id": ident[1]}, fh)
+        json.dump(
+            {"max_doc_id": ident[0], "batch_id": ident[1], "seq": ident[2]}, fh
+        )
     os.replace(tmp, marker)
 
 

@@ -196,13 +196,27 @@ def _manifest_add(path: str, dir_name: str) -> None:
     compact_latest_state's contract is stream-STOPPED (its own
     docstring) — the only in-drain compaction is the INLINE one, which
     runs inside the same serialized callback as this add.  Do not
-    compact a layer concurrently with its writing stream."""
+    compact a layer concurrently with its writing stream.
+
+    BOOTSTRAP vs DEFERRED RETIREMENT (round-15, from round-14 ADVICE):
+    the bootstrap listing must EXCLUDE dirs recorded in
+    _compact_retire_pending.json.  On an upgraded layer compacted with
+    defer_retire BEFORE its first _manifest_add (so _finish_publish had
+    no manifest to rewrite), the superseded dirs are still visible on
+    disk; naming them in the bootstrapped manifest would break the
+    protocol's core promise — dirs leave the manifest a full cadence
+    BEFORE the grace sweep deletes them — reopening the
+    mid-construction PATH_NOT_FOUND race for a polling
+    read_update_sink reader."""
     import re
 
     cur = _read_reader_manifest(path)
     if cur is None:
+        pending = set(_read_retire_pending(path))
         cur = [
-            d for d in os.listdir(path) if re.fullmatch(r"batch_id=\d+", d)
+            d
+            for d in os.listdir(path)
+            if re.fullmatch(r"batch_id=\d+", d) and d not in pending
         ]
     if dir_name not in cur:
         cur.append(dir_name)

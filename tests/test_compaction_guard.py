@@ -886,3 +886,94 @@ def test_publish_never_creates_manifest_for_non_protocol_layers(spark, tmp_path)
     ).write.parquet(os.path.join(path, "batch_id=3"))
     rows = latest_state_on_read(read_update_sink(spark, path), ["id"]).collect()
     assert rows[0]["val"] == 103
+
+
+def test_quote_job_inline_fold_survives_reader_hammer(spark, tmp_path):
+    """Round-15 VERDICT task 5: the quote job's INLINE fold carries the
+    same defer_retire flag as parquet_sink's (round-14, b4f709d) but was
+    covered only by suite re-runs — this is its dedicated hammer.  A
+    reader polls best_quote_view (manifest-routed, NO retry loop)
+    through a QuoteEnrichJob drain whose inline compaction fires
+    mid-drain; every poll must resolve to a consistent best-quote state
+    of some batch prefix, never an error.  Zero retries on the quote
+    layer is the done-bar."""
+    import threading
+
+    from real_time_financial_market_data_pipeline_spark.streaming.jobs import QuoteEnrichJob, best_quote_view
+    from real_time_financial_market_data_pipeline_spark.streaming.sinks import _read_retire_pending
+
+    tfeed, qfeed = str(tmp_path / "tfeed"), str(tmp_path / "qfeed")
+    out = str(tmp_path / "out")
+    # one quote, consumed in batch 0 and held in join state
+    _write_jsonl(qfeed, "q.json", [
+        {"symbol": "AAPL", "bid_price": 149.0, "bid_size": 5,
+         "ask_price": 151.0, "ask_size": 5, "timestamp": T0},
+    ])
+    # eight trades, one file each -> one per micro-batch
+    # (max_files_per_trigger=1), each matching the held quote; inline
+    # folds fire at batches 2, 4, 6 (compact_every=2)
+    n_trades = 8
+    for i in range(n_trades):
+        _write_jsonl(tfeed, f"t{i}.json", [
+            {"s": "AAPL", "p": 150.0 + i, "v": 100, "t": T0 + (i + 1) * 60_000},
+        ])
+        p = os.path.join(tfeed, f"t{i}.json")
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stop = threading.Event()
+    errors: list[str] = []
+    seen_counts: set[int] = set()
+
+    def reader() -> None:
+        while not stop.is_set():
+            try:
+                rows = best_quote_view(spark, out).collect()
+                # each trade is its own key: any batch-prefix state has
+                # between 0 and n_trades rows, all from the one quote
+                assert len(rows) <= n_trades
+                assert all(r["bid_price"] == 149.0 for r in rows)
+                seen_counts.add(len(rows))
+            except Exception as exc:  # noqa: BLE001 — the assertion target
+                errors.append(f"{type(exc).__name__}: {exc}"[:300])
+                return
+
+    job = QuoteEnrichJob(
+        out_dir=out, compact_every=2, max_quote_age="30 minutes"
+    )
+    mgr = job.start(
+        read_trade_stream(spark, tfeed, max_files_per_trigger=1),
+        read_quote_stream(spark, qfeed, max_files_per_trigger=1),
+        await_timeout_s=0,
+    )
+    q = mgr.queries["quotes_enriched"]
+    best_dir = os.path.join(out, "best_quote")
+    t = None
+    try:
+        # the reader starts once the writer has opted the layer into the
+        # manifest protocol (batch 0's _manifest_add) — the hammer
+        # targets fold-vs-read, not the pre-protocol bootstrap window
+        import time as _time
+
+        t_start = _time.time()
+        manifest_file = os.path.join(best_dir, "_reader_manifest.json")
+        while not os.path.isfile(manifest_file) and _time.time() - t_start < 120:
+            _time.sleep(0.1)
+        assert os.path.isfile(manifest_file), "manifest never appeared"
+        t = threading.Thread(target=reader, daemon=True)
+        t.start()
+        assert q.awaitTermination(300)
+        job.compact_best_quote(spark)
+    finally:
+        stop.set()
+        if t is not None:
+            t.join(timeout=120)
+    assert not errors, errors
+    assert seen_counts, "reader never completed a read"
+    # the deferral actually engaged: the final fold recorded superseded
+    # dirs in retire-pending (still on disk, out of the manifest)
+    deferred = _read_retire_pending(best_dir)
+    assert deferred, "no deferred retirement recorded — hammer exercised nothing"
+    for d in deferred:
+        assert os.path.isdir(os.path.join(best_dir, d))
+    rows = best_quote_view(spark, out).collect()
+    assert len(rows) == n_trades

@@ -1962,3 +1962,204 @@ def test_fused_prune_applied_mark_skips_repeat_compactions(spark, tmp_path):
     assert getattr(job, "_prune_joins_run", 0) == 3, "lost mark must re-pay"
     assert _read_prune_applied(out) == ident1
     assert _sorted_rows(curated_view(spark, out)) == rows_before
+
+
+def test_settled_recording_seq_invalidates_applied_mark_at_same_watermark(
+    spark, tmp_path
+):
+    """Round-14 ADVICE (low): the recording identity must distinguish
+    two cuts at the SAME monotone watermark — e.g. a full cut after
+    lowering span_min_docs enlarges the settled set with no new drained
+    batches.  Without the per-record seq counter both recordings share
+    (max_doc_id, batch_id), so the second would be skipped as
+    already-applied and its enlarged settled set silently never pruned
+    until the watermark next advances."""
+    from real_time_financial_market_data_pipeline_spark.streaming.incremental import (
+        _pending_prune_identity,
+        _read_prune_applied,
+        _write_monotone_watermark,
+        _write_prune_applied,
+        record_settled_fps,
+    )
+
+    out = str(tmp_path / "out")
+    os.makedirs(os.path.join(out, "index_spanpostings"))
+    _write_monotone_watermark(out, 3, 42)
+
+    assert record_settled_fps(
+        out, spark.createDataFrame([(11,), (12,)], "fp long")
+    )
+    i0 = _pending_prune_identity(out)
+    assert i0 is not None and i0[0] == 42 and i0[2] == 1
+    _write_prune_applied(out, i0)  # a compaction applied it
+
+    # enlarged settled set, SAME watermark: identity must still change
+    assert record_settled_fps(
+        out, spark.createDataFrame([(11,), (12,), (13,)], "fp long")
+    )
+    i1 = _pending_prune_identity(out)
+    assert i1 is not None and i1[:2] == i0[:2], "watermark fields unchanged"
+    assert i1[2] == 2 and i1 != i0, "seq must discriminate the re-record"
+    # the stale applied mark no longer matches -> the next postings
+    # resolve re-runs the anti-join instead of skipping
+    assert _read_prune_applied(out) == i0 != i1
+
+
+def test_replayed_uncommitted_batch_settled_rows_linger_soundly(spark, tmp_path):
+    """Round-15 VERDICT task 1: execute the one applied-mark edge argued
+    sound only in prose (incremental._write_prune_applied docstring).
+    The monotone watermark advances inside process(), BEFORE the
+    checkpoint commit — so a crash in that window leaves an uncommitted
+    batch whose delta carries doc_ids <= the watermark a cut then
+    records.  A compaction applies the recording (anti-join over the
+    COMMITTED fold only; the uncommitted delta is outside the fold by
+    committed_fold_bound) and writes the applied mark.  The restarted
+    stream REPLAYS the batch; the next compaction folds it in under the
+    matching mark's skip, so its settled rows LINGER in the snapshot.
+    Pins: (a) the lingering rows are present and harmless — curated
+    output unchanged, the doc's settled span excised, and the whole
+    view ≡ a from-scratch full recompute; (b) the next cut re-records a
+    different identity and ITS compaction removes them."""
+    import re
+
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+    from real_time_financial_market_data_pipeline_spark.streaming.incremental import (
+        _pending_prune_identity,
+        _read_prune_applied,
+        span_postings_view,
+    )
+
+    doc15 = (
+        "the fifteenth interlude describes remote glaciers and ancient "
+        "lighthouses guarding emerald harbors through long winters"
+    )
+    carrier_c = (
+        "the twentieth chronicle arrives and proudly states "
+        + BOILER
+        + " before drifting toward wholly original closing sentences about winding rivers"
+    )
+    doc30 = (
+        "the thirtieth afterword lists renovated observatories beside "
+        "tranquil meadows during gentle autumn rainfall seasons"
+    )
+    batches = [
+        [{"doc_id": 10, "text": CARRIER_A}, {"doc_id": 11, "text": CARRIER_B}],
+        [{"doc_id": 15, "text": doc15}],
+        [{"doc_id": 20, "text": carrier_c}],  # the to-be-replayed batch
+        [{"doc_id": 30, "text": doc30}],
+    ]
+
+    feed, out = str(tmp_path / "feed"), str(tmp_path / "out")
+    # compact_every high: no inline compaction — every fold below is an
+    # explicit compact() whose anti-join count we pin
+    pipe = CuratedCorpusPipeline(
+        out_dir=out, span_k=4, span_min_docs=2,
+        monotone_ids=True, compact_every=100,
+    )
+    assert pipe._prune_fused_effective is True
+
+    def drain(batch=None, prefix=None):
+        if batch is not None:
+            _write_feed(feed, [batch], prefix=prefix)
+        q = pipe.start(
+            read_doc_stream(spark, feed, max_files_per_trigger=1).select(
+                "doc_id", "text"
+            )
+        )
+        assert q.awaitTermination(300)
+
+    drain(batches[0], "b0")
+    drain(batches[1], "b1")
+    drain(batches[2], "b2")
+
+    # CRASH between the watermark write and the checkpoint commit of the
+    # doc-20 batch (process() writes the watermark before Spark commits,
+    # so trimming the commit log reproduces the window exactly — the
+    # round-7 recipe)
+    commits = os.path.join(out, "_checkpoints", "incremental_dedup", "commits")
+    offsets = os.path.join(out, "_checkpoints", "incremental_dedup", "offsets")
+    n = max(
+        int(d.split("=")[1])
+        for d in os.listdir(os.path.join(out, "corpus"))
+        if re.fullmatch(r"batch_id=\d+", d)
+    )
+    for log_dir, keep_below in ((commits, n), (offsets, n + 1)):
+        for f in os.listdir(log_dir):
+            name = f.lstrip(".").split(".")[0]
+            if name.isdigit() and int(name) >= keep_below:
+                os.remove(os.path.join(log_dir, f))
+
+    # the cut records the settled set (BOILER: docs 10, 11, 20) at a
+    # watermark that already covers the UNCOMMITTED doc 20
+    pipe.finalize(spark)
+    ident0 = _pending_prune_identity(out)
+    assert ident0 is not None and ident0[0] >= 20
+    settled_fps = {
+        r["fp"]
+        for r in spark.read.parquet(
+            os.path.join(out, "index_spanpostings", "_prune_pending")
+        ).collect()
+    }
+    assert settled_fps
+
+    def lingering():
+        return sorted(
+            (r["fp"], r["doc_id"])
+            for r in span_postings_view(spark, out).collect()
+            if r["fp"] in settled_fps and r["doc_id"] <= ident0[0]
+        )
+
+    # compaction applies the recording over the COMMITTED fold only:
+    # docs 10/11 lose their settled rows; the uncommitted doc-20 delta
+    # (outside the fold) keeps its settled row
+    job = pipe.job()
+    job.compact(spark)
+    assert getattr(job, "_prune_joins_run", 0) == 1
+    assert _read_prune_applied(out) == ident0
+    assert {d for _, d in lingering()} == {20}
+    curated_before = _sorted_rows(curated_view(spark, out))
+
+    # restart -> the stream replays the uncommitted batch; the repeat
+    # compaction folds it in under the matching mark's SKIP, so doc
+    # 20's settled rows linger inside the published snapshot
+    drain()
+    job.compact(spark)
+    assert getattr(job, "_prune_joins_run", 0) == 1, "skip must hold on replay"
+    assert _read_prune_applied(out) == ident0
+    assert {d for _, d in lingering()} == {20}, "lingering settled rows expected"
+
+    # (a) harmless: curated output unchanged; the doc's settled span is
+    # excised (doc 10 is the protected representative)
+    assert _sorted_rows(curated_view(spark, out)) == curated_before
+    d20 = [r for r in curated_before if r["doc_id"] == 20]
+    assert d20 and all(BOILER not in r["text"] for r in d20)
+
+    # (b) the next cut re-records a different identity; ITS compaction
+    # re-runs the anti-join and the lingering rows leave
+    drain(batches[3], "b3")
+    pipe.finalize(spark)
+    ident1 = _pending_prune_identity(out)
+    assert ident1 is not None and ident1 != ident0
+    job.compact(spark)
+    assert getattr(job, "_prune_joins_run", 0) == 2
+    assert _read_prune_applied(out) == ident1
+    assert lingering() == []
+
+    # output ≡ full recompute: a from-scratch twin over the same docs
+    twin_feed = str(tmp_path / "twin_feed")
+    twin = CuratedCorpusPipeline(
+        out_dir=str(tmp_path / "twin_out"), span_k=4, span_min_docs=2,
+        monotone_ids=True, compact_every=100,
+    )
+    for i, batch in enumerate(batches):
+        _write_feed(twin_feed, [batch], prefix=f"b{i}")
+        q = twin.start(
+            read_doc_stream(spark, twin_feed, max_files_per_trigger=1).select(
+                "doc_id", "text"
+            )
+        )
+        assert q.awaitTermination(300)
+    twin.finalize(spark)
+    assert _sorted_rows(curated_view(spark, out)) == _sorted_rows(
+        curated_view(spark, twin.out_dir)
+    )

@@ -196,6 +196,9 @@ class CuratedCorpusPipeline:
     serving_table: str = "curated_serving"
     serving_buckets: int = 8
     trigger: dict = field(default_factory=lambda: {"availableNow": True})
+    # opt-in per-batch stage profiling, forwarded to the ingest job —
+    # see IncrementalDedupJob.stage_timer (round-15 VERDICT task 4)
+    stage_timer: object | None = None
 
     def __post_init__(self) -> None:
         """Fail-fast config validation (round-14 ADVICE, low): an
@@ -256,6 +259,7 @@ class CuratedCorpusPipeline:
             compact_every=self.compact_every,
             monotone_ids=self.monotone_ids,
             trigger=self.trigger,
+            stage_timer=self.stage_timer,
         )
 
     def start(self, docs: DataFrame) -> StreamingQuery:

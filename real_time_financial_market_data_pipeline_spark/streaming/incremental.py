@@ -63,6 +63,55 @@ from real_time_financial_market_data_pipeline_spark.operators.dedup import (
 )
 
 
+class StageTimer:
+    """Opt-in wall-clock accumulator for the per-batch segments of
+    IncrementalDedupJob.process() (round-15 VERDICT task 4: the curated
+    drain is the single biggest bench line and never had a per-stage
+    breakdown).  Segments are bounded by the batch's ACTION points —
+    Spark is lazy, so each segment's wall time includes every
+    transformation that action materializes (e.g. `corpus_write`
+    executes the exact-dedup and near-dup anti-joins).  Zero cost when
+    not attached (the job's default); attach via
+    IncrementalDedupJob(stage_timer=StageTimer()) or
+    CuratedCorpusPipeline(stage_timer=...)."""
+
+    def __init__(self) -> None:
+        self.times: dict[str, float] = {}
+        self.counts: dict[str, int] = {}
+
+    def seg(self, name: str):
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _timed():
+            import time
+
+            t0 = time.perf_counter()
+            try:
+                yield
+            finally:
+                self.times[name] = self.times.get(name, 0.0) + (
+                    time.perf_counter() - t0
+                )
+                self.counts[name] = self.counts.get(name, 0) + 1
+
+        return _timed()
+
+    def report(self) -> list[tuple[str, float, int]]:
+        """(segment, total_s, n_calls) sorted by total descending."""
+        return sorted(
+            ((n, round(t, 3), self.counts[n]) for n, t in self.times.items()),
+            key=lambda r: r[1],
+            reverse=True,
+        )
+
+
+def _seg(timer: "StageTimer | None", name: str):
+    from contextlib import nullcontext
+
+    return timer.seg(name) if timer is not None else nullcontext()
+
+
 def _contains_map(dtype) -> bool:
     """True when a DataType has a MapType anywhere in it (top-level,
     array element, or struct field) — such columns cannot appear in an
@@ -221,6 +270,11 @@ class IncrementalDedupJob:
     # config: lifetime-locked AND fingerprint-fused).
     pre_transform: object | None = None
     trigger: dict = field(default_factory=lambda: {"availableNow": True})
+    # opt-in per-batch stage profiling (round-15 VERDICT task 4): a
+    # StageTimer accumulating wall time per action-bounded segment of
+    # process().  None (default) = zero overhead.  Profiling only —
+    # never attach in production jobs.
+    stage_timer: "StageTimer | None" = None
 
     def checkpoints(self) -> str:
         return os.path.join(self.out_dir, "_checkpoints")
@@ -533,9 +587,10 @@ class IncrementalDedupJob:
             mono_max = None
             if self.monotone_ids:
                 wm = _read_monotone_watermark(self.out_dir)
-                row = batch_df.agg(
-                    F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
-                ).first()
+                with _seg(self.stage_timer, "monotone_check"):
+                    row = batch_df.agg(
+                        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+                    ).first()
                 mono_max = row["mx"]
                 if wm is not None and batch_id > wm["batch_id"] and row["mn"] <= wm["max_id"]:
                     raise ValueError(
@@ -630,7 +685,10 @@ class IncrementalDedupJob:
                         span_fingerprints,
                     )
 
-                    batch_df = batch_df.localCheckpoint(eager=True)
+                    # executes everything upstream: input collapse,
+                    # within-doc repair, the decontam excision join
+                    with _seg(self.stage_timer, "repair_decontam_checkpoint"):
+                        batch_df = batch_df.localCheckpoint(eager=True)
                     spliced = (
                         span_fingerprints(
                             batch_df.filter(
@@ -692,14 +750,15 @@ class IncrementalDedupJob:
                 )
 
             if self.near_dup:
-                bands_df = banded_signatures(
-                    batch,
-                    id_col="doc_id",
-                    text_col="text",
-                    num_hashes=self.num_hashes,
-                    bands=self.bands,
-                    shingle_n=self.shingle_n,
-                ).localCheckpoint(eager=True)  # reused by 3 joins below
+                with _seg(self.stage_timer, "minhash_signatures"):
+                    bands_df = banded_signatures(
+                        batch,
+                        id_col="doc_id",
+                        text_col="text",
+                        num_hashes=self.num_hashes,
+                        bands=self.bands,
+                        shingle_n=self.shingle_n,
+                    ).localCheckpoint(eager=True)  # reused by 3 joins below
 
                 est = signature_jaccard(F.col("l.sig"), F.col("r.sig"))
 
@@ -766,7 +825,11 @@ class IncrementalDedupJob:
             corpus_dir = os.path.join(
                 self.out_dir, "corpus", f"batch_id={batch_id}"
             )
-            batch.write.mode("overwrite").parquet(corpus_dir)
+            # executes the fingerprint + exact-dedup window, the
+            # cross-corpus anti-join, splice-verify, and both near-dup
+            # anti-joins (all lazy until this write)
+            with _seg(self.stage_timer, "dedup_joins_corpus_write"):
+                batch.write.mode("overwrite").parquet(corpus_dir)
             kept = spark.read.parquet(corpus_dir)
             if self.span_index:
                 from real_time_financial_market_data_pipeline_spark.operators.dedup import span_fingerprints
@@ -794,23 +857,25 @@ class IncrementalDedupJob:
                     )
                 )
                 span_dir = os.path.join(self.out_dir, "index_spanfps")
-                partial.write.mode("overwrite").parquet(
-                    os.path.join(span_dir, f"batch_id={batch_id}")
-                )
+                with _seg(self.stage_timer, "spanfp_partial_write"):
+                    partial.write.mode("overwrite").parquet(
+                        os.path.join(span_dir, f"batch_id={batch_id}")
+                    )
                 if self.span_postings:
                     # the inverted fp -> doc map the incremental
                     # finalize joins changed spans against (see the
                     # field comment); same idempotent per-batch
                     # overwrite as every other index table
-                    kept_fps.select(
-                        "fp", F.col("id").alias("doc_id")
-                    ).distinct().write.mode("overwrite").parquet(
-                        os.path.join(
-                            self.out_dir,
-                            "index_spanpostings",
-                            f"batch_id={batch_id}",
+                    with _seg(self.stage_timer, "spanpostings_write"):
+                        kept_fps.select(
+                            "fp", F.col("id").alias("doc_id")
+                        ).distinct().write.mode("overwrite").parquet(
+                            os.path.join(
+                                self.out_dir,
+                                "index_spanpostings",
+                                f"batch_id={batch_id}",
+                            )
                         )
-                    )
                 # record the window size the index was built with —
                 # underscore-prefixed like _bucket_spec.json, invisible
                 # to parquet listings; read-side views validate their k
@@ -824,14 +889,19 @@ class IncrementalDedupJob:
             if self.near_dup:
                 kept_ids = kept.select(F.col("doc_id").alias("id"))
                 kept_bands = bands_df.join(kept_ids, "id", "leftsemi")
-                kept_bands.select("id", "band", "bhash").write.mode("overwrite").parquet(
-                    os.path.join(self.out_dir, "index_bands", f"batch_id={batch_id}")
-                )
-                kept_bands.select("id", "sig").dropDuplicates(["id"]).write.mode(
-                    "overwrite"
-                ).parquet(
-                    os.path.join(self.out_dir, "index_sigs", f"batch_id={batch_id}")
-                )
+                with _seg(self.stage_timer, "bands_sigs_write"):
+                    kept_bands.select("id", "band", "bhash").write.mode(
+                        "overwrite"
+                    ).parquet(
+                        os.path.join(
+                            self.out_dir, "index_bands", f"batch_id={batch_id}"
+                        )
+                    )
+                    kept_bands.select("id", "sig").dropDuplicates(["id"]).write.mode(
+                        "overwrite"
+                    ).parquet(
+                        os.path.join(self.out_dir, "index_sigs", f"batch_id={batch_id}")
+                    )
 
             # advance the monotone high-water mark only after every
             # table write above landed (crash-before-here = re-run
@@ -852,7 +922,8 @@ class IncrementalDedupJob:
             # post-crash replay of this batch overwrites only its own
             # delta, never a folded snapshot.
             if self.compact_every and (batch_id + 1) % self.compact_every == 0:
-                self.compact(spark)
+                with _seg(self.stage_timer, "inline_compact"):
+                    self.compact(spark)
 
         return (
             docs.writeStream.foreachBatch(process)

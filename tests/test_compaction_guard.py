@@ -977,3 +977,58 @@ def test_quote_job_inline_fold_survives_reader_hammer(spark, tmp_path):
         assert os.path.isdir(os.path.join(best_dir, d))
     rows = best_quote_view(spark, out).collect()
     assert len(rows) == n_trades
+
+
+def test_manifest_bootstrap_excludes_retire_pending_dirs(spark, tmp_path):
+    """Round-14 ADVICE (low), fixed round 15: on an upgraded layer
+    compacted with defer_retire BEFORE its first _manifest_add (so
+    _finish_publish had no manifest to rewrite), the superseded dirs
+    are still visible on disk but recorded in retire-pending.  The
+    bootstrap listing must EXCLUDE them: naming them would break the
+    protocol promise that dirs leave the manifest a full cadence
+    before the grace sweep deletes them — the next compaction's sweep
+    would delete dirs a current manifest still names, reopening the
+    mid-construction PATH_NOT_FOUND race for polling readers."""
+    from real_time_financial_market_data_pipeline_spark.streaming.sinks import (
+        _manifest_add,
+        _read_reader_manifest,
+        _read_retire_pending,
+        compact_latest_state,
+        latest_state_on_read,
+        read_update_sink,
+    )
+
+    path = str(tmp_path / "upgraded")
+
+    def write_batch(i: int) -> None:
+        spark.createDataFrame(
+            [("AAPL", float(100 + i))], "symbol string, price double"
+        ).write.mode("overwrite").parquet(os.path.join(path, f"batch_id={i}"))
+
+    # pre-protocol writer: batch dirs, NO manifest
+    for i in range(4):
+        write_batch(i)
+    assert _read_reader_manifest(path) is None
+
+    # deferred compaction on the manifest-less layer: snapshot at
+    # batch_id=3, dirs 0-2 stay on disk in retire-pending, and
+    # _finish_publish creates no manifest (non-protocol layer rule)
+    compact_latest_state(spark, path, ["symbol"], defer_retire=True)
+    deferred = _read_retire_pending(path)
+    assert sorted(deferred) == [f"batch_id={i}" for i in range(3)]
+    assert _read_reader_manifest(path) is None
+
+    # the writer upgrades: its first post-upgrade batch bootstraps the
+    # manifest from the listing — which must exclude the deferred dirs
+    write_batch(4)
+    _manifest_add(path, "batch_id=4")
+    assert _read_reader_manifest(path) == ["batch_id=3", "batch_id=4"]
+
+    # the next compaction's grace sweep deletes the deferred dirs; the
+    # manifest never named them, so a manifest-routed read constructed
+    # at ANY point cannot have depended on them
+    compact_latest_state(spark, path, ["symbol"], defer_retire=True)
+    for d in deferred:
+        assert not os.path.isdir(os.path.join(path, d))
+    rows = latest_state_on_read(read_update_sink(spark, path), ["symbol"]).collect()
+    assert [(r["symbol"], r["price"]) for r in rows] == [("AAPL", 104.0)]

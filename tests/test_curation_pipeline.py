@@ -2163,3 +2163,118 @@ def test_replayed_uncommitted_batch_settled_rows_linger_soundly(spark, tmp_path)
     assert _sorted_rows(curated_view(spark, out)) == _sorted_rows(
         curated_view(spark, twin.out_dir)
     )
+
+
+def test_refinalize_lower_min_docs_reprunes_despite_applied_mark(spark, tmp_path):
+    """Round-14 ADVICE (low), e2e form of the seq-discriminator fix: a
+    refinalize that LOWERS span_min_docs runs a full cut that enlarges
+    the settled set with NO new drained batches — same monotone
+    watermark, same batch id.  Under the old (max_doc_id, batch_id)
+    identity the re-recording matched the applied mark, so repeat
+    compactions skipped the anti-join and the enlarged settled set was
+    silently never pruned until the watermark next advanced.  With the
+    per-record seq, the re-recording invalidates the mark and the next
+    compaction prunes the newly-settled rows."""
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+    from real_time_financial_market_data_pipeline_spark.streaming.incremental import (
+        _pending_prune_identity,
+        _read_prune_applied,
+        span_postings_view,
+    )
+
+    feed, out = str(tmp_path / "feed"), str(tmp_path / "out")
+    carrier_c = (
+        "the twentieth chronicle arrives and proudly states "
+        + BOILER
+        + " before drifting toward wholly original closing sentences about winding rivers"
+    )
+    # BOILER held by docs 10/11/20 (n_docs=3); BOILER2 by 21/22 (n_docs=2)
+    batches = [
+        [{"doc_id": 10, "text": CARRIER_A}, {"doc_id": 11, "text": CARRIER_B}],
+        [
+            {"doc_id": 20, "text": carrier_c},
+            {"doc_id": 21, "text": DOC15},
+            {"doc_id": 22, "text": DOC16},
+        ],
+    ]
+    pipe = CuratedCorpusPipeline(
+        out_dir=out, span_k=4, span_min_docs=3,
+        monotone_ids=True, compact_every=100,
+    )
+    assert pipe._prune_fused_effective is True
+    for i, batch in enumerate(batches):
+        _write_feed(feed, [batch], prefix=f"b{i}")
+        q = pipe.start(
+            read_doc_stream(spark, feed, max_files_per_trigger=1).select(
+                "doc_id", "text"
+            )
+        )
+        assert q.awaitTermination(300)
+
+    def pending_fps():
+        return {
+            r["fp"]
+            for r in spark.read.parquet(
+                os.path.join(out, "index_spanpostings", "_prune_pending")
+            ).collect()
+        }
+
+    # cut at min_docs=3: only BOILER (3 holders) settles
+    pipe.finalize(spark)
+    ident1 = _pending_prune_identity(out)
+    assert ident1 is not None and ident1[2] == 1
+    s1 = pending_fps()
+    assert s1
+
+    job = pipe.job()
+    job.compact(spark)  # applies S1
+    assert getattr(job, "_prune_joins_run", 0) == 1
+    assert _read_prune_applied(out) == ident1
+
+    # POLICY CHANGE, no new data: full cut at min_docs=2 enlarges the
+    # settled set (BOILER2, 2 holders) at the SAME watermark
+    pipe.refinalize(spark, span_min_docs=2)
+    ident2 = _pending_prune_identity(out)
+    assert ident2 is not None
+    assert ident2[:2] == ident1[:2], "watermark/batch must be unchanged"
+    assert ident2[2] == 2 and ident2 != ident1
+    s2 = pending_fps()
+    enlarged = s2 - s1
+    assert enlarged, "lowered threshold must enlarge the settled set"
+
+    def lingering():
+        return sorted(
+            (r["fp"], r["doc_id"])
+            for r in span_postings_view(spark, out).collect()
+            if r["fp"] in enlarged and r["doc_id"] <= ident2[0]
+        )
+
+    assert lingering(), "newly-settled rows should still be live pre-compact"
+    # a compaction needs >=2 dirs to fold (a single-snapshot layer is a
+    # no-op — no resolve, no join either way): land one more batch, the
+    # shape under which the OLD identity's silent skip would manifest.
+    # Doc 30 sits ABOVE ident2's watermark, so the scoped anti-join
+    # never touches its rows.
+    _write_feed(feed, [[{"doc_id": 30, "text": (
+        "the thirtieth afterword lists renovated observatories beside "
+        "tranquil meadows during gentle autumn rainfall seasons"
+    )}]], prefix="b2")
+    q = pipe.start(
+        read_doc_stream(spark, feed, max_files_per_trigger=1).select(
+            "doc_id", "text"
+        )
+    )
+    assert q.awaitTermination(300)
+    job.compact(spark)
+    assert getattr(job, "_prune_joins_run", 0) == 2, (
+        "re-record at unchanged watermark must re-run the anti-join "
+        "(the advice's silent-skip failure)"
+    )
+    assert _read_prune_applied(out) == ident2
+    assert lingering() == [], "enlarged settled set was not pruned"
+
+    # the new policy actually took effect: BOILER2 is excised from its
+    # non-representative holder (doc 21 is the min-id representative)
+    rows = _sorted_rows(curated_view(spark, out))
+    d22 = [r for r in rows if r["doc_id"] == 22]
+    assert d22 and all(BOILER2 not in r["text"] for r in d22)

@@ -1032,3 +1032,213 @@ def test_manifest_bootstrap_excludes_retire_pending_dirs(spark, tmp_path):
         assert not os.path.isdir(os.path.join(path, d))
     rows = latest_state_on_read(read_update_sink(spark, path), ["symbol"]).collect()
     assert [(r["symbol"], r["price"]) for r in rows] == [("AAPL", 104.0)]
+
+
+# ---------------------------------------------------------------------------
+# exhaustive crash-point sweep of the staged-publish protocol (round 15)
+# ---------------------------------------------------------------------------
+#
+# The crash tests above pin hand-picked windows of compact_latest_state's
+# protocol (mid-publish rename, retire loop, deferred-marker clear).  This
+# sweep removes the hand-picking: it counts EVERY Python-side filesystem
+# mutation of one full compaction (grace sweep -> stage -> publish-pending
+# marker -> snapshot swap -> manifest rewrite -> retirement -> marker
+# clear -> trash sweep) and re-runs the compaction crashing at each one,
+# asserting after every crash point that
+#   (a) a manifest-routed polling reader (read_update_sink, NO retry loop)
+#       still constructs and resolves without error,
+#   (b) the reader's resolved state is either the post-compact state or
+#       the documented consistent-prior state -- and the prior state is
+#       only ever observable in the protocol's ONE unprotected window
+#       (the batch_id=<max> swap the read_update_sink docstring calls out,
+#       absorbed by its isdir filter),
+#   (c) re-running the same compaction entry point recovers to the exact
+#       crash-free final state (pending markers consumed, no staged or
+#       in-progress debris, manifest naming only dirs that exist).
+#
+# Both retirement flavors are swept: defer_retire=True (the polled-reader
+# default everywhere in-repo) and the immediate flavor (sum-of-partials
+# single-owner layers) -- the manifest-rewrite-before-retirement ordering
+# makes even the immediate flavor reader-safe at every crash point here.
+
+
+class _SimCrash(RuntimeError):
+    """Not an OSError: the protocol's tolerated-failure except clauses
+    (e.g. _clear_retire_pending) must not swallow a simulated crash."""
+
+
+class _FsCrasher:
+    """Counts Python-side filesystem mutations whose first path argument
+    sits under `root`, raising _SimCrash INSTEAD of executing the
+    `crash_at`-th one (1-based).  crash_at=None = count only.  Spark's
+    parquet writes are JVM-side and invisible to this wrapper, so the
+    mutation sequence is exactly the protocol's own Python steps and is
+    deterministic run to run."""
+
+    _PRIMS = ("rename", "replace", "remove", "makedirs")
+
+    def __init__(self, root: str) -> None:
+        import shutil
+
+        self.root = os.path.realpath(root) + os.sep
+        self.count = 0
+        self.crash_at: int | None = None
+        self._targets = [(os, n) for n in self._PRIMS] + [(shutil, "rmtree")]
+        self._orig: list = []
+
+    def _wrap(self, fn):
+        def wrapped(target, *a, **kw):
+            if isinstance(target, str) and (
+                os.path.realpath(target) + os.sep
+            ).startswith(self.root):
+                self.count += 1
+                if self.crash_at is not None and self.count == self.crash_at:
+                    raise _SimCrash(
+                        f"simulated crash at mutation {self.count}: "
+                        f"{fn.__name__}({target})"
+                    )
+            return fn(target, *a, **kw)
+
+        return wrapped
+
+    def __enter__(self) -> "_FsCrasher":
+        for mod, name in self._targets:
+            fn = getattr(mod, name)
+            self._orig.append((mod, name, fn))
+            setattr(mod, name, self._wrap(fn))
+        return self
+
+    def __exit__(self, *exc) -> None:
+        for mod, name, fn in self._orig:
+            setattr(mod, name, fn)
+
+
+def _resolved_rows(spark, path: str):
+    from real_time_financial_market_data_pipeline_spark.streaming.sinks import (
+        latest_state_on_read,
+        read_update_sink,
+    )
+
+    return _sorted_rows(
+        latest_state_on_read(read_update_sink(spark, path), ["symbol"])
+    )
+
+
+@pytest.mark.parametrize("defer", [True, False], ids=["deferred", "immediate"])
+def test_compaction_crash_sweep_every_fs_mutation(spark, tmp_path, defer):
+    import shutil
+
+    from real_time_financial_market_data_pipeline_spark.streaming.sinks import (
+        _manifest_add,
+        _read_reader_manifest,
+        _read_retire_pending,
+        compact_latest_state,
+        latest_state_on_read,
+    )
+
+    pristine = str(tmp_path / "pristine")
+
+    def write_batch(layer: str, i: int, rows: list[tuple[str, float]]) -> None:
+        spark.createDataFrame(rows, "symbol string, price double").coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(layer, f"batch_id={i}"))
+        _manifest_add(layer, f"batch_id={i}")
+
+    # protocol-participating layer mid-life: one deferred compaction
+    # already behind it (so the sweep covers the grace-sweep steps of
+    # the NEXT one), two fresh batch dirs appended since
+    for i, rows in enumerate(
+        [
+            [("AAPL", 1.0), ("MSFT", 2.0)],
+            [("AAPL", 1.1)],
+            [("NVDA", 3.0)],
+            [("MSFT", 2.1)],
+        ]
+    ):
+        write_batch(pristine, i, rows)
+    compact_latest_state(spark, pristine, ["symbol"], defer_retire=True)
+    assert sorted(_read_retire_pending(pristine)) == [
+        f"batch_id={i}" for i in range(3)
+    ]
+    write_batch(pristine, 4, [("AAPL", 1.2)])
+    write_batch(pristine, 5, [("NVDA", 3.1), ("AMZN", 4.0)])
+
+    expected_full = _resolved_rows(spark, pristine)
+    assert {r[0] for r in expected_full} == {"AAPL", "AMZN", "MSFT", "NVDA"}
+    # the documented consistent-prior state: during the batch_id=<max>
+    # swap the original max dir is retired one rename before the
+    # snapshot replaces it; the isdir filter drops it and the reader
+    # sees the as-of-previous-batch resolve (here: without batch 5)
+    expected_prior = _sorted_rows(
+        latest_state_on_read(
+            spark.read.option("basePath", pristine).parquet(
+                os.path.join(pristine, "batch_id=3"),
+                os.path.join(pristine, "batch_id=4"),
+            ),
+            ["symbol"],
+        )
+    )
+
+    work = str(tmp_path / "work")
+
+    def restore() -> None:
+        shutil.rmtree(work, ignore_errors=True)
+        shutil.copytree(pristine, work)
+
+    def debris_free() -> None:
+        names = os.listdir(work)
+        assert not any(n.startswith("_compact_staged_") for n in names)
+        assert "_compact_inprogress" not in names
+        assert "_compact_publish_pending.json" not in names
+        manifest = _read_reader_manifest(work)
+        assert manifest, "protocol layer lost its reader manifest"
+        for d in manifest:
+            assert os.path.isdir(os.path.join(work, d)), (
+                f"manifest names missing dir {d}"
+            )
+        for d in _read_retire_pending(work):
+            assert os.path.isdir(os.path.join(work, d)), (
+                f"retire-pending names already-deleted dir {d}"
+            )
+
+    # crash-free counted twin: N mutations + the expected final state
+    restore()
+    with _FsCrasher(work) as crasher:
+        compact_latest_state(spark, work, ["symbol"], defer_retire=defer)
+    n_mutations = crasher.count
+    assert n_mutations >= 10, f"sweep saw only {n_mutations} mutations"
+    assert _resolved_rows(spark, work) == expected_full
+    debris_free()
+
+    prior_windows = []
+    for k in range(1, n_mutations + 1):
+        restore()
+        with _FsCrasher(work) as crasher:
+            crasher.crash_at = k
+            with pytest.raises(_SimCrash):
+                compact_latest_state(spark, work, ["symbol"], defer_retire=defer)
+
+            # (a)+(b) polling reader, NO retry: always constructs, and
+            # resolves to the final or the documented prior state
+            crasher.crash_at = None  # reader performs no mutations; belt
+            rows = _resolved_rows(spark, work)
+            assert rows in (expected_full, expected_prior), (
+                f"crash at mutation {k}: reader saw an inconsistent state"
+            )
+            if rows == expected_prior:
+                prior_windows.append(k)
+
+        # (c) recovery = re-running the same entry point
+        compact_latest_state(spark, work, ["symbol"], defer_retire=defer)
+        assert _resolved_rows(spark, work) == expected_full, (
+            f"crash at mutation {k}: recovery did not converge"
+        )
+        debris_free()
+
+    # the consistent-prior state is observable in exactly ONE window:
+    # the crash that lands between the two renames of the snapshot swap
+    # (original max dir retired, snapshot not yet visible)
+    assert len(prior_windows) == 1, (
+        f"prior-state windows at mutations {prior_windows}; the protocol "
+        "documents exactly one (the batch_id=<max> swap)"
+    )

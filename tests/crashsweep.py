@@ -1,0 +1,66 @@
+"""Shared fault-injection harness for exhaustive crash-point sweeps.
+
+Used by tests/test_compaction_guard.py (staged-publish protocol of
+sinks.compact_latest_state) and tests/test_curation_pipeline.py (the
+span-postings settled-recording + fused-prune protocol).  The idea:
+count every Python-side filesystem mutation a protocol run performs
+under one root, then re-run it crashing at each mutation index and
+assert the protocol's reader/recovery invariants after every one —
+no hand-picked windows.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+class _SimCrash(RuntimeError):
+    """Not an OSError: the protocols' tolerated-failure except clauses
+    (e.g. _clear_retire_pending's `except OSError: pass`) must not
+    swallow a simulated crash."""
+
+
+class _FsCrasher:
+    """Counts Python-side filesystem mutations whose first path argument
+    sits under `root`, raising _SimCrash INSTEAD of executing the
+    `crash_at`-th one (1-based).  crash_at=None = count only.  Spark's
+    parquet writes are JVM-side and invisible to this wrapper, so the
+    mutation sequence is exactly the protocol's own Python steps and is
+    deterministic run to run."""
+
+    _PRIMS = ("rename", "replace", "remove", "makedirs")
+
+    def __init__(self, root: str) -> None:
+        import shutil
+
+        self.root = os.path.realpath(root) + os.sep
+        self.count = 0
+        self.crash_at: int | None = None
+        self._targets = [(os, n) for n in self._PRIMS] + [(shutil, "rmtree")]
+        self._orig: list = []
+
+    def _wrap(self, fn):
+        def wrapped(target, *a, **kw):
+            if isinstance(target, str) and (
+                os.path.realpath(target) + os.sep
+            ).startswith(self.root):
+                self.count += 1
+                if self.crash_at is not None and self.count == self.crash_at:
+                    raise _SimCrash(
+                        f"simulated crash at mutation {self.count}: "
+                        f"{fn.__name__}({target})"
+                    )
+            return fn(target, *a, **kw)
+
+        return wrapped
+
+    def __enter__(self) -> "_FsCrasher":
+        for mod, name in self._targets:
+            fn = getattr(mod, name)
+            self._orig.append((mod, name, fn))
+            setattr(mod, name, self._wrap(fn))
+        return self
+
+    def __exit__(self, *exc) -> None:
+        for mod, name, fn in self._orig:
+            setattr(mod, name, fn)

@@ -1062,55 +1062,7 @@ def test_manifest_bootstrap_excludes_retire_pending_dirs(spark, tmp_path):
 # makes even the immediate flavor reader-safe at every crash point here.
 
 
-class _SimCrash(RuntimeError):
-    """Not an OSError: the protocol's tolerated-failure except clauses
-    (e.g. _clear_retire_pending) must not swallow a simulated crash."""
-
-
-class _FsCrasher:
-    """Counts Python-side filesystem mutations whose first path argument
-    sits under `root`, raising _SimCrash INSTEAD of executing the
-    `crash_at`-th one (1-based).  crash_at=None = count only.  Spark's
-    parquet writes are JVM-side and invisible to this wrapper, so the
-    mutation sequence is exactly the protocol's own Python steps and is
-    deterministic run to run."""
-
-    _PRIMS = ("rename", "replace", "remove", "makedirs")
-
-    def __init__(self, root: str) -> None:
-        import shutil
-
-        self.root = os.path.realpath(root) + os.sep
-        self.count = 0
-        self.crash_at: int | None = None
-        self._targets = [(os, n) for n in self._PRIMS] + [(shutil, "rmtree")]
-        self._orig: list = []
-
-    def _wrap(self, fn):
-        def wrapped(target, *a, **kw):
-            if isinstance(target, str) and (
-                os.path.realpath(target) + os.sep
-            ).startswith(self.root):
-                self.count += 1
-                if self.crash_at is not None and self.count == self.crash_at:
-                    raise _SimCrash(
-                        f"simulated crash at mutation {self.count}: "
-                        f"{fn.__name__}({target})"
-                    )
-            return fn(target, *a, **kw)
-
-        return wrapped
-
-    def __enter__(self) -> "_FsCrasher":
-        for mod, name in self._targets:
-            fn = getattr(mod, name)
-            self._orig.append((mod, name, fn))
-            setattr(mod, name, self._wrap(fn))
-        return self
-
-    def __exit__(self, *exc) -> None:
-        for mod, name, fn in self._orig:
-            setattr(mod, name, fn)
+from crashsweep import _FsCrasher, _SimCrash
 
 
 def _resolved_rows(spark, path: str):

@@ -2278,3 +2278,214 @@ def test_refinalize_lower_min_docs_reprunes_despite_applied_mark(spark, tmp_path
     rows = _sorted_rows(curated_view(spark, out))
     d22 = [r for r in rows if r["doc_id"] == 22]
     assert d22 and all(BOILER2 not in r["text"] for r in d22)
+
+
+# ---------------------------------------------------------------------------
+# exhaustive crash-point sweeps of the fused-prune protocol (round 15)
+# ---------------------------------------------------------------------------
+#
+# Same method as test_compaction_guard's staged-publish sweep (shared
+# harness in tests/crashsweep.py): count every Python-side filesystem
+# mutation the protocol performs under the postings table, then re-run
+# it crashing at each one.  The round-13 fused-prune bug and the
+# round-14/15 identity edges were each caught by a test that PLANTED a
+# specific window; these sweeps cover all of them mechanically.
+
+
+def test_settled_recording_crash_sweep_never_torn(spark, tmp_path):
+    """record_settled_fps at every crash point: the readable pending
+    recording is always ABSENT, the OLD complete set, or the NEW
+    complete set — never a torn set (the staged inprog dir only becomes
+    readable via the final atomic rename), and recovery is simply
+    re-recording (seq keeps advancing, so a matching applied mark can
+    never survive a re-record)."""
+    from crashsweep import _FsCrasher, _SimCrash
+
+    from real_time_financial_market_data_pipeline_spark.streaming.incremental import (
+        _pending_prune_identity,
+        _read_prune_applied,
+        _write_monotone_watermark,
+        _write_prune_applied,
+        pending_settled_fps,
+        record_settled_fps,
+    )
+
+    out = str(tmp_path / "out")
+    postings = os.path.join(out, "index_spanpostings")
+    os.makedirs(postings)
+    _write_monotone_watermark(out, 3, 42)
+
+    def settled(fps: list[int]):
+        return spark.createDataFrame([(f,) for f in fps], "fp long")
+
+    def pending_fps() -> set[int] | None:
+        got = pending_settled_fps(spark, out)
+        if got is None:
+            return None
+        df, max_doc_id = got
+        assert max_doc_id == 42
+        return {r["fp"] for r in df.select("fp").collect()}
+
+    old, new = {11, 12}, {11, 12, 13, 14}
+
+    # count a crash-free first recording on a throwaway twin dir
+    twin = str(tmp_path / "twin")
+    os.makedirs(os.path.join(twin, "index_spanpostings"))
+    _write_monotone_watermark(twin, 3, 42)
+    with _FsCrasher(os.path.join(twin, "index_spanpostings")) as c:
+        assert record_settled_fps(twin, settled(sorted(old)))
+    n_first = c.count
+    assert n_first >= 3
+
+    # sweep the FIRST recording (no prior set): pending is None or new
+    import pytest as _pytest
+    import shutil
+
+    for k in range(1, n_first + 1):
+        shutil.rmtree(postings)
+        os.makedirs(postings)
+        with _FsCrasher(postings) as c:
+            c.crash_at = k
+            with _pytest.raises(_SimCrash):
+                record_settled_fps(out, settled(sorted(old)))
+        assert pending_fps() in (None, old), f"torn first recording at {k}"
+        # recovery: re-record; the result must be complete
+        assert record_settled_fps(out, settled(sorted(old)))
+        assert pending_fps() == old
+
+    # sweep the OVERWRITE (a complete prior recording exists, and a
+    # compaction APPLIED it — the worst case for identity reuse):
+    # pending is the old complete set, the new complete set, or None
+    # (the documented crash-between-renames window — rows linger one
+    # cut), and the recovery re-record's identity NEVER equals the
+    # applied mark (the protocol's actual contract: a crash that loses
+    # an unapplied recording may reissue its seq, but a seq colliding
+    # with the applied mark would make the skip eat the re-record)
+    with _FsCrasher(postings) as c:
+        record_settled_fps(out, settled(sorted(old)))  # fresh baseline
+    n_over = c.count
+    seqs = []
+    for k in range(1, n_over + 1):
+        shutil.rmtree(postings)
+        os.makedirs(postings)
+        assert record_settled_fps(out, settled(sorted(old)))
+        base_ident = _pending_prune_identity(out)
+        _write_prune_applied(out, base_ident)  # a compaction applied it
+        with _FsCrasher(postings) as c:
+            c.crash_at = k
+            with _pytest.raises(_SimCrash):
+                record_settled_fps(out, settled(sorted(new)))
+        assert pending_fps() in (None, old, new), f"torn overwrite at {k}"
+        # recovery re-records the enlarged set; its identity must not
+        # match the applied mark, whatever the crash destroyed
+        assert record_settled_fps(out, settled(sorted(new)))
+        assert pending_fps() == new
+        ident = _pending_prune_identity(out)
+        assert ident is not None and ident != _read_prune_applied(out), (
+            f"crash at {k}: recovery identity collides with applied mark"
+        )
+        seqs.append(ident[2])
+    assert all(s is not None and s >= 2 for s in seqs)
+
+
+def test_postings_compaction_crash_sweep_recovers_fused_prune(spark, tmp_path):
+    """IncrementalDedupJob.compact() crashed at every filesystem
+    mutation under the postings table (the fused anti-join fold, its
+    staged publish, and the applied-mark write): a restart-shaped
+    recovery (fresh job -> recover() -> compact()) always converges to
+    the crash-free twin's postings rows, the curated view never
+    changes, and the applied mark is only ever absent (conservative
+    re-pay) or exactly the pending recording's identity — never a
+    stale or foreign identity."""
+    from crashsweep import _FsCrasher, _SimCrash
+
+    import pytest as _pytest
+    import shutil
+
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+    from real_time_financial_market_data_pipeline_spark.streaming.incremental import (
+        _pending_prune_identity,
+        _read_prune_applied,
+        span_postings_view,
+    )
+
+    feed, out = str(tmp_path / "feed"), str(tmp_path / "out")
+    pipe = CuratedCorpusPipeline(
+        out_dir=out, span_k=4, span_min_docs=2,
+        monotone_ids=True, compact_every=100,
+    )
+    assert pipe._prune_fused_effective is True
+
+    def drain(batches, prefix):
+        _write_feed(feed, batches, prefix=prefix)
+        q = pipe.start(
+            read_doc_stream(spark, feed, max_files_per_trigger=1).select(
+                "doc_id", "text"
+            )
+        )
+        assert q.awaitTermination(300)
+
+    drain([[{"doc_id": 10, "text": CARRIER_A}, {"doc_id": 11, "text": CARRIER_B}]], "b0")
+    drain([[{"doc_id": 20, "text": LONG_B}]], "b1")
+    pipe.finalize(spark)  # fused: records the settled set
+    ident = _pending_prune_identity(out)
+    assert ident is not None and _read_prune_applied(out) is None
+    # one more batch ABOVE the recording watermark, so the scoped prune
+    # has rows it must keep as well as rows it must drop
+    drain(
+        [[{"doc_id": 30, "text": "thirty late arrivals remark that "
+           + BOILER + " matters for steady community growth and "
+           "neighborly goodwill everywhere"}]],
+        "b2",
+    )
+
+    pristine = str(tmp_path / "pristine")
+    shutil.copytree(out, pristine)
+    postings_root = os.path.join(out, "index_spanpostings")
+
+    def postings_rows():
+        return sorted(
+            (r["fp"], r["doc_id"])
+            for r in span_postings_view(spark, out).collect()
+        )
+
+    # crash-free counted twin
+    with _FsCrasher(postings_root) as c:
+        pipe.job().compact(spark)
+    n_mutations = c.count
+    assert n_mutations >= 8, f"sweep saw only {n_mutations} mutations"
+    twin_postings = postings_rows()
+    twin_curated = _sorted_rows(curated_view(spark, out))
+    assert _read_prune_applied(out) == ident
+
+    def restore() -> None:
+        shutil.rmtree(out)
+        shutil.copytree(pristine, out)
+
+    for k in range(1, n_mutations + 1):
+        restore()
+        with _FsCrasher(postings_root) as c:
+            c.crash_at = k
+            with _pytest.raises(_SimCrash):
+                pipe.job().compact(spark)
+
+        # the curated output table is untouched by an index compaction
+        # crash — end users never see the window at all
+        assert _sorted_rows(curated_view(spark, out)) == twin_curated, (
+            f"crash at mutation {k}: curated view changed"
+        )
+
+        # restart-shaped recovery
+        job = pipe.job()
+        job.recover(spark)
+        job.compact(spark)
+        assert postings_rows() == twin_postings, (
+            f"crash at mutation {k}: recovery did not converge"
+        )
+        applied = _read_prune_applied(out)
+        assert applied in (None, ident), (
+            f"crash at mutation {k}: foreign applied mark {applied}"
+        )
+        assert _pending_prune_identity(out) == ident, (
+            f"crash at mutation {k}: compaction disturbed the recording"
+        )

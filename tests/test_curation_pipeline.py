@@ -2489,3 +2489,96 @@ def test_postings_compaction_crash_sweep_recovers_fused_prune(spark, tmp_path):
         assert _pending_prune_identity(out) == ident, (
             f"crash at mutation {k}: compaction disturbed the recording"
         )
+
+
+def test_fold_crash_state_enumeration_reader_invariant(spark, tmp_path):
+    """Mechanically execute _fold_gens's docstring claim that "a crash
+    anywhere mid-fold" leaves a state readers resolve identically to
+    the fold: enumerate every intermediate state in protocol order —
+    (S1) fold generation written but its docs commit marker absent,
+    (S2) committed with zero tombstones, (S3) a partial tombstone set,
+    (S4) all tombstones down but the reader manifest still naming the
+    old generations, (S5) complete — and assert curated_view returns
+    the exact pre-fold rows in every one, then that a full finalize
+    converges each state to a single consistent manifest with the same
+    rows."""
+    import shutil
+
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+    from real_time_financial_market_data_pipeline_spark.streaming.curation import (
+        _FOLDED_TOMBSTONE,
+        _committed_generations,
+        _read_curated_manifest,
+        _write_curated_manifest,
+    )
+
+    feed, out = str(tmp_path / "feed"), str(tmp_path / "out")
+    # curated_max_gens high: finalize never folds on its own; the fold
+    # under sweep is driven explicitly
+    pipe = CuratedCorpusPipeline(
+        out_dir=out, span_k=4, span_min_docs=2, curated_max_gens=99
+    )
+
+    def drain(batches, prefix):
+        _write_feed(feed, batches, prefix=prefix)
+        q = pipe.start(
+            read_doc_stream(spark, feed, max_files_per_trigger=1).select(
+                "doc_id", "text"
+            )
+        )
+        assert q.awaitTermination(300)
+
+    drain([[{"doc_id": 10, "text": CARRIER_A}, {"doc_id": 11, "text": CARRIER_B}]], "b0")
+    pipe.finalize(spark)
+    drain([[{"doc_id": 20, "text": LONG_B}]], "b1")
+    pipe.finalize(spark)
+
+    old_gens = _committed_generations(out)
+    assert len(old_gens) == 2, old_gens
+    expected = _sorted_rows(curated_view(spark, out))
+    pristine = str(tmp_path / "pristine")
+    shutil.copytree(out, pristine)
+    fg = old_gens[-1] + 1
+
+    def tomb(gen: int) -> str:
+        return os.path.join(
+            out, "finalize_state", "docs", f"gen={gen}", _FOLDED_TOMBSTONE
+        )
+
+    def build_state(state: str) -> None:
+        shutil.rmtree(out)
+        shutil.copytree(pristine, out)
+        pipe._fold_gens(spark)  # complete fold, then peel back to `state`
+        if state == "S5":
+            return
+        _write_curated_manifest(out, old_gens)  # manifest write never ran
+        if state == "S4":
+            return
+        os.remove(tomb(old_gens[0]))  # first tombstone never landed
+        if state == "S3":
+            return
+        os.remove(tomb(old_gens[1]))
+        if state == "S2":
+            return
+        assert state == "S1"  # crash before the docs commit marker
+        os.remove(
+            os.path.join(out, "finalize_state", "docs", f"gen={fg}", "_SUCCESS")
+        )
+
+    for state in ("S1", "S2", "S3", "S4", "S5"):
+        build_state(state)
+        assert _sorted_rows(curated_view(spark, out)) == expected, (
+            f"{state}: reader saw a non-committed row set"
+        )
+
+        # convergence: the next full finalize rewrites the manifest
+        # from the writer's marker-derived committed set
+        pipe.finalize(spark, mode="full")
+        assert _sorted_rows(curated_view(spark, out)) == expected, (
+            f"{state}: finalize after the crash changed the rows"
+        )
+        manifest = _read_curated_manifest(out)
+        committed = _committed_generations(out)
+        assert manifest == committed, (
+            f"{state}: manifest {manifest} != committed {committed}"
+        )

@@ -28,7 +28,7 @@ class _FsCrasher:
     mutation sequence is exactly the protocol's own Python steps and is
     deterministic run to run."""
 
-    _PRIMS = ("rename", "replace", "remove", "makedirs")
+    _PRIMS = ("rename", "replace", "remove", "makedirs", "link")
 
     def __init__(self, root: str) -> None:
         import shutil

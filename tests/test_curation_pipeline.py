@@ -2582,3 +2582,107 @@ def test_fold_crash_state_enumeration_reader_invariant(spark, tmp_path):
         assert manifest == committed, (
             f"{state}: manifest {manifest} != committed {committed}"
         )
+
+
+def test_serving_publish_crash_sweep_catalog_reads_survive(spark, tmp_path):
+    """Crash-point sweep of publish_bucketed (both assembly paths: the
+    full rewrite and the delta with hardlinked untouched buckets): at
+    every Python-side filesystem mutation under the serving root, a
+    concurrent catalog reader (`spark.table`) resolves the OLD or the
+    NEW published rows — never an error, never a mix — and a recovery
+    publish (mode='auto') converges to the new rows while the snapshot
+    the catalog pointed at during the crash stays on disk (retention
+    keys on the reader-visible location, not the newest snap id).  The
+    one window this primitive sweep cannot reach — a crash between the
+    snap rename and the catalog ALTER, both sides of which are
+    adjacent here — is pinned by
+    test_publish_and_prune_crash_recovery_paths's targeted injection."""
+    import shutil
+
+    from crashsweep import _FsCrasher, _SimCrash
+
+    import pytest as _pytest
+
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+
+    feed, out = str(tmp_path / "feed"), str(tmp_path / "out")
+    T = "crash_sweep_serving"
+    pipe = CuratedCorpusPipeline(out_dir=out, span_k=4, span_min_docs=2)
+
+    def drain(batches, prefix):
+        _write_feed(feed, batches, prefix=prefix)
+        q = pipe.start(
+            read_doc_stream(spark, feed, max_files_per_trigger=1).select(
+                "doc_id", "text"
+            )
+        )
+        assert q.awaitTermination(300)
+
+    spark.sql(f"DROP TABLE IF EXISTS `{T}`")
+    drain([[{"doc_id": 10, "text": CARRIER_A}, {"doc_id": 11, "text": CARRIER_B}]], "b0")
+    pipe.finalize(spark)
+    pipe.publish_bucketed(spark, T, n_buckets=4, mode="full")   # snap_0
+    drain([[{"doc_id": 20, "text": LONG_B}]], "b1")
+    pipe.finalize(spark)
+    pipe.publish_bucketed(spark, T, n_buckets=4, mode="auto")   # snap_1
+    drain([[{"doc_id": 30, "text": DOC40}]], "b2")
+    pipe.finalize(spark)  # table now stale: snaps [0, 1], catalog -> snap_1
+
+    root = os.path.join(out, "serving", T)
+    snap1 = os.path.join(root, "snap_1")
+    loc0 = pipe._serving_location(spark, T)
+    assert loc0 and os.path.normpath(loc0) == os.path.normpath(snap1)
+    old_rows = _sorted_rows(spark.table(T))
+    pristine = str(tmp_path / "pristine")
+    shutil.copytree(out, pristine)
+
+    def restore() -> None:
+        shutil.rmtree(out)
+        shutil.copytree(pristine, out)
+        # the catalog crashes with the publisher in this simulation:
+        # re-pin it to the pristine snapshot alongside the fs restore
+        spark.sql(f"ALTER TABLE `{T}` SET LOCATION '{snap1}'")
+        spark.sql(f"REFRESH TABLE `{T}`")
+
+    new_rows = None
+    for mode in ("full", "auto"):  # auto resolves to delta here (1/4 buckets)
+        # crash-free counted twin
+        restore()
+        with _FsCrasher(root) as c:
+            pipe.publish_bucketed(spark, T, n_buckets=4, mode=mode)
+        n_mutations = c.count
+        assert n_mutations >= (7 if mode == "auto" else 3), (mode, n_mutations)
+        twin_rows = _sorted_rows(spark.table(T))
+        if new_rows is None:
+            new_rows = twin_rows
+            assert {r["doc_id"] for r in spark.table(T).select("doc_id").collect()} \
+                >= {10, 11, 20, 30}
+        else:
+            # delta assembly must be row-identical to the full rewrite
+            assert twin_rows == new_rows, "delta snapshot != full snapshot"
+
+        for k in range(1, n_mutations + 1):
+            restore()
+            with _FsCrasher(root) as c:
+                c.crash_at = k
+                with _pytest.raises(_SimCrash):
+                    pipe.publish_bucketed(spark, T, n_buckets=4, mode=mode)
+
+            loc_at_crash = pipe._serving_location(spark, T)
+            rows = _sorted_rows(spark.table(T))
+            assert rows in (old_rows, new_rows), (
+                f"{mode}, crash at {k}: catalog reader saw a mixed state"
+            )
+
+            pipe.publish_bucketed(spark, T, n_buckets=4, mode="auto")
+            assert _sorted_rows(spark.table(T)) == new_rows, (
+                f"{mode}, crash at {k}: recovery did not converge"
+            )
+            # the snapshot in-flight readers resolved during the crash
+            # window must survive the recovery publish (reader grace)
+            assert loc_at_crash and os.path.isdir(loc_at_crash), (
+                f"{mode}, crash at {k}: reader-visible snapshot deleted"
+            )
+            assert not os.path.isdir(os.path.join(root, "_publish_inprog"))
+
+    spark.sql(f"DROP TABLE IF EXISTS `{T}`")

@@ -1194,3 +1194,123 @@ def test_compaction_crash_sweep_every_fs_mutation(spark, tmp_path, defer):
         f"prior-state windows at mutations {prior_windows}; the protocol "
         "documents exactly one (the batch_id=<max> swap)"
     )
+
+
+def test_inline_compaction_crash_mid_drain_restart_converges(spark, tmp_path):
+    """Crash-point sweep of the INLINE (mid-drain) compaction: unlike
+    the stream-stopped sweep above, the crash here kills a live
+    foreachBatch callback — the streaming query dies mid-drain, the
+    crashed batch is replayed on restart, and parquet_sink's start-time
+    finish_staged_compaction plus compact_latest_state's own pending-
+    marker resume must compose with the replay.  At every mutation of
+    the inline fold: (a) a manifest-routed polling reader still
+    resolves to a committed batch-prefix state, (b) a plain restart
+    (same sink call, same checkpoint) drains to completion, and (c) the
+    final resolved state equals the crash-free twin's."""
+    from crashsweep import _FsCrasher, _SimCrash
+
+    import real_time_financial_market_data_pipeline_spark.streaming.sinks as sinks_mod
+    from real_time_financial_market_data_pipeline_spark.streaming.sinks import (
+        latest_state_on_read,
+        parquet_sink,
+        read_update_sink,
+    )
+
+    feed = str(tmp_path / "feed")
+    batches = [
+        [{"s": "AAPL", "p": 150.0, "v": 100, "t": T0}],
+        [{"s": "MSFT", "p": 380.0, "v": 10, "t": T0 + 1000}],
+        [{"s": "AAPL", "p": 151.0, "v": 50, "t": T0 + 2000}],
+        [{"s": "NVDA", "p": 900.0, "v": 5, "t": T0 + 3000}],
+    ]
+    for i, b in enumerate(batches):
+        _write_jsonl(feed, f"b{i}.json", b)
+
+    def run_drain(out: str):
+        from real_time_financial_market_data_pipeline_spark.sources.streaming import read_trade_stream
+
+        return parquet_sink(
+            read_trade_stream(spark, feed, max_files_per_trigger=1),
+            os.path.join(out, "prices"),
+            os.path.join(out, "ckpt"),
+            "inline_sweep",
+            output_mode="update",
+            compact_every=2,  # the inline fold fires at batch 2
+            compact_keys=["symbol"],
+        )
+
+    def resolved(out: str):
+        return _sorted_rows(
+            latest_state_on_read(
+                read_update_sink(spark, os.path.join(out, "prices")), ["symbol"]
+            )
+        )
+
+    real_compact = sinks_mod.compact_latest_state
+
+    # crash-free twin: final rows + the inline fold's mutation count
+    twin = str(tmp_path / "twin")
+    inline_counts: list[int] = []
+
+    def counting(spark_, path_, keys, **kw):
+        if kw.get("only_below") is None:
+            return real_compact(spark_, path_, keys, **kw)
+        with _FsCrasher(path_) as c:
+            r = real_compact(spark_, path_, keys, **kw)
+        inline_counts.append(c.count)
+        return r
+
+    sinks_mod.compact_latest_state = counting
+    try:
+        q = run_drain(twin)
+        assert q.awaitTermination(300)
+    finally:
+        sinks_mod.compact_latest_state = real_compact
+    assert len(inline_counts) == 1, inline_counts
+    n_mutations = inline_counts[0]
+    assert n_mutations >= 8, n_mutations
+    twin_rows = resolved(twin)
+    assert {r[0] for r in twin_rows} == {"AAPL", "MSFT", "NVDA"}
+
+    # committed batch-prefix states a reader may see during the crash
+    # window: as-of batch 1, or as-of batch 0 (the one-rename swap)
+    allowed_prefixes = (
+        {("AAPL", 150.0)},
+        {("AAPL", 150.0), ("MSFT", 380.0)},
+    )
+
+    for k in range(1, n_mutations + 1):
+        out = str(tmp_path / f"run_{k}")
+
+        def crashing(spark_, path_, keys, **kw):
+            if kw.get("only_below") is None:
+                return real_compact(spark_, path_, keys, **kw)
+            with _FsCrasher(path_) as c:
+                c.crash_at = k
+                return real_compact(spark_, path_, keys, **kw)
+
+        sinks_mod.compact_latest_state = crashing
+        try:
+            q = run_drain(out)
+            with pytest.raises(Exception, match="simulated crash"):
+                q.awaitTermination(300)
+        finally:
+            sinks_mod.compact_latest_state = real_compact
+
+        # (a) polling reader mid-crash: committed prefix, no retry
+        seen = {(r[0], r[1]) for r in (
+            (row["symbol"], row["price"]) for row in latest_state_on_read(
+                read_update_sink(spark, os.path.join(out, "prices")), ["symbol"]
+            ).collect()
+        )}
+        assert seen in allowed_prefixes, (
+            f"crash at mutation {k}: reader saw {seen}"
+        )
+
+        # (b)+(c) plain restart on the same checkpoint: replays batch 2,
+        # resumes/redoes the fold, finishes the drain
+        q = run_drain(out)
+        assert q.awaitTermination(300)
+        assert resolved(out) == twin_rows, (
+            f"crash at mutation {k}: restart did not converge"
+        )

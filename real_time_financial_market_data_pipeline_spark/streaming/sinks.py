@@ -634,6 +634,16 @@ def compact_latest_state(
     else:
         batch_dirs = _scoped_dirs()
         if len(batch_dirs) <= 1:
+            # a fold that crashed between staging and publishing can
+            # leave a stale `_compact_inprogress` (a full snapshot
+            # copy) behind; if a LATER pass completed the publish and
+            # the grace sweep emptied the scope down to one dir, no
+            # future fold would ever reclaim it — invisible to readers
+            # (underscore dir) but real disk at scale (found by the
+            # double-crash sweep in tests/test_compaction_guard.py)
+            shutil.rmtree(
+                os.path.join(path, "_compact_inprogress"), ignore_errors=True
+            )
             return 0
         max_id = max(int(d.split("=")[1]) for d in batch_dirs)
         inprog = os.path.join(path, "_compact_inprogress")

@@ -1180,7 +1180,24 @@ def test_compaction_crash_sweep_every_fs_mutation(spark, tmp_path, defer):
             if rows == expected_prior:
                 prior_windows.append(k)
 
-        # (c) recovery = re-running the same entry point
+        # (c) DOUBLE CRASH: the recovery run itself crashes at its own
+        # k-th mutation (when it has that many — the recovery sequence
+        # is shorter from late-crash states).  Every marker the resume
+        # paths key on must tolerate a crash while being consumed.
+        with _FsCrasher(work) as crasher2:
+            crasher2.crash_at = k
+            try:
+                compact_latest_state(spark, work, ["symbol"], defer_retire=defer)
+            except _SimCrash:
+                pass
+            crasher2.crash_at = None
+            rows = _resolved_rows(spark, work)
+            assert rows in (expected_full, expected_prior), (
+                f"double crash at mutation {k}: reader saw an "
+                "inconsistent state"
+            )
+
+        # (d) final recovery = re-running the same entry point
         compact_latest_state(spark, work, ["symbol"], defer_retire=defer)
         assert _resolved_rows(spark, work) == expected_full, (
             f"crash at mutation {k}: recovery did not converge"

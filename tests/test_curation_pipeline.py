@@ -2686,3 +2686,98 @@ def test_serving_publish_crash_sweep_catalog_reads_survive(spark, tmp_path):
             assert not os.path.isdir(os.path.join(root, "_publish_inprog"))
 
     spark.sql(f"DROP TABLE IF EXISTS `{T}`")
+
+
+def test_eager_prune_crash_sweep_per_dir_swap_atomic(spark, tmp_path):
+    """Crash-point sweep of the EAGER prune path (prune_span_postings's
+    per-dir two-rename swap + recover_pruned_postings) — the non-fused
+    twin of the postings-compaction sweep above, for cadence-less
+    corpora.  At every mutation, after recovery alone: every batch dir
+    is atomically either its original or its exactly-pruned rewrite
+    (never torn, never lost), any extra rows beyond the twin are
+    settled-fp rows only, and the may-be-pruned marker is already down
+    whenever at least one row has been removed (the round-13 ADVICE
+    ordering, here asserted at every crash point).  A re-run then
+    converges to the crash-free twin with no staged debris."""
+    import shutil
+
+    from crashsweep import _FsCrasher, _SimCrash
+
+    import pytest as _pytest
+
+    from real_time_financial_market_data_pipeline_spark.streaming.incremental import (
+        prune_span_postings,
+        recover_pruned_postings,
+        span_postings_pruned,
+        span_postings_view,
+    )
+
+    out = str(tmp_path / "idx")
+    post = os.path.join(out, "index_spanpostings")
+    per_dir_orig, per_dir_pruned = {}, {}
+    for i in range(3):
+        rows = [(100 + i, 1), (999, 200 + i)]
+        spark.createDataFrame(rows, "fp long, doc_id long").write.parquet(
+            os.path.join(post, f"batch_id={i}")
+        )
+        per_dir_orig[i] = set(rows)
+        per_dir_pruned[i] = {(100 + i, 1)}
+    settled = spark.createDataFrame([(999,)], "fp long")
+    orig_set = set().union(*per_dir_orig.values())
+    settled_set = {(999, 200 + i) for i in range(3)}
+
+    pristine = str(tmp_path / "pristine")
+    shutil.copytree(out, pristine)
+
+    def view_set():
+        return {
+            (r["fp"], r["doc_id"])
+            for r in span_postings_view(spark, out).collect()
+        }
+
+    # crash-free counted twin
+    with _FsCrasher(post) as c:
+        assert prune_span_postings(spark, out, settled) == 3
+    n_mutations = c.count
+    assert n_mutations >= 10, n_mutations
+    twin_set = view_set()
+    assert twin_set == set().union(*per_dir_pruned.values())
+
+    for k in range(1, n_mutations + 1):
+        shutil.rmtree(out)
+        shutil.copytree(pristine, out)
+        with _FsCrasher(post) as c:
+            c.crash_at = k
+            with _pytest.raises(_SimCrash):
+                prune_span_postings(spark, out, settled)
+
+        recover_pruned_postings(out)
+        recover_pruned_postings(out)  # recovery is idempotent
+        rows = view_set()
+        assert twin_set <= rows <= orig_set, f"crash at {k}: rows lost"
+        assert rows - twin_set <= settled_set, (
+            f"crash at {k}: non-settled rows differ from the twin"
+        )
+        if rows != orig_set:  # at least one row removed -> marker down
+            assert span_postings_pruned(out), (
+                f"crash at {k}: rows removed without the marker"
+            )
+        for i in range(3):  # per-dir atomicity: original XOR pruned
+            d = {
+                (r["fp"], r["doc_id"])
+                for r in spark.read.parquet(
+                    os.path.join(post, f"batch_id={i}")
+                ).collect()
+            }
+            assert d in (per_dir_orig[i], per_dir_pruned[i]), (
+                f"crash at {k}: dir {i} torn: {sorted(d)}"
+            )
+
+        # re-run converges; no staged debris
+        prune_span_postings(spark, out, settled)
+        assert view_set() == twin_set, f"crash at {k}: re-run diverged"
+        assert span_postings_pruned(out)
+        assert not any(
+            d.startswith(("_prune_inprog_", "_prune_trash_"))
+            for d in os.listdir(post)
+        )

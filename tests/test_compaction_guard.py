@@ -1234,11 +1234,16 @@ def test_inline_compaction_crash_mid_drain_restart_converges(spark, tmp_path):
     )
 
     feed = str(tmp_path / "feed")
+    # exactly THREE files: with maxFilesPerTrigger=1 the inline fold
+    # fires at batch 2 and nowhere else — availableNow drains can
+    # append a trailing EMPTY batch (id 3 here), which with four files
+    # would be id 4 and fire a nondeterministic SECOND fold (the
+    # verify-skill gotcha; it made the first version of this test
+    # flaky under load)
     batches = [
         [{"s": "AAPL", "p": 150.0, "v": 100, "t": T0}],
         [{"s": "MSFT", "p": 380.0, "v": 10, "t": T0 + 1000}],
         [{"s": "AAPL", "p": 151.0, "v": 50, "t": T0 + 2000}],
-        [{"s": "NVDA", "p": 900.0, "v": 5, "t": T0 + 3000}],
     ]
     for i, b in enumerate(batches):
         _write_jsonl(feed, f"b{i}.json", b)
@@ -1270,7 +1275,7 @@ def test_inline_compaction_crash_mid_drain_restart_converges(spark, tmp_path):
     inline_counts: list[int] = []
 
     def counting(spark_, path_, keys, **kw):
-        if kw.get("only_below") is None:
+        if kw.get("only_below") != 2:  # only the batch-2 inline fold
             return real_compact(spark_, path_, keys, **kw)
         with _FsCrasher(path_) as c:
             r = real_compact(spark_, path_, keys, **kw)
@@ -1283,11 +1288,11 @@ def test_inline_compaction_crash_mid_drain_restart_converges(spark, tmp_path):
         assert q.awaitTermination(300)
     finally:
         sinks_mod.compact_latest_state = real_compact
-    assert len(inline_counts) == 1, inline_counts
+    assert inline_counts, "the batch-2 inline fold never fired"
     n_mutations = inline_counts[0]
     assert n_mutations >= 8, n_mutations
     twin_rows = resolved(twin)
-    assert {r[0] for r in twin_rows} == {"AAPL", "MSFT", "NVDA"}
+    assert {r[0] for r in twin_rows} == {"AAPL", "MSFT"}
 
     # committed batch-prefix states a reader may see during the crash
     # window: as-of batch 1, or as-of batch 0 (the one-rename swap)
@@ -1300,7 +1305,7 @@ def test_inline_compaction_crash_mid_drain_restart_converges(spark, tmp_path):
         out = str(tmp_path / f"run_{k}")
 
         def crashing(spark_, path_, keys, **kw):
-            if kw.get("only_below") is None:
+            if kw.get("only_below") != 2:  # crash only the batch-2 fold
                 return real_compact(spark_, path_, keys, **kw)
             with _FsCrasher(path_) as c:
                 c.crash_at = k

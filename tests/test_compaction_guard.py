@@ -1336,3 +1336,81 @@ def test_inline_compaction_crash_mid_drain_restart_converges(spark, tmp_path):
         assert resolved(out) == twin_rows, (
             f"crash at mutation {k}: restart did not converge"
         )
+
+
+def test_gold_bucketed_relayout_crash_sweep(spark, tmp_path):
+    """Crash-point sweep of compact_gold_bucketed's RE-LAYOUT branch
+    (an already-plain-folded snapshot rewritten bucketed through the
+    staged three-rename swap: inprog -> staged, snap -> trash,
+    staged -> snap, drop trash).  The round-6 tests pin the two
+    hand-picked rename windows; this sweeps every mutation, asserting
+    that simply re-calling compact_gold_bucketed recovers: the final
+    snapshot is bucket-spec-valid, the serving table resolves the
+    exact pre-sweep rows, and no inprog/staged/trash debris survives
+    — including the stranded-trash and stale-inprog cases the entry
+    cleanups exist for."""
+    from crashsweep import _FsCrasher, _SimCrash
+
+    from real_time_financial_market_data_pipeline_spark.streaming.sinks import (
+        _bucketed_layout_ok,
+        compact_gold_bucketed,
+        compact_latest_state,
+    )
+    import shutil
+
+    T = "relayout_sweep_serving"
+    spark.sql(f"DROP TABLE IF EXISTS `{T}`")
+    path = str(tmp_path / "gold")
+    for i, rows in enumerate(
+        [[("AAPL", 1.0), ("MSFT", 2.0)], [("AAPL", 1.1), ("NVDA", 3.0)]]
+    ):
+        spark.createDataFrame(rows, "symbol string, price double").coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(path, f"batch_id={i}"))
+    # plain fold first: single NON-bucketed snapshot -> the bucketed
+    # compaction below must take the re-layout branch
+    compact_latest_state(spark, path, ["symbol"])
+    assert _batch_ids(path) == {1}
+    pristine = str(tmp_path / "pristine")
+    shutil.copytree(path, pristine)
+
+    def restore() -> None:
+        shutil.rmtree(path)
+        shutil.copytree(pristine, path)
+        spark.sql(f"DROP TABLE IF EXISTS `{T}`")
+
+    # crash-free counted twin
+    restore()
+    with _FsCrasher(path) as c:
+        compact_gold_bucketed(spark, path, ["symbol"], T, n_buckets=2)
+    n_mutations = c.count
+    assert n_mutations >= 6, n_mutations
+    snap = os.path.join(path, "batch_id=1")
+    assert _bucketed_layout_ok(snap, 2, "symbol")
+    twin_rows = _sorted_rows(spark.table(T))
+    assert {r[0] for r in twin_rows} == {"AAPL", "MSFT", "NVDA"}
+
+    for k in range(1, n_mutations + 1):
+        restore()
+        with _FsCrasher(path) as c:
+            c.crash_at = k
+            with pytest.raises(_SimCrash):
+                compact_gold_bucketed(spark, path, ["symbol"], T, n_buckets=2)
+
+        # recovery = the same entry point again
+        compact_gold_bucketed(spark, path, ["symbol"], T, n_buckets=2)
+        assert _bucketed_layout_ok(os.path.join(path, "batch_id=1"), 2, "symbol"), (
+            f"crash at {k}: snapshot not bucketed after recovery"
+        )
+        assert _sorted_rows(spark.table(T)) == twin_rows, (
+            f"crash at {k}: serving rows diverged"
+        )
+        leftovers = [
+            d
+            for d in os.listdir(path)
+            if d in ("_compact_inprogress", "_compact_trash")
+            or d.startswith("_compact_staged_")
+        ]
+        assert not leftovers, f"crash at {k}: debris {leftovers}"
+
+    spark.sql(f"DROP TABLE IF EXISTS `{T}`")

@@ -7,6 +7,13 @@ count every Python-side filesystem mutation a protocol run performs
 under one root, then re-run it crashing at each mutation index and
 assert the protocol's reader/recovery invariants after every one —
 no hand-picked windows.
+
+Primitive coverage audit (round 15): the protocol sources use exactly
+rename/replace/remove/makedirs/rmtree/link plus plain open() for
+marker/tombstone files (those are swept by state enumeration instead —
+see the fold test) and shutil.copy2 only as publish_bucketed's
+cross-device fallback for os.link (never taken on a same-device run,
+and protocol-equivalent to the link when it is).
 """
 
 from __future__ import annotations

@@ -1247,6 +1247,11 @@ def test_inline_compaction_crash_mid_drain_restart_converges(spark, tmp_path):
     ]
     for i, b in enumerate(batches):
         _write_jsonl(feed, f"b{i}.json", b)
+        # distinct mtimes: files written within the same millisecond
+        # tie in the file source's modification-time order and drain in
+        # ARBITRARY order (the FIXTURES gotcha) — this test's batch-id
+        # -> content mapping must be deterministic
+        os.utime(os.path.join(feed, f"b{i}.json"), (1_700_000_000 + i,) * 2)
 
     def run_drain(out: str):
         from real_time_financial_market_data_pipeline_spark.sources.streaming import read_trade_stream

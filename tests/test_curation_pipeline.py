@@ -2475,7 +2475,20 @@ def test_postings_compaction_crash_sweep_recovers_fused_prune(spark, tmp_path):
             f"crash at mutation {k}: curated view changed"
         )
 
-        # restart-shaped recovery
+        # DOUBLE CRASH: the restart-shaped recovery itself crashes at
+        # its own k-th postings mutation (the pattern that found the
+        # stale-inprog leak in the sinks sweep) — the applied-mark
+        # machinery must tolerate a crash while being consumed too
+        with _FsCrasher(postings_root) as c2:
+            c2.crash_at = k
+            job = pipe.job()
+            try:
+                job.recover(spark)
+                job.compact(spark)
+            except _SimCrash:
+                pass
+
+        # final restart-shaped recovery
         job = pipe.job()
         job.recover(spark)
         job.compact(spark)
@@ -2674,6 +2687,20 @@ def test_serving_publish_crash_sweep_catalog_reads_survive(spark, tmp_path):
                 f"{mode}, crash at {k}: catalog reader saw a mixed state"
             )
 
+            # DOUBLE CRASH: the recovery publish crashes at its own
+            # k-th mutation; catalog readers must still see a pure
+            # old-or-new state afterwards
+            with _FsCrasher(root) as c2:
+                c2.crash_at = k
+                try:
+                    pipe.publish_bucketed(spark, T, n_buckets=4, mode="auto")
+                except _SimCrash:
+                    pass
+            rows = _sorted_rows(spark.table(T))
+            assert rows in (old_rows, new_rows), (
+                f"{mode}, double crash at {k}: catalog reader saw a mixed state"
+            )
+
             pipe.publish_bucketed(spark, T, n_buckets=4, mode="auto")
             assert _sorted_rows(spark.table(T)) == new_rows, (
                 f"{mode}, crash at {k}: recovery did not converge"
@@ -2751,6 +2778,15 @@ def test_eager_prune_crash_sweep_per_dir_swap_atomic(spark, tmp_path):
             with _pytest.raises(_SimCrash):
                 prune_span_postings(spark, out, settled)
 
+        # DOUBLE CRASH: recovery itself crashes mid-swap-finish (its
+        # publish rename / trash drop are mutations too), then runs
+        # clean — must land in the same atomic per-dir states
+        with _FsCrasher(post) as c2:
+            c2.crash_at = 1
+            try:
+                recover_pruned_postings(out)
+            except _SimCrash:
+                pass
         recover_pruned_postings(out)
         recover_pruned_postings(out)  # recovery is idempotent
         rows = view_set()

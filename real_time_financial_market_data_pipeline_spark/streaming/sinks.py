@@ -640,9 +640,17 @@ def compact_latest_state(
             # the grace sweep emptied the scope down to one dir, no
             # future fold would ever reclaim it — invisible to readers
             # (underscore dir) but real disk at scale (found by the
-            # double-crash sweep in tests/test_compaction_guard.py)
+            # double-crash sweep in tests/test_compaction_guard.py).
+            # `_compact_retired` has the SYMMETRIC window (round-15
+            # ADVICE): _finish_publish removes the pending marker just
+            # before its final rmtree of retired, so a crash there
+            # strands full copies of every superseded dir with no
+            # future publish left to reclaim them — sweep both.
             shutil.rmtree(
                 os.path.join(path, "_compact_inprogress"), ignore_errors=True
+            )
+            shutil.rmtree(
+                os.path.join(path, "_compact_retired"), ignore_errors=True
             )
             return 0
         max_id = max(int(d.split("=")[1]) for d in batch_dirs)

@@ -28,14 +28,27 @@ class _SimCrash(RuntimeError):
 
 
 class _FsCrasher:
-    """Counts Python-side filesystem mutations whose first path argument
-    sits under `root`, raising _SimCrash INSTEAD of executing the
-    `crash_at`-th one (1-based).  crash_at=None = count only.  Spark's
-    parquet writes are JVM-side and invisible to this wrapper, so the
-    mutation sequence is exactly the protocol's own Python steps and is
-    deterministic run to run."""
+    """Counts Python-side filesystem mutations that touch `root` —
+    for two-path primitives (rename/replace/link) EITHER the source or
+    the destination under root counts, so a future staging-from-tempdir
+    change (source outside root, destination inside) cannot silently
+    shrink the sweep (round-15 ADVICE) — raising _SimCrash INSTEAD of
+    executing the `crash_at`-th one (1-based).  crash_at=None = count
+    only.  Spark's parquet writes are JVM-side and invisible to this
+    wrapper, so the mutation sequence is exactly the protocol's own
+    Python steps and is deterministic run to run.
+
+    NOT thread-safe: installation monkeypatches os/shutil
+    module-globally and assumes serial execution — one active crasher,
+    no concurrent foreign filesystem activity under ANY root (the
+    mid-drain sweep installs it from a foreachBatch callback while the
+    driver thread is idle between batches, which satisfies this;
+    pytest-xdist or a second live query touching a swept path would
+    not).  __enter__ asserts no other crasher is active."""
 
     _PRIMS = ("rename", "replace", "remove", "makedirs", "link")
+    _TWO_PATH = ("rename", "replace", "link")
+    _active: "_FsCrasher | None" = None
 
     def __init__(self, root: str) -> None:
         import shutil
@@ -46,11 +59,19 @@ class _FsCrasher:
         self._targets = [(os, n) for n in self._PRIMS] + [(shutil, "rmtree")]
         self._orig: list = []
 
+    def _under_root(self, p) -> bool:
+        return isinstance(p, str) and (
+            os.path.realpath(p) + os.sep
+        ).startswith(self.root)
+
     def _wrap(self, fn):
+        two_path = fn.__name__ in self._TWO_PATH
+
         def wrapped(target, *a, **kw):
-            if isinstance(target, str) and (
-                os.path.realpath(target) + os.sep
-            ).startswith(self.root):
+            hit = self._under_root(target) or (
+                two_path and a and self._under_root(a[0])
+            )
+            if hit:
                 self.count += 1
                 if self.crash_at is not None and self.count == self.crash_at:
                     raise _SimCrash(
@@ -62,6 +83,11 @@ class _FsCrasher:
         return wrapped
 
     def __enter__(self) -> "_FsCrasher":
+        assert _FsCrasher._active is None, (
+            "nested/concurrent _FsCrasher use: the module-global "
+            "monkeypatch assumes serial execution"
+        )
+        _FsCrasher._active = self
         for mod, name in self._targets:
             fn = getattr(mod, name)
             self._orig.append((mod, name, fn))
@@ -71,3 +97,4 @@ class _FsCrasher:
     def __exit__(self, *exc) -> None:
         for mod, name, fn in self._orig:
             setattr(mod, name, fn)
+        _FsCrasher._active = None

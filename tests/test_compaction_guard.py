@@ -1141,6 +1141,12 @@ def test_compaction_crash_sweep_every_fs_mutation(spark, tmp_path, defer):
         names = os.listdir(work)
         assert not any(n.startswith("_compact_staged_") for n in names)
         assert "_compact_inprogress" not in names
+        # round-15 ADVICE (medium): a crash between _finish_publish's
+        # pending-marker removal and its final rmtree strands
+        # _compact_retired (full copies of superseded dirs) unless the
+        # <=1-dir early return also reclaims it — assert it here so the
+        # sweep detects the leak, not just staged/inprog debris
+        assert "_compact_retired" not in names
         assert "_compact_publish_pending.json" not in names
         manifest = _read_reader_manifest(work)
         assert manifest, "protocol layer lost its reader manifest"
@@ -1401,6 +1407,18 @@ def test_gold_bucketed_relayout_crash_sweep(spark, tmp_path):
             c.crash_at = k
             with pytest.raises(_SimCrash):
                 compact_gold_bucketed(spark, path, ["symbol"], T, n_buckets=2)
+
+        # DOUBLE CRASH (round-16, closing the coverage boundary noted
+        # in SCALE.md): the recovery run itself crashes at its own k-th
+        # mutation (when it performs that many — recovery from
+        # late-crash states is shorter).  The swap is stream-stopped,
+        # so the harness composes directly.
+        with _FsCrasher(path) as c2:
+            c2.crash_at = k
+            try:
+                compact_gold_bucketed(spark, path, ["symbol"], T, n_buckets=2)
+            except _SimCrash:
+                pass
 
         # recovery = the same entry point again
         compact_gold_bucketed(spark, path, ["symbol"], T, n_buckets=2)

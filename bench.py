@@ -632,6 +632,58 @@ def bench_curated_pipeline(spark, sf_dir: str, n_batches: int = 10) -> dict[str,
         shutil.rmtree(work, ignore_errors=True)
 
 
+def classify_normalized(
+    timings: dict[str, float],
+    prev_q: dict[str, float],
+    host_calibration: dict | None,
+    prev_calibration: dict | None,
+    threshold: float = 1.10,
+    top: int = 5,
+) -> tuple[float | None, list | None, list[str]]:
+    """Spread-aware calibration-normalized regression verdicts
+    (round-14 VERDICT task 3, reworked per round-15 VERDICT task 2):
+    divide this round's timings by the host-speed ratio vs the previous
+    round's calibration before flagging regressions.  The ratio uses
+    the MEDIAN of the interleaved probes, and a normalized regression
+    is only reported when it is ROBUST across the whole observed probe
+    range — i.e. the entry is still >threshold x prev even when
+    normalized by the round's SLOWEST probe (the most charitable
+    host-drift reading).  Entries whose verdict FLIPS across the probe
+    range (regressed under the fastest probe, exonerated under the
+    slowest) land in the third return value
+    (normalized_verdict_unstable): the calibration cannot adjudicate
+    them, which is precisely what round-15's two-end point ratio hid —
+    it normalized the same code to 1.21x on one run and 0.93x on
+    another because its own intra-day swing exceeded every delta it
+    was asked to adjudicate.
+
+    Returns (cal_ratio, robust_regressions, unstable_names);
+    (None, None, []) when either side lacks a calibration — with no
+    prior probe, a normalized list would just duplicate the raw one
+    while implying normalization happened (round-14 ADVICE, low).
+    Unit-pinned in tests/test_bench_digest.py."""
+    prev_hc = prev_calibration or {}
+    prev_cal = prev_hc.get("median_s") or prev_hc.get("mean_s")
+    hc = host_calibration or {}
+    cal_med = hc.get("median_s") or hc.get("mean_s")
+    if not cal_med or not prev_cal or prev_cal <= 0:
+        return None, None, []
+    cal_ratio = round(cal_med / prev_cal, 3)
+    ratio_lo = (hc.get("min_s") or cal_med) / prev_cal
+    ratio_hi = (hc.get("max_s") or cal_med) / prev_cal
+    robust, unstable = [], []
+    for name, t in timings.items():
+        if name not in prev_q or prev_q[name] <= 0.05:
+            continue
+        bar = prev_q[name] * threshold
+        if t / ratio_hi > bar:  # regressed even at the slowest probe
+            robust.append((name, prev_q[name], round(t / cal_ratio, 3)))
+        elif t / ratio_lo > bar:  # verdict depends on probe choice
+            unstable.append(name)
+    robust = sorted(robust, key=lambda r: r[2] / r[1], reverse=True)[:top]
+    return cal_ratio, robust, unstable
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -946,48 +998,14 @@ def main() -> None:
         key=lambda r: r[2] / r[1],
         reverse=True,
     )[:5]
-    # calibration-normalized deltas (round-14 VERDICT task 3, reworked
-    # per round-15 VERDICT task 2): divide this round's timings by the
-    # host-speed ratio vs the previous round's calibration before
-    # flagging regressions.  The ratio now uses the MEDIAN of the
-    # interleaved probes, and a normalized regression is only reported
-    # when it is ROBUST across the whole observed probe range — i.e.
-    # the entry is still >1.10x prev even when normalized by the
-    # round's SLOWEST probe (the most charitable host-drift reading).
-    # Entries whose verdict FLIPS across the probe range (regressed
-    # under the fastest probe, exonerated under the slowest) go to
-    # normalized_verdict_unstable: the calibration cannot adjudicate
-    # them, which is precisely what the round-15 two-end mean hid.
-    prev_hc = prev.get("host_calibration") or {}
-    prev_cal = prev_hc.get("median_s") or prev_hc.get("mean_s")
+    cal_ratio, regressions_norm, norm_unstable = classify_normalized(
+        timings, prev_q, host_calibration, prev.get("host_calibration")
+    )
     hc = host_calibration or {}
     cal_mean = hc.get("median_s") or hc.get("mean_s")
-    cal_ratio = (
-        round(cal_mean / prev_cal, 3)
-        if cal_mean and prev_cal and prev_cal > 0
-        else None
-    )
-    # normalized fields only when a calibration ratio actually exists
-    # (round-14 ADVICE, low): with no prior probe, emitting a normalized
-    # list that duplicates the raw one would imply normalization
-    # happened when it did not — emit null instead.
-    regressions_norm = None
-    norm_unstable: list[str] = []
-    if cal_ratio:
-        ratio_lo = (hc.get("min_s") or cal_mean) / prev_cal
-        ratio_hi = (hc.get("max_s") or cal_mean) / prev_cal
-        robust = []
-        for name, t in timings.items():
-            if name not in prev_q or prev_q[name] <= 0.05:
-                continue
-            bar = prev_q[name] * 1.10
-            if t / ratio_hi > bar:  # regressed even at the slowest probe
-                robust.append((name, prev_q[name], round(t / cal_ratio, 3)))
-            elif t / ratio_lo > bar:  # verdict depends on probe choice
-                norm_unstable.append(name)
-        regressions_norm = sorted(
-            robust, key=lambda r: r[2] / r[1], reverse=True
-        )[:5]
+    prev_cal = (prev.get("host_calibration") or {}).get("median_s") or (
+        prev.get("host_calibration") or {}
+    ).get("mean_s")
     digest = {
         "bench_digest": True,
         "bench_round": CURRENT_ROUND,

@@ -1,0 +1,122 @@
+"""Unit pins for bench.py's spread-aware normalized-regression
+classification (round-15 VERDICT task 2).  Pure-Python — no
+SparkSession; `classify_normalized` is deterministic arithmetic and
+this is where the round-16 methodology change is executed rather than
+argued: the round-15 failure mode (a point calibration ratio whose
+intra-day swing exceeds the deltas it adjudicates, flipping the same
+code between 1.21x and 0.93x) must land in the UNSTABLE bucket, not in
+either verdict list."""
+
+from __future__ import annotations
+
+import bench
+
+
+def _hc(samples: list[float]) -> dict:
+    s = sorted(samples)
+    n = len(s)
+    med = s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+    return {
+        "samples": samples,
+        "n_samples": n,
+        "median_s": round(med, 3),
+        "min_s": s[0],
+        "max_s": s[-1],
+        "spread_ratio": round(s[-1] / s[0], 3),
+        "mean_s": round(sum(s) / n, 3),
+    }
+
+
+def test_no_calibration_either_side_yields_null_verdicts():
+    t, p = {"q": 2.0}, {"q": 1.0}
+    assert bench.classify_normalized(t, p, None, None) == (None, None, [])
+    assert bench.classify_normalized(t, p, _hc([0.6]), None) == (None, None, [])
+    assert bench.classify_normalized(t, p, None, {"mean_s": 0.6}) == (
+        None,
+        None,
+        [],
+    )
+
+
+def test_robust_regression_survives_the_slowest_probe():
+    # probes 0.6-0.66 vs prev 0.6: even normalized by ratio_hi=1.1 the
+    # entry is 2.0/1.1 = 1.82x prev — a real regression at every
+    # plausible host-speed reading
+    ratio, robust, unstable = bench.classify_normalized(
+        {"q": 2.0}, {"q": 1.0}, _hc([0.6, 0.62, 0.66]), _hc([0.6])
+    )
+    assert ratio == round(0.62 / 0.6, 3)
+    assert [r[0] for r in robust] == ["q"]
+    assert robust[0][1] == 1.0 and abs(robust[0][2] - 2.0 / ratio) < 0.01
+    assert unstable == []
+
+
+def test_flip_across_probe_range_lands_in_unstable_not_either_list():
+    # the round-15 shape: entry at 1.2x prev raw; probe range wide
+    # enough (0.55-0.70 vs prev 0.6) that normalizing by the fastest
+    # probe says "regressed" (1.2/0.917=1.31) and by the slowest says
+    # "fine" (1.2/1.167=1.03) — the calibration cannot adjudicate it
+    ratio, robust, unstable = bench.classify_normalized(
+        {"q": 1.2}, {"q": 1.0}, _hc([0.55, 0.60, 0.70]), _hc([0.6])
+    )
+    assert robust == []
+    assert unstable == ["q"]
+
+
+def test_uniform_host_slowdown_self_adjudicates():
+    # host 25% slower, tight probes, every entry 25% slower raw: the
+    # normalized verdicts exonerate all of them
+    prev_q = {"a": 1.0, "b": 4.0}
+    timings = {k: v * 1.25 for k, v in prev_q.items()}
+    ratio, robust, unstable = bench.classify_normalized(
+        timings, prev_q, _hc([0.75, 0.75, 0.75]), _hc([0.6])
+    )
+    assert ratio == 1.25
+    assert robust == [] and unstable == []
+
+
+def test_prev_payload_with_only_mean_is_accepted():
+    # r14/r15 payloads predate the interleaved fields; median_s falls
+    # back to mean_s on the PREV side
+    ratio, robust, _ = bench.classify_normalized(
+        {"q": 2.0}, {"q": 1.0}, _hc([0.6, 0.6, 0.6]), {"mean_s": 0.6}
+    )
+    assert ratio == 1.0
+    assert [r[0] for r in robust] == ["q"]
+
+
+def test_tiny_entries_and_new_entries_are_ignored():
+    ratio, robust, unstable = bench.classify_normalized(
+        {"tiny": 1.0, "new_entry": 9.9},
+        {"tiny": 0.04},  # <= 0.05s floor; new_entry absent from prev
+        _hc([0.6]),
+        _hc([0.6]),
+    )
+    assert robust == [] and unstable == []
+
+
+def test_robust_list_sorted_by_normalized_ratio_and_capped():
+    prev_q = {f"q{i}": 1.0 for i in range(8)}
+    timings = {f"q{i}": 2.0 + i * 0.1 for i in range(8)}
+    _, robust, _ = bench.classify_normalized(
+        timings, prev_q, _hc([0.6]), _hc([0.6])
+    )
+    assert len(robust) == 5
+    assert [r[0] for r in robust] == ["q7", "q6", "q5", "q4", "q3"]
+
+
+def test_payload_digest_fields_round_trip():
+    # the emitted digest carries the spread fields the adjudication
+    # needs (pinned so a refactor can't silently drop them) — checked
+    # against the committed r16 payload when present
+    import json
+    import os
+
+    p = os.path.join(os.path.dirname(bench.__file__), "BENCH_local_r16.json")
+    if not os.path.exists(p):
+        return
+    hc = json.load(open(p)).get("host_calibration") or {}
+    for field in ("samples", "n_samples", "median_s", "min_s", "max_s",
+                  "spread_ratio", "mean_s"):
+        assert field in hc, field
+    assert hc["n_samples"] >= 3, "interleaved probes expected, got fewer"

@@ -50,6 +50,8 @@ motivation as the gold sink's auto-compaction.
 from __future__ import annotations
 
 import os
+import time
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Window
@@ -80,12 +82,8 @@ class StageTimer:
         self.counts: dict[str, int] = {}
 
     def seg(self, name: str):
-        from contextlib import contextmanager
-
         @contextmanager
         def _timed():
-            import time
-
             t0 = time.perf_counter()
             try:
                 yield

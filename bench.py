@@ -151,6 +151,96 @@ def bench_host_calibration(spark) -> float:
     return round(best, 3)
 
 
+_CAL_STREAM_WARMED = [False]
+
+
+def bench_host_calibration_streaming(spark) -> float:
+    """Streaming-flavored host-speed probe (round-16): a FIXED synthetic
+    drain — 6 single-file json micro-batches through read_doc_stream →
+    no-op foreachBatch, availableNow, fresh checkpoint — so it measures
+    trigger dispatch, file listing, json parse, and checkpoint fsync
+    overhead.  Round-16's interleaved worktree A/Bs PROVED the shuffle
+    probe does not track this drift class: the box ran drains 15-20%
+    slower than the r14/r15 committed-run conditions while the shuffle
+    probe moved <5%, which pushed drift-regressed drains into the
+    "robust" normalized list.  Streaming entries (names starting with
+    `streaming_` or containing `drain`) are normalized against THIS
+    probe once a prior round's sample exists (first active round: 17).
+    Steady state ~1.4 s/drain on an idle 32-thread host, min of 2; the
+    first call pays one extra discarded warm drain.  NOT part of any
+    total."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from real_time_financial_market_data_pipeline_spark.sources.streaming import read_doc_stream
+
+    work = tempfile.mkdtemp(prefix="bench_calstream_")
+    feed = os.path.join(work, "feed")
+    os.makedirs(feed)
+    try:
+        for i in range(6):
+            with open(os.path.join(feed, f"f{i}.json"), "w") as fh:
+                for j in range(200):
+                    fh.write(
+                        _json.dumps(
+                            {"doc_id": i * 200 + j,
+                             "text": f"probe doc {i} {j} lorem ipsum"}
+                        )
+                        + "\n"
+                    )
+            time.sleep(0.02)  # distinct mtimes => deterministic order
+
+        def drain(tag: str) -> float:
+            t0 = time.perf_counter()
+            q = (
+                read_doc_stream(spark, feed, max_files_per_trigger=1)
+                .writeStream.foreachBatch(lambda df, bid: df.count())
+                .option("checkpointLocation", os.path.join(work, f"ck_{tag}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(120):
+                raise TimeoutError("calibration drain did not finish in 120s")
+            return time.perf_counter() - t0
+
+        if not _CAL_STREAM_WARMED[0]:
+            drain("warm")  # codegen/source-init warm — discarded
+            _CAL_STREAM_WARMED[0] = True
+        return round(min(drain("a"), drain("b")), 3)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def summarize_calibration(samples: list[float]) -> dict | None:
+    """The payload shape both probes share: samples + median/min/max/
+    spread (mean kept for pre-r16 digest compatibility)."""
+    if not samples:
+        return None
+    s = sorted(samples)
+    n = len(s)
+    med = s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+    return {
+        "samples": samples,
+        "n_samples": n,
+        "median_s": round(med, 3),
+        "min_s": s[0],
+        "max_s": s[-1],
+        "spread_ratio": round(s[-1] / s[0], 3) if s[0] > 0 else None,
+        "start_s": samples[0],
+        "end_s": samples[-1],
+        "mean_s": round(sum(s) / n, 3),
+    }
+
+
+def is_streaming_entry(name: str) -> bool:
+    """Entries normalized by the streaming probe: trigger-driven drains
+    (micro-batch dispatch dominates their profile), not batch OPTIMIZE
+    passes like the finalizes (those are join/write-bound and track the
+    CPU probe better)."""
+    return name.startswith("streaming_") or "drain" in name
+
+
 def bench_bucketed_serving(spark, sf_dir: str) -> dict[str, float]:
     """Round-2/3 VERDICT before/after: the serving queries that cluster
     on symbol — Q5 (latest 50 bars), Q6/Q7 (volume/trade_count by
@@ -639,6 +729,9 @@ def classify_normalized(
     prev_calibration: dict | None,
     threshold: float = 1.10,
     top: int = 5,
+    streaming_calibration: dict | None = None,
+    prev_streaming_calibration: dict | None = None,
+    streaming=None,
 ) -> tuple[float | None, list | None, list[str]]:
     """Spread-aware calibration-normalized regression verdicts
     (round-14 VERDICT task 3, reworked per round-15 VERDICT task 2):
@@ -657,31 +750,55 @@ def classify_normalized(
     another because its own intra-day swing exceeded every delta it
     was asked to adjudicate.
 
+    Per-class probes (round-16): when BOTH rounds carry a streaming
+    calibration (`streaming_calibration` / `prev_streaming_calibration`,
+    same payload shape), entries for which `streaming(name)` is true
+    are normalized against the streaming probe's ratio range instead —
+    the round-16 A/Bs proved drains drift ~15-20% while the shuffle
+    probe moves <5%, so normalizing a drain by the shuffle probe
+    produces exactly the false "robust regression" this function exists
+    to prevent.  Entries fall back to the CPU probe when either side
+    lacks the streaming sample (so round 16 itself, whose r15 baseline
+    predates the probe, classifies exactly as before).
+
     Returns (cal_ratio, robust_regressions, unstable_names);
     (None, None, []) when either side lacks a calibration — with no
     prior probe, a normalized list would just duplicate the raw one
     while implying normalization happened (round-14 ADVICE, low).
     Unit-pinned in tests/test_bench_digest.py."""
-    prev_hc = prev_calibration or {}
-    prev_cal = prev_hc.get("median_s") or prev_hc.get("mean_s")
-    hc = host_calibration or {}
-    cal_med = hc.get("median_s") or hc.get("mean_s")
-    if not cal_med or not prev_cal or prev_cal <= 0:
+
+    def _ratio_range(hc, prev_hc):
+        prev_cal = (prev_hc or {}).get("median_s") or (prev_hc or {}).get(
+            "mean_s"
+        )
+        cal_med = (hc or {}).get("median_s") or (hc or {}).get("mean_s")
+        if not cal_med or not prev_cal or prev_cal <= 0:
+            return None
+        return (
+            round(cal_med / prev_cal, 3),
+            ((hc or {}).get("min_s") or cal_med) / prev_cal,
+            ((hc or {}).get("max_s") or cal_med) / prev_cal,
+        )
+
+    cpu = _ratio_range(host_calibration, prev_calibration)
+    if cpu is None:
         return None, None, []
-    cal_ratio = round(cal_med / prev_cal, 3)
-    ratio_lo = (hc.get("min_s") or cal_med) / prev_cal
-    ratio_hi = (hc.get("max_s") or cal_med) / prev_cal
+    stream = _ratio_range(streaming_calibration, prev_streaming_calibration)
+    streaming = streaming or is_streaming_entry
     robust, unstable = [], []
     for name, t in timings.items():
         if name not in prev_q or prev_q[name] <= 0.05:
             continue
+        cal_ratio, ratio_lo, ratio_hi = (
+            stream if (stream is not None and streaming(name)) else cpu
+        )
         bar = prev_q[name] * threshold
         if t / ratio_hi > bar:  # regressed even at the slowest probe
             robust.append((name, prev_q[name], round(t / cal_ratio, 3)))
         elif t / ratio_lo > bar:  # verdict depends on probe choice
             unstable.append(name)
     robust = sorted(robust, key=lambda r: r[2] / r[1], reverse=True)[:top]
-    return cal_ratio, robust, unstable
+    return cpu[0], robust, unstable
 
 
 def main() -> None:
@@ -732,6 +849,7 @@ def main() -> None:
     # stability across the plausible calibration range.  NOT in
     # timings, so totals stay comparable with prior rounds.
     cal_samples: list[float] = []
+    cal_stream_samples: list[float] = []
     _last_probe_at = [0]
 
     def _probe() -> None:
@@ -743,12 +861,26 @@ def main() -> None:
                 f"{type(exc).__name__}: {exc}".splitlines()[0][:500],
             )
 
+    def _probe_stream() -> None:
+        # streaming-flavored probe (round-16): 3 samples per run —
+        # start, just before the streaming drains, end — each min-of-2
+        # drains (~3 s); drains are normalized against THIS probe's
+        # history, the shuffle probe provably does not track them
+        try:
+            cal_stream_samples.append(bench_host_calibration_streaming(spark))
+        except Exception as exc:  # noqa: BLE001
+            errors.setdefault(
+                "host_calibration_streaming",
+                f"{type(exc).__name__}: {exc}".splitlines()[0][:500],
+            )
+
     def _maybe_probe() -> None:
         if len(timings) - _last_probe_at[0] >= 10:
             _last_probe_at[0] = len(timings)
             _probe()
 
     _probe()
+    _probe_stream()
 
     for name in HEADLINE:
         _guard(name, lambda name=name: _min_of_2(
@@ -823,6 +955,7 @@ def main() -> None:
     # LRU) so the streaming drains aren't measured under storage-memory
     # pressure from an unrelated query.
     spark.catalog.clearCache()
+    _probe_stream()  # mid sample, adjacent to the drains it adjudicates
 
     # min-of-2 for the streaming drains too (fresh checkpoints each run) —
     # co-tenant load on this host can inflate a single drain 2-3x.
@@ -882,28 +1015,14 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["curated_pipeline"] = f"{type(exc).__name__}: {exc}".splitlines()[0][:500]
 
-    _probe()  # closing probe, unconditional
-    host_calibration = None
-    if cal_samples:
-        s = sorted(cal_samples)
-        n = len(s)
-        median = s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
-        host_calibration = {
-            # round-16: interleaved samples; MEDIAN is the calibration
-            # value (robust to one co-tenant burst landing on a probe),
-            # min/max bound the plausible range for the spread-aware
-            # normalized verdict.  mean_s kept for digest backward
-            # compatibility with r14/r15 payloads.
-            "samples": cal_samples,
-            "n_samples": n,
-            "median_s": round(median, 3),
-            "min_s": s[0],
-            "max_s": s[-1],
-            "spread_ratio": round(s[-1] / s[0], 3) if s[0] > 0 else None,
-            "start_s": cal_samples[0],
-            "end_s": cal_samples[-1],
-            "mean_s": round(sum(s) / n, 3),
-        }
+    _probe()  # closing probes, unconditional
+    _probe_stream()
+    # round-16: interleaved samples; MEDIAN is the calibration value
+    # (robust to one co-tenant burst landing on a probe), min/max bound
+    # the plausible range for the spread-aware normalized verdict.
+    # mean_s kept for digest backward compatibility with r14/r15.
+    host_calibration = summarize_calibration(cal_samples)
+    host_calibration_streaming = summarize_calibration(cal_stream_samples)
 
     durs = sorted(best_chained[2])
     batch_stats = (
@@ -942,6 +1061,7 @@ def main() -> None:
         "streaming_batches": batch_stats,
         "quote_enrich_batches": quote_batch_stats,
         "host_calibration": host_calibration,
+        "host_calibration_streaming": host_calibration_streaming,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
@@ -999,13 +1119,22 @@ def main() -> None:
         reverse=True,
     )[:5]
     cal_ratio, regressions_norm, norm_unstable = classify_normalized(
-        timings, prev_q, host_calibration, prev.get("host_calibration")
+        timings,
+        prev_q,
+        host_calibration,
+        prev.get("host_calibration"),
+        streaming_calibration=host_calibration_streaming,
+        prev_streaming_calibration=prev.get("host_calibration_streaming"),
     )
     hc = host_calibration or {}
+    shc = host_calibration_streaming or {}
+    prev_shc = prev.get("host_calibration_streaming") or {}
     cal_mean = hc.get("median_s") or hc.get("mean_s")
     prev_cal = (prev.get("host_calibration") or {}).get("median_s") or (
         prev.get("host_calibration") or {}
     ).get("mean_s")
+    stream_cal = shc.get("median_s")
+    prev_stream_cal = prev_shc.get("median_s")
     digest = {
         "bench_digest": True,
         "bench_round": CURRENT_ROUND,
@@ -1018,6 +1147,14 @@ def main() -> None:
         "calibration_ratio": cal_ratio,
         "calibration_n_samples": hc.get("n_samples"),
         "calibration_spread_ratio": hc.get("spread_ratio"),
+        "streaming_calibration_s": stream_cal,
+        "prev_streaming_calibration_s": prev_stream_cal,
+        "streaming_calibration_ratio": (
+            round(stream_cal / prev_stream_cal, 3)
+            if stream_cal and prev_stream_cal
+            else None
+        ),
+        "streaming_calibration_spread_ratio": shc.get("spread_ratio"),
         "total_normalized": round(total / cal_ratio, 3) if cal_ratio else None,
         "n_entries": len(timings),
         "n_errors": len(errors),

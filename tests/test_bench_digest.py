@@ -105,6 +105,64 @@ def test_robust_list_sorted_by_normalized_ratio_and_capped():
     assert [r[0] for r in robust] == ["q7", "q6", "q5", "q4", "q3"]
 
 
+def test_streaming_entries_normalized_by_the_streaming_probe():
+    # the round-16 A/B finding, executed: a drain 21% slower raw while
+    # the shuffle probe is flat is a FALSE regression when the
+    # streaming probe shows the host draining 21% slower — per-class
+    # normalization exonerates it; the same timings WITHOUT a streaming
+    # probe (r16's own baseline round) still flag it, preserving the
+    # old behavior until history exists
+    cpu = _hc([0.6, 0.6, 0.6])
+    t = {"incremental_dedup_drain": 24.2, "pricing_summary": 1.0}
+    p = {"incremental_dedup_drain": 20.0, "pricing_summary": 1.0}
+    _, robust, unstable = bench.classify_normalized(
+        t, p, cpu, cpu,
+        streaming_calibration=_hc([1.68, 1.70, 1.72]),
+        prev_streaming_calibration=_hc([1.39, 1.40, 1.42]),
+    )
+    assert robust == [] and unstable == []
+    _, robust, _ = bench.classify_normalized(t, p, cpu, cpu)
+    assert [r[0] for r in robust] == ["incremental_dedup_drain"]
+
+
+def test_cpu_entries_unaffected_by_the_streaming_probe():
+    # a CPU-bound entry regression must not be laundered by streaming
+    # drift: only streaming-classed names use the streaming ratio
+    cpu = _hc([0.6, 0.6, 0.6])
+    _, robust, unstable = bench.classify_normalized(
+        {"pricing_summary": 1.3},
+        {"pricing_summary": 1.0},
+        cpu,
+        cpu,
+        streaming_calibration=_hc([1.8, 1.8, 1.8]),
+        prev_streaming_calibration=_hc([1.4, 1.4, 1.4]),
+    )
+    assert [r[0] for r in robust] == ["pricing_summary"]
+    assert unstable == []
+
+
+def test_streaming_classifier_names():
+    for name in ("streaming_medallion_10batches", "streaming_quote_enrich",
+                 "curated_pipeline_drain", "incremental_dedup_drain",
+                 "latest_prices_stream_drain"):
+        assert bench.is_streaming_entry(name), name
+    for name in ("curated_pipeline_finalize", "ohlcv_1h", "pricing_summary",
+                 "latest_prices_publish_bucketed"):
+        assert not bench.is_streaming_entry(name), name
+
+
+def test_streaming_probe_missing_on_either_side_falls_back_to_cpu():
+    cpu_slow = _hc([0.75, 0.75, 0.75])  # host 25% slower per CPU probe
+    t = {"incremental_dedup_drain": 25.0}
+    p = {"incremental_dedup_drain": 20.0}
+    for s, ps in ((None, _hc([1.4])), (_hc([1.7]), None), (None, None)):
+        _, robust, unstable = bench.classify_normalized(
+            t, p, cpu_slow, _hc([0.6]),
+            streaming_calibration=s, prev_streaming_calibration=ps,
+        )
+        assert robust == [] and unstable == []  # exonerated via CPU ratio
+
+
 def test_payload_digest_fields_round_trip():
     # the emitted digest carries the spread fields the adjudication
     # needs (pinned so a refactor can't silently drop them) — checked

@@ -118,21 +118,30 @@ def main() -> int:
 
     out = os.path.join(ABDIR, "results.jsonl")
     open(out, "w").close()
-    for group in args.group:
-        for rep in range(args.reps):
-            for root in (arm_a, arm_b):
-                label = "A" if root == arm_a else "B"
-                print(f"=== rep {rep + 1} arm {label} group {group} ===",
-                      flush=True)
-                env = dict(os.environ, PYTHONPATH=root)
-                r = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__),
-                     "--child", root, group, out],
-                    env=env, cwd=root, capture_output=True, text=True,
-                )
-                if r.returncode != 0:
-                    print(r.stderr[-1500:])
-                    return 2
+    try:
+        for group in args.group:
+            for rep in range(args.reps):
+                for root in (arm_a, arm_b):
+                    label = "A" if root == arm_a else "B"
+                    print(f"=== rep {rep + 1} arm {label} group {group} ===",
+                          flush=True)
+                    env = dict(os.environ, PYTHONPATH=root)
+                    r = subprocess.run(
+                        [sys.executable, os.path.abspath(__file__),
+                         "--child", root, group, out],
+                        env=env, cwd=root, capture_output=True, text=True,
+                    )
+                    if r.returncode != 0:
+                        print(r.stderr[-1500:])
+                        return 2
+    finally:
+        # worktrees must not leak on a failed child or a ^C — recreate
+        # is cheap, a stale registered worktree blocks the next run
+        for p in (arm_a, arm_b):
+            try:
+                _run(["git", "-C", REPO, "worktree", "remove", "--force", p])
+            except RuntimeError:
+                pass
 
     rows = [json.loads(l) for l in open(out)]
     a_rows = [r for r in rows if r["root"] == arm_a]
@@ -153,8 +162,6 @@ def main() -> int:
         print(f"{m}: A(ref)={av} med {med(av):.3f} | B(HEAD)={bv} "
               f"med {med(bv):.3f} | B/A {ratio:.3f} | B wins {wins}/{len(bv)}"
               f" | {verdict}")
-    for p in (arm_a, arm_b):
-        _run(["git", "-C", REPO, "worktree", "remove", "--force", p])
     return 1 if failed else 0
 
 

@@ -163,6 +163,70 @@ def test_streaming_probe_missing_on_either_side_falls_back_to_cpu():
         assert robust == [] and unstable == []  # exonerated via CPU ratio
 
 
+# ---- property pins (hypothesis): the classifier's algebraic contract ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_sample = st.floats(min_value=0.2, max_value=2.0, allow_nan=False)
+_timing = st.floats(min_value=0.06, max_value=100.0, allow_nan=False)
+
+
+@st.composite
+def _calibrations(draw):
+    return _hc(draw(st.lists(_sample, min_size=1, max_size=6)))
+
+
+@given(
+    prev_t=_timing,
+    cur_t=_timing,
+    hc=_calibrations(),
+    prev_hc=_calibrations(),
+)
+@settings(max_examples=200, deadline=None)
+def test_property_verdicts_are_exclusive_and_exhaustive(
+    prev_t, cur_t, hc, prev_hc
+):
+    # an entry is robust, unstable, or exonerated — never two at once,
+    # and robust implies regressed at EVERY ratio in [lo, hi]
+    ratio, robust, unstable = bench.classify_normalized(
+        {"q": cur_t}, {"q": prev_t}, hc, prev_hc
+    )
+    names_r = [r[0] for r in robust]
+    assert not (set(names_r) & set(unstable))
+    prev_cal = prev_hc["median_s"]
+    if "q" in names_r:
+        assert cur_t / (hc["max_s"] / prev_cal) > prev_t * 1.10
+    elif "q" in unstable:
+        assert cur_t / (hc["min_s"] / prev_cal) > prev_t * 1.10
+        assert cur_t / (hc["max_s"] / prev_cal) <= prev_t * 1.10
+    else:
+        assert cur_t / (hc["min_s"] / prev_cal) <= prev_t * 1.10
+
+
+@given(
+    prev_t=_timing,
+    cur_t=_timing,
+    hc=_calibrations(),
+    prev_hc=_calibrations(),
+    scale=st.floats(min_value=0.25, max_value=4.0),
+)
+@settings(max_examples=200, deadline=None)
+def test_property_uniform_host_scaling_is_invariant(
+    prev_t, cur_t, hc, prev_hc, scale
+):
+    # scaling this round's timings AND every probe sample by the same
+    # host-speed factor must not change any verdict — that is the
+    # entire point of calibration normalization
+    base = bench.classify_normalized({"q": cur_t}, {"q": prev_t}, hc, prev_hc)
+    scaled_hc = _hc([round(s * scale, 6) for s in hc["samples"]])
+    scaled = bench.classify_normalized(
+        {"q": cur_t * scale}, {"q": prev_t}, scaled_hc, prev_hc
+    )
+    assert [r[0] for r in (base[1] or [])] == [r[0] for r in (scaled[1] or [])]
+    assert base[2] == scaled[2]
+
+
 def test_payload_digest_fields_round_trip():
     # the emitted digest carries the spread fields the adjudication
     # needs (pinned so a refactor can't silently drop them) — checked

@@ -110,6 +110,9 @@ def main() -> int:
                      and os.path.exists(os.path.join(REPO, f))]
             if not files:
                 print("ref..HEAD touches no source files — nothing to A/B")
+                for p in (arm_a, arm_b):
+                    _run(["git", "-C", REPO, "worktree", "remove",
+                          "--force", p])
                 return 0
         print(f"arm A = HEAD with {len(files)} file(s) from {args.ref}:")
         for f in files:

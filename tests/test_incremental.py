@@ -958,3 +958,26 @@ def test_map_typed_passthrough_column_survives_batch_dedup(spark, tmp_path):
     assert sorted(rows) == [1, 2]
     assert rows[1]["meta"] == {"src": "cc", "v": "1"}
     assert rows[2]["meta"] == {"src": "a"}  # '{"src":"a"}' < '{"src":"b"}'
+
+
+def test_stage_timer_accumulates_and_is_detachable():
+    """StageTimer (round-15 profiling hook; imports hoisted r16): seg()
+    accumulates wall time and counts per segment name across uses, and
+    the exception path still records the segment (finally-block)."""
+    from real_time_financial_market_data_pipeline_spark.streaming.incremental import StageTimer
+
+    t = StageTimer()
+    with t.seg("a"):
+        pass
+    with t.seg("a"):
+        pass
+    with t.seg("b"):
+        pass
+    assert t.counts == {"a": 2, "b": 1}
+    assert t.times["a"] >= 0 and t.times["b"] >= 0
+    try:
+        with t.seg("boom"):
+            raise ValueError("x")
+    except ValueError:
+        pass
+    assert t.counts["boom"] == 1

@@ -163,6 +163,19 @@ def test_streaming_probe_missing_on_either_side_falls_back_to_cpu():
         assert robust == [] and unstable == []  # exonerated via CPU ratio
 
 
+def test_summarize_calibration_shape_and_edges():
+    assert bench.summarize_calibration([]) is None
+    one = bench.summarize_calibration([0.7])
+    assert one["median_s"] == 0.7 and one["spread_ratio"] == 1.0
+    assert one["n_samples"] == 1
+    s = bench.summarize_calibration([0.8, 0.5, 0.6, 0.7])
+    assert s["median_s"] == 0.65  # even count: mean of middle two
+    assert s["min_s"] == 0.5 and s["max_s"] == 0.8
+    assert s["spread_ratio"] == 1.6
+    assert s["start_s"] == 0.8 and s["end_s"] == 0.7  # insertion order
+    assert s["samples"] == [0.8, 0.5, 0.6, 0.7]  # raw order preserved
+
+
 # ---- property pins (hypothesis): the classifier's algebraic contract ----
 
 from hypothesis import given, settings

@@ -163,6 +163,28 @@ def test_streaming_probe_missing_on_either_side_falls_back_to_cpu():
         assert robust == [] and unstable == []  # exonerated via CPU ratio
 
 
+def test_derive_round_env_override_and_artifact_derivation(monkeypatch):
+    # the hand-bumped constant silently stayed at 10 through round 11
+    # (r12 VERDICT task 1); the derived form must track the newest
+    # committed driver artifact + 1 and honor the env override
+    monkeypatch.setenv("BENCH_ROUND", "42")
+    assert bench._derive_round() == 42
+    monkeypatch.setenv("BENCH_ROUND", "not-a-number")
+    derived = bench._derive_round()
+    import glob
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(bench.__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    assert rounds, "driver artifacts expected in the repo root"
+    assert derived == max(rounds) + 1
+
+
 def test_summarize_calibration_shape_and_edges():
     assert bench.summarize_calibration([]) is None
     one = bench.summarize_calibration([0.7])

@@ -200,8 +200,18 @@ def bench_host_calibration_streaming(spark) -> float:
                 .trigger(availableNow=True)
                 .start()
             )
-            if not q.awaitTermination(120):
-                raise TimeoutError("calibration drain did not finish in 120s")
+            try:
+                if not q.awaitTermination(120):
+                    raise TimeoutError(
+                        "calibration drain did not finish in 120s"
+                    )
+            finally:
+                # round-16 ADVICE: never leave a live query behind — the
+                # outer finally rmtree's the source+checkpoint dirs, and
+                # a still-running drain against deleted dirs sprays JVM
+                # errors into subsequent probes/entries
+                if q.isActive:
+                    q.stop()
             return time.perf_counter() - t0
 
         if not _CAL_STREAM_WARMED[0]:
@@ -239,6 +249,51 @@ def is_streaming_entry(name: str) -> bool:
     passes like the finalizes (those are join/write-bound and track the
     CPU probe better)."""
     return name.startswith("streaming_") or "drain" in name
+
+
+def needs_third_rep(
+    drain_samples: list[float],
+    probe_samples: list[float] | None = None,
+    disagree_ratio: float = 1.5,
+    probe_burst_ratio: float = 2.0,
+) -> str:
+    """Adaptive third-rep trigger for drain-class min-of-2 entries
+    (round-17 VERDICT task 3).  Round 16's driver run proved min-of-2
+    is not burst-proof: a co-tenant burst spanning BOTH reps published
+    24.57 s for streaming_medallion_10batches while four independent
+    runs of the same HEAD measured 8-13 s.  A third rep fires when
+
+    (a) the two drain samples disagree by >disagree_ratio — a burst
+        landed on exactly one rep, so the min may still be inflated if
+        the "clean" rep caught the burst's tail; or
+    (b) the latest (adjacent) streaming-probe sample exceeds
+        probe_burst_ratio x the SMALLEST probe sample of the run so
+        far — the probe caught a burst in the same window the drains
+        run in, so a burst long enough to span both reps (which would
+        NOT trip (a): both samples agree, both inflated) is plausible.
+
+    (b) baselines on the min of the samples so far, not their median:
+    at drain time only 2 of the run's 3 streaming probes exist, and a
+    two-sample median is itself contaminated when one sample IS the
+    burst — the r16 driver run's probes were [1.311, 3.803]: min-based
+    3.803 > 2x1.311 fires, median-based 3.803 > 2x2.557 would not.
+
+    Bounded cost: worst case one extra drain per min-of-2 entry (~30-60
+    s across the four drain entries) against the ~280 s headroom the
+    r16 builder measured vs the driver's budget.
+
+    Returns the trigger name ("disagree" / "probe_burst", recorded in
+    the digest so the adjudicator knows WHY the rep fired) or "" when
+    min-of-2 stands.  Unit-pinned in tests/test_bench_digest.py."""
+    if len(drain_samples) >= 2:
+        lo = min(drain_samples)
+        if lo > 0 and max(drain_samples) / lo > disagree_ratio:
+            return "disagree"
+    if probe_samples and len(probe_samples) >= 2:
+        base = min(probe_samples)
+        if base > 0 and probe_samples[-1] > probe_burst_ratio * base:
+            return "probe_burst"
+    return ""
 
 
 def bench_bucketed_serving(spark, sf_dir: str) -> dict[str, float]:
@@ -761,6 +816,22 @@ def classify_normalized(
     lacks the streaming sample (so round 16 itself, whose r15 baseline
     predates the probe, classifies exactly as before).
 
+    Degenerate probes (round-16 ADVICE, low): a SINGLE-sample current
+    probe has min==max==median, which would collapse the spread-aware
+    check back to the round-15 point-ratio failure mode — a verdict
+    that can never land in "unstable" no matter how drift-ambiguous
+    the entry.  When the current-side payload has fewer than 2 samples
+    the range is first widened to the PREVIOUS round's observed
+    spread_ratio (the best available estimate of this host's
+    intra-day swing) and classification proceeds normally; when the
+    prior payload carries no spread either, no robust verdict is
+    emitted for that class at all and any entry regressed under
+    EITHER the raw or the point-normalized reading routes to
+    unstable.  A multi-sample probe whose samples happen to tie
+    (min==max, n>=2) is NOT degenerate: that is an observed tight
+    range from interleaved probes — the opposite of the one-probe
+    blindness this guard exists for.
+
     Returns (cal_ratio, robust_regressions, unstable_names);
     (None, None, []) when either side lacks a calibration — with no
     prior probe, a normalized list would just duplicate the raw one
@@ -774,10 +845,23 @@ def classify_normalized(
         cal_med = (hc or {}).get("median_s") or (hc or {}).get("mean_s")
         if not cal_med or not prev_cal or prev_cal <= 0:
             return None
+        lo = (hc or {}).get("min_s") or cal_med
+        hi = (hc or {}).get("max_s") or cal_med
+        n = (hc or {}).get("n_samples")
+        if n is None:
+            n = len((hc or {}).get("samples") or []) or 1
+        point_only = n < 2
+        if point_only:
+            hist = (prev_hc or {}).get("spread_ratio") or 0.0
+            if hist > 1.0:
+                w = hist ** 0.5
+                lo, hi = cal_med / w, cal_med * w
+                point_only = False
         return (
             round(cal_med / prev_cal, 3),
-            ((hc or {}).get("min_s") or cal_med) / prev_cal,
-            ((hc or {}).get("max_s") or cal_med) / prev_cal,
+            lo / prev_cal,
+            hi / prev_cal,
+            point_only,
         )
 
     cpu = _ratio_range(host_calibration, prev_calibration)
@@ -789,11 +873,16 @@ def classify_normalized(
     for name, t in timings.items():
         if name not in prev_q or prev_q[name] <= 0.05:
             continue
-        cal_ratio, ratio_lo, ratio_hi = (
+        cal_ratio, ratio_lo, ratio_hi, point_only = (
             stream if (stream is not None and streaming(name)) else cpu
         )
         bar = prev_q[name] * threshold
-        if t / ratio_hi > bar:  # regressed even at the slowest probe
+        if point_only:
+            # a point ratio cannot certify robustness: route anything
+            # regressed under either reading to unstable
+            if t > bar or t / cal_ratio > bar:
+                unstable.append(name)
+        elif t / ratio_hi > bar:  # regressed even at the slowest probe
             robust.append((name, prev_q[name], round(t / cal_ratio, 3)))
         elif t / ratio_lo > bar:  # verdict depends on probe choice
             unstable.append(name)
@@ -960,26 +1049,44 @@ def main() -> None:
     # min-of-2 for the streaming drains too (fresh checkpoints each run) —
     # co-tenant load on this host can inflate a single drain 2-3x.
     # HEADLINE = chained (the default, single-source-scan topology);
-    # fan-out kept as the secondary comparison entry.
+    # fan-out kept as the secondary comparison entry.  Round-17: an
+    # adaptive THIRD rep (needs_third_rep) fires when the two samples
+    # disagree >1.5x or the adjacent streaming probe caught a burst —
+    # r16's driver run showed a burst can span both reps of a min-of-2.
+    third_reps: dict[str, str] = {}
+
+    def _drain_min_adaptive(name: str, run_once, key=lambda r: r[0]):
+        runs = [run_once(), run_once()]
+        why = needs_third_rep([key(r) for r in runs], cal_stream_samples)
+        if why:
+            third_reps[name] = why
+            runs.append(run_once())
+        return min(runs, key=key)
+
     best_chained = (None, 0, [])
     try:
-        chained_runs = [bench_streaming_medallion(spark, sf_dir, chained=True) for _ in range(2)]
-        best_chained = min(chained_runs, key=lambda r: r[0])
+        best_chained = _drain_min_adaptive(
+            "streaming_medallion_10batches",
+            lambda: bench_streaming_medallion(spark, sf_dir, chained=True),
+        )
         timings["streaming_medallion_10batches"] = best_chained[0]
     except Exception as exc:  # noqa: BLE001
         errors["streaming_medallion_10batches"] = f"{type(exc).__name__}: {exc}".splitlines()[0][:500]
-    _guard("streaming_medallion_fanout", lambda: min(
-        bench_streaming_medallion(spark, sf_dir, chained=False)[0] for _ in range(2)
-    ))
+    _guard("streaming_medallion_fanout", lambda: _drain_min_adaptive(
+        "streaming_medallion_fanout",
+        lambda: bench_streaming_medallion(spark, sf_dir, chained=False),
+    )[0])
     # one-shot backfill drain (no micro-batch splitting) — r02-comparable
-    _guard("streaming_medallion_chained", lambda: min(
-        bench_streaming_medallion(spark, sf_dir, chained=True, batched=False)[0]
-        for _ in range(2)
-    ))
+    _guard("streaming_medallion_chained", lambda: _drain_min_adaptive(
+        "streaming_medallion_chained",
+        lambda: bench_streaming_medallion(spark, sf_dir, chained=True, batched=False),
+    )[0])
     quote_batch_stats: dict = {"n": 0}
     try:
-        quote_runs = [bench_quote_enrich(spark, sf_dir) for _ in range(2)]
-        best_quote_run = min(quote_runs, key=lambda r: r[0])
+        best_quote_run = _drain_min_adaptive(
+            "streaming_quote_enrich",
+            lambda: bench_quote_enrich(spark, sf_dir),
+        )
         timings["streaming_quote_enrich"] = best_quote_run[0]
         qdurs = sorted(best_quote_run[2])
         if qdurs:
@@ -1060,6 +1167,10 @@ def main() -> None:
         "queries": timings,
         "streaming_batches": batch_stats,
         "quote_enrich_batches": quote_batch_stats,
+        # drain entries whose adaptive third rep fired (round-17):
+        # non-empty means a burst was suspected during the min-of-2;
+        # value = which trigger fired ("disagree" / "probe_burst")
+        "drain_third_reps": dict(sorted(third_reps.items())),
         "host_calibration": host_calibration,
         "host_calibration_streaming": host_calibration_streaming,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -1169,6 +1280,7 @@ def main() -> None:
         "normalized_verdict_unstable": (
             sorted(norm_unstable)[:8] if cal_ratio else None
         ),
+        "drain_third_reps": dict(sorted(third_reps.items())),
         "new_entries": {
             n: t
             for n, t in timings.items()

@@ -42,6 +42,42 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ABDIR = os.path.join(REPO, ".abwork_tool")
+PKG = "real_time_financial_market_data_pipeline_spark/"
+
+
+def arm_a_files(
+    name_status: str,
+) -> tuple[list[str], list[str], list[tuple[str, str]]]:
+    """Parse `git diff --name-status ref..HEAD` into (checkout, added,
+    renamed) for arm A (round-16 ADVICE, low): a plain name-only list
+    filtered on exists-at-HEAD silently DROPPED files deleted between
+    ref and HEAD, so arm A ran ref-era modules without a module they
+    may import.  checkout = package .py files with a version at ref
+    (M/D/T/... and the OLD path of renames — `git checkout ref --
+    path` recreates deleted-at-HEAD files); added = HEAD-only files a
+    ref checkout would fail on (warn: ref-era code never imported
+    them); renamed = (old, new) pairs (warn: arm A gets the ref-era
+    module at old AND keeps the HEAD file at new)."""
+    is_src = lambda f: f.endswith(".py") and f.startswith(PKG)  # noqa: E731
+    files: list[str] = []
+    added: list[str] = []
+    renamed: list[tuple[str, str]] = []
+    for line in name_status.splitlines():
+        parts = line.split("\t")
+        status = parts[0]
+        if status.startswith(("R", "C")) and len(parts) == 3:
+            old, new = parts[1], parts[2]
+            if status.startswith("R") and is_src(old):
+                files.append(old)
+                renamed.append((old, new))
+            elif is_src(new):  # copy: old path unchanged, new is HEAD-only
+                added.append(new)
+        elif len(parts) == 2 and is_src(parts[1]):
+            if status == "A":
+                added.append(parts[1])
+            else:  # M, D, T — a version exists at ref
+                files.append(parts[1])
+    return files, added, renamed
 
 
 def child(root: str, group: str, out_path: str) -> None:
@@ -102,12 +138,17 @@ def main() -> int:
         _run(["git", "-C", REPO, "worktree", "add", "--detach", arm_a, "HEAD"])
         files = args.files
         if not files:
-            diff = _run(["git", "-C", REPO, "diff", "--name-only",
+            diff = _run(["git", "-C", REPO, "diff", "--name-status",
                          f"{args.ref}..HEAD"])
-            files = [f for f in diff.splitlines()
-                     if f.endswith(".py")
-                     and f.startswith("real_time_financial_market_data_pipeline_spark/")
-                     and os.path.exists(os.path.join(REPO, f))]
+            files, added, renamed = arm_a_files(diff)
+            if added:
+                print(f"WARNING: arm A keeps {len(added)} HEAD-added "
+                      f"package file(s) with no {args.ref} version "
+                      f"(ref-era code never imported them): {added}")
+            for old, new in renamed:
+                print(f"WARNING: rename {old} -> {new}: arm A gets the "
+                      f"ref-era module at {old} AND keeps the HEAD file "
+                      f"at {new}")
             if not files:
                 print("ref..HEAD touches no source files — nothing to A/B")
                 for p in (arm_a, arm_b):
@@ -151,7 +192,11 @@ def main() -> int:
     b_rows = [r for r in rows if r["root"] == arm_b]
     med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
     failed = False
-    metrics = [k for k in a_rows[0] if k != "root"] if a_rows else []
+    # union of keys across ALL arm-A rows (round-16 ADVICE, medium):
+    # with multiple --group flags each row carries only its own group's
+    # metrics, and reading a_rows[0] alone silently dropped every later
+    # group from the summary AND the exit-code regression check
+    metrics = sorted({k for r in a_rows for k in r if k != "root"})
     for m in metrics:
         av = [r[m] for r in a_rows if m in r]
         bv = [r[m] for r in b_rows if m in r]

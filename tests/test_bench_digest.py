@@ -99,7 +99,7 @@ def test_robust_list_sorted_by_normalized_ratio_and_capped():
     prev_q = {f"q{i}": 1.0 for i in range(8)}
     timings = {f"q{i}": 2.0 + i * 0.1 for i in range(8)}
     _, robust, _ = bench.classify_normalized(
-        timings, prev_q, _hc([0.6]), _hc([0.6])
+        timings, prev_q, _hc([0.58, 0.6, 0.62]), _hc([0.6])
     )
     assert len(robust) == 5
     assert [r[0] for r in robust] == ["q7", "q6", "q5", "q4", "q3"]
@@ -185,6 +185,88 @@ def test_derive_round_env_override_and_artifact_derivation(monkeypatch):
     assert derived == max(rounds) + 1
 
 
+def test_degenerate_probe_widens_by_historical_spread():
+    # round-16 ADVICE (low): a single-sample current probe must not
+    # collapse to the r15 point-ratio failure mode.  When the PREV
+    # payload carries an observed spread, the range is widened to it
+    # and classification proceeds — a 2x regression survives even the
+    # widened slow end (robust), a borderline 1.15x flips across the
+    # widened range (unstable)
+    hc_one = _hc([0.6])
+    prev = _hc([0.55, 0.6, 0.66])  # spread 1.2 -> widen by sqrt(1.2)
+    _, robust, unstable = bench.classify_normalized(
+        {"big": 2.0, "borderline": 1.15},
+        {"big": 1.0, "borderline": 1.0},
+        hc_one,
+        prev,
+    )
+    assert [r[0] for r in robust] == ["big"]
+    assert unstable == ["borderline"]
+
+
+def test_degenerate_probe_without_history_never_emits_robust():
+    # no historical spread either (prev is itself a point probe):
+    # nothing can be "robust across the probe range" — any entry
+    # regressed under either the raw or the point-normalized reading
+    # routes to unstable, clean entries stay exonerated
+    ratio, robust, unstable = bench.classify_normalized(
+        {"regressed": 2.0, "clean": 1.05},
+        {"regressed": 1.0, "clean": 1.0},
+        _hc([0.6]),
+        _hc([0.6]),
+    )
+    assert ratio == 1.0
+    assert robust == []
+    assert unstable == ["regressed"]
+
+
+def test_degenerate_probe_raw_regression_not_laundered_by_point_ratio():
+    # host "30% slower" per a SINGLE probe sample with no history: a
+    # 1.2x raw regression point-normalizes to 0.92x, but a one-sample
+    # probe cannot certify that exoneration — unstable, not silent
+    _, robust, unstable = bench.classify_normalized(
+        {"q": 1.2}, {"q": 1.0}, _hc([0.78]), {"mean_s": 0.6}
+    )
+    assert robust == []
+    assert unstable == ["q"]
+
+
+def test_multi_sample_probe_with_tied_samples_is_not_degenerate():
+    # n>=2 samples that tie are an OBSERVED tight range from
+    # interleaved probes, not one-probe blindness: classification is
+    # unchanged from the pre-fix behavior
+    _, robust, unstable = bench.classify_normalized(
+        {"q": 2.0}, {"q": 1.0}, _hc([0.6, 0.6, 0.6]), _hc([0.6])
+    )
+    assert [r[0] for r in robust] == ["q"]
+    assert unstable == []
+
+
+def test_needs_third_rep_trigger_rule():
+    # returns the trigger name (recorded in the digest) — "" when
+    # min-of-2 stands; "disagree" wins when both triggers apply
+    assert bench.needs_third_rep([8.0, 24.5]) == "disagree"
+    assert bench.needs_third_rep([24.0, 25.1], [1.311, 3.803]) == "probe_burst"
+    assert bench.needs_third_rep([8.0, 24.5], [1.311, 3.803]) == "disagree"
+    assert bench.needs_third_rep([8.0, 9.0]) == ""
+    # (a) the two drain samples disagree >1.5x
+    assert bench.needs_third_rep([8.0, 24.5])
+    assert not bench.needs_third_rep([8.0, 9.0])
+    assert not bench.needs_third_rep([2.0, 3.0])  # exactly 1.5: strict >
+    assert not bench.needs_third_rep([0.0, 5.0])  # zero-sample guard
+    assert not bench.needs_third_rep([8.0])  # single sample: no verdict
+    # (b) the adjacent streaming probe caught a burst — the r16 driver
+    # shape: drains agree (both burst-inflated), probes [1.311, 3.803]
+    assert bench.needs_third_rep([24.0, 25.1], [1.311, 3.803])
+    assert not bench.needs_third_rep([8.0, 8.5], [1.311, 1.122])
+    assert not bench.needs_third_rep([8.0, 8.5], [3.8])  # 1 probe: no base
+    assert not bench.needs_third_rep([8.0, 8.5], [1.0, 2.0])  # exactly 2x
+    assert not bench.needs_third_rep([8.0, 8.5], [])
+    # min-based baseline, not median: with 2 samples the median is
+    # contaminated when one sample IS the burst
+    assert bench.needs_third_rep([8.0, 8.5], [1.3, 1.31, 3.9])
+
+
 def test_summarize_calibration_shape_and_edges():
     assert bench.summarize_calibration([]) is None
     one = bench.summarize_calibration([0.7])
@@ -200,7 +282,7 @@ def test_summarize_calibration_shape_and_edges():
 
 # ---- property pins (hypothesis): the classifier's algebraic contract ----
 
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 _sample = st.floats(min_value=0.2, max_value=2.0, allow_nan=False)
@@ -223,7 +305,10 @@ def test_property_verdicts_are_exclusive_and_exhaustive(
     prev_t, cur_t, hc, prev_hc
 ):
     # an entry is robust, unstable, or exonerated — never two at once,
-    # and robust implies regressed at EVERY ratio in [lo, hi]
+    # and robust implies regressed at EVERY ratio in [lo, hi].
+    # Single-sample probes take the degenerate branch (separate
+    # property below) — this contract is about OBSERVED ranges.
+    assume(hc["n_samples"] >= 2)
     ratio, robust, unstable = bench.classify_normalized(
         {"q": cur_t}, {"q": prev_t}, hc, prev_hc
     )
@@ -252,7 +337,12 @@ def test_property_uniform_host_scaling_is_invariant(
 ):
     # scaling this round's timings AND every probe sample by the same
     # host-speed factor must not change any verdict — that is the
-    # entire point of calibration normalization
+    # entire point of calibration normalization.  Holds only for
+    # probes with an observed range: the degenerate (single-sample)
+    # branch keeps a RAW-reading check by design — a point probe must
+    # not be able to launder a raw regression — and raw readings are
+    # not host-scaling-invariant.
+    assume(hc["n_samples"] >= 2)
     base = bench.classify_normalized({"q": cur_t}, {"q": prev_t}, hc, prev_hc)
     scaled_hc = _hc([round(s * scale, 6) for s in hc["samples"]])
     scaled = bench.classify_normalized(
@@ -260,6 +350,30 @@ def test_property_uniform_host_scaling_is_invariant(
     )
     assert [r[0] for r in (base[1] or [])] == [r[0] for r in (scaled[1] or [])]
     assert base[2] == scaled[2]
+
+
+@given(
+    prev_t=_timing,
+    cur_t=_timing,
+    sample=_sample,
+    prev_sample=_sample,
+)
+@settings(max_examples=200, deadline=None)
+def test_property_single_probe_without_history_never_robust(
+    prev_t, cur_t, sample, prev_sample
+):
+    # a one-sample probe against a history with no observed spread can
+    # NEVER certify a robust regression (the r15 point-ratio failure
+    # mode), and flags unstable exactly when either the raw or the
+    # point-normalized reading regresses
+    ratio, robust, unstable = bench.classify_normalized(
+        {"q": cur_t}, {"q": prev_t}, _hc([sample]), _hc([prev_sample])
+    )
+    assert robust == []
+    regressed = (
+        cur_t > prev_t * 1.10 or cur_t / ratio > prev_t * 1.10
+    )
+    assert (unstable == ["q"]) == regressed
 
 
 def test_payload_digest_fields_round_trip():

@@ -391,3 +391,12 @@ def test_payload_digest_fields_round_trip():
                   "spread_ratio", "mean_s"):
         assert field in hc, field
     assert hc["n_samples"] >= 3, "interleaved probes expected, got fewer"
+    # round-17 payloads additionally record the adaptive third-rep
+    # firings (dict of entry -> trigger) and the streaming probe
+    p17 = os.path.join(os.path.dirname(bench.__file__), "BENCH_local_r17.json")
+    if os.path.exists(p17):
+        d = json.load(open(p17))
+        if d.get("bench_round", 0) >= 17:
+            assert isinstance(d.get("drain_third_reps"), dict)
+            shc = d.get("host_calibration_streaming") or {}
+            assert shc.get("n_samples", 0) >= 3

@@ -296,6 +296,28 @@ def needs_third_rep(
     return ""
 
 
+def pick_prev_payload(paths: list, current_sf) -> dict:
+    """Latest prior-round durable payload measured at the SAME scale
+    factor (round-18): the digest's regression lists compare this run's
+    timings against the previous payload, and a debugging run at a
+    different SF (e.g. a quick sf0.01 smoke) left on disk would
+    otherwise silently become the baseline — every entry would read as
+    a 10x regression or win.  `paths` is sorted ascending by round;
+    payloads that fail to load or carry a different `sf` are skipped.
+    Unit-pinned in tests/test_bench_digest.py."""
+    import json as _json
+
+    for p in reversed(paths):
+        try:
+            with open(p) as fh:
+                cand = _json.load(fh)
+        except Exception:  # noqa: BLE001
+            continue
+        if cand.get("sf") == current_sf:
+            return cand
+    return {}
+
+
 def bench_bucketed_serving(spark, sf_dir: str) -> dict[str, float]:
     """Round-2/3 VERDICT before/after: the serving queries that cluster
     on symbol — Q5 (latest 50 bars), Q6/Q7 (volume/trade_count by
@@ -823,8 +845,11 @@ def classify_normalized(
     the entry.  When the current-side payload has fewer than 2 samples
     the range is first widened to the PREVIOUS round's observed
     spread_ratio (the best available estimate of this host's
-    intra-day swing) and classification proceeds normally; when the
-    prior payload carries no spread either, no robust verdict is
+    intra-day swing) and classification proceeds normally — but only
+    when that historical spread is itself meaningful (>= 1.05,
+    round-18 ADVICE: a near-1.0 prior spread would collapse the
+    widened range back to a point ratio); when the prior payload
+    carries no usable spread, no robust verdict is
     emitted for that class at all and any entry regressed under
     EITHER the raw or the point-normalized reading routes to
     unstable.  A multi-sample probe whose samples happen to tie
@@ -852,8 +877,14 @@ def classify_normalized(
             n = len((hc or {}).get("samples") or []) or 1
         point_only = n < 2
         if point_only:
+            # round-18 ADVICE: require a MEANINGFUL historical spread
+            # before trusting the widened range — a near-1.0 prior
+            # spread (e.g. 1.001) yields an essentially zero-width
+            # synthetic range, which is the point-ratio failure mode
+            # this widening exists to avoid.  Below the floor the entry
+            # keeps unstable-only routing.
             hist = (prev_hc or {}).get("spread_ratio") or 0.0
-            if hist > 1.0:
+            if hist >= 1.05:
                 w = hist ** 0.5
                 lo, hi = cal_med / w, cal_med * w
                 point_only = False
@@ -1072,6 +1103,15 @@ def main() -> None:
         if why:
             third_reps[name] = why
             runs.append(run_once())
+            if why == "probe_burst":
+                # round-18 ADVICE: the probe sample that fired condition
+                # (b) is otherwise static for the rest of the run, so one
+                # burst would charge a third rep to EVERY later drain
+                # entry even after the burst ended.  Refresh the adjacent
+                # sample so later entries adjudicate the CURRENT window
+                # (~3 s, only paid when a burst-triggered rep already
+                # fired).
+                _probe_stream()
         return min(runs, key=key)
 
     best_chained = (None, 0, [])
@@ -1225,9 +1265,7 @@ def main() -> None:
             if (m := _re.search(r"BENCH_local_r(\d+)\.json$", p))
             and int(m.group(1)) < CURRENT_ROUND
         )
-        if prior:
-            with open(prior[-1]) as fh:
-                prev = json.load(fh)
+        prev = pick_prev_payload(prior, payload["sf"])
     except Exception:  # noqa: BLE001 — digest must never abort
         prev = {}
     prev_q = prev.get("queries", {})

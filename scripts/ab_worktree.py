@@ -70,7 +70,19 @@ def arm_a_files(
             if status.startswith("R") and is_src(old):
                 files.append(old)
                 renamed.append((old, new))
-            elif is_src(new):  # copy: old path unchanged, new is HEAD-only
+            elif is_src(new):
+                # C (copy): old path unchanged at HEAD, new is HEAD-only.
+                # R with old OUTSIDE the package (round-18 ADVICE): the
+                # ref-era module at old is deleted at HEAD but was never
+                # package source, so arm A correctly gets only the
+                # HEAD-added new path — surface it so the adjudicator
+                # knows the old-path module is out of scope by design.
+                if status.startswith("R"):
+                    print(
+                        f"WARNING: rename into the package from outside it "
+                        f"({old} -> {new}); ref-era module at {old} is out "
+                        f"of arm-A scope"
+                    )
                 added.append(new)
         elif len(parts) == 2 and is_src(parts[1]):
             if status == "A":

@@ -78,3 +78,18 @@ def test_arm_a_files_copy_new_path_is_head_only():
     assert files == []
     assert added == [f"{PKG}/operators/copy.py"]
     assert renamed == []
+
+
+def test_arm_a_files_rename_into_package_from_outside_is_added(capsys):
+    # round-18 ADVICE (low): R with the OLD path outside the package —
+    # the ref-era module at the old path was never package source, so
+    # arm A gets only the HEAD-added new path, with an explicit warning
+    # (the old "copy: old path unchanged" comment was false for R)
+    diff = f"R100\tscripts/helper.py\t{PKG}/operators/helper.py"
+    files, added, renamed = ab.arm_a_files(diff)
+    assert files == []
+    assert added == [f"{PKG}/operators/helper.py"]
+    assert renamed == []
+    out = capsys.readouterr().out
+    assert "rename into the package" in out
+    assert "scripts/helper.py" in out

@@ -400,3 +400,57 @@ def test_payload_digest_fields_round_trip():
             assert isinstance(d.get("drain_third_reps"), dict)
             shc = d.get("host_calibration_streaming") or {}
             assert shc.get("n_samples", 0) >= 3
+
+
+def test_degenerate_probe_near_flat_history_keeps_unstable_routing():
+    # round-18 ADVICE (low): a near-1.0 historical spread (1.001) would
+    # widen a single-sample probe to an essentially zero-width range,
+    # letting a point ratio certify "robust" — exactly the failure mode
+    # the widening exists to avoid.  Below the 1.05 floor the entry
+    # keeps point_only (unstable-only) routing: the 2x regression that
+    # a real historical spread would certify robust routes to unstable.
+    hc_one = _hc([0.6])
+    prev = dict(_hc([0.6, 0.6, 0.6]))
+    prev["spread_ratio"] = 1.001
+    _, robust, unstable = bench.classify_normalized(
+        {"big": 2.0}, {"big": 1.0}, hc_one, prev
+    )
+    assert robust == []
+    assert unstable == ["big"]
+
+
+def test_degenerate_probe_spread_floor_boundary_widens_at_1_05():
+    # at exactly the floor (1.05) the widening applies and a clear 2x
+    # regression is certified robust across the widened range
+    hc_one = _hc([0.6])
+    prev = dict(_hc([0.58, 0.6, 0.62]))
+    prev["spread_ratio"] = 1.05
+    _, robust, unstable = bench.classify_normalized(
+        {"big": 2.0}, {"big": 1.0}, hc_one, prev
+    )
+    assert [r[0] for r in robust] == ["big"]
+
+
+def test_pick_prev_payload_skips_other_sf(tmp_path):
+    # round-18: a leftover sf0.01 smoke payload must not become the
+    # sf0.1 digest baseline — the lookup walks backward to the latest
+    # prior payload at the SAME sf, skipping mismatches and unreadable
+    # files
+    import json
+    p16 = tmp_path / "BENCH_local_r16.json"
+    p17 = tmp_path / "BENCH_local_r17.json"
+    p16.write_text(json.dumps({"sf": 0.1, "bench_round": 16}))
+    p17.write_text(json.dumps({"sf": 0.01, "bench_round": 17}))
+    prev = bench.pick_prev_payload([str(p16), str(p17)], 0.1)
+    assert prev["bench_round"] == 16
+    # same-sf latest wins when present
+    p17.write_text(json.dumps({"sf": 0.1, "bench_round": 17}))
+    assert bench.pick_prev_payload([str(p16), str(p17)], 0.1)["bench_round"] == 17
+    # nothing matches -> empty dict (digest degrades to no-prev mode)
+    assert bench.pick_prev_payload([str(p16), str(p17)], 0.01) == {}
+    # unreadable file skipped, not fatal
+    p18 = tmp_path / "BENCH_local_r18.json"
+    p18.write_text("{corrupt")
+    assert bench.pick_prev_payload(
+        [str(p16), str(p17), str(p18)], 0.1
+    )["bench_round"] == 17

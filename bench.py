@@ -501,7 +501,22 @@ def bench_latest_prices_bucketed(spark, sf_dir: str) -> dict[str, float]:
     scan becomes a plain zero-Exchange table read instead of a
     latest_state_on_read shuffle per read.  Timed: the drain, the
     one-off publish, and both read paths (resolve-on-read vs bucketed
-    table) so the serving speedup is visible in one place."""
+    table) so the serving speedup is visible in one place.
+
+    Round-18 (VERDICT task 3): the drain was the bench's ONLY
+    single-shot drain measurement, and the r17 adjudication flagged
+    its 2.24-3.66 s cross-run band as the round's widest unexplained
+    spread.  The controlled repetition experiment
+    (scripts/latest_prices_experiment.py, fresh JVM, interleaved flat
+    probes) classified it as FIRST-TOUCH, not drift: rep 1 pays 2.25x
+    steady state (3.81 vs 1.67-1.71 s) and rep 2 still 1.34x (2.24),
+    because this job is the run's only applyInPandasWithState path —
+    the Python worker pool + Arrow state serde spin-up lands entirely
+    on it.  The drain now runs one UNTIMED warm rep then min-of-2
+    timed reps (same protocol as every other drain entry), so the
+    entry measures steady-state drain cost (~1.7 s at sf0.1).
+    Methodology break vs r17's committed 2.724: do not credit the
+    delta as a code win."""
     import shutil
     import tempfile
 
@@ -513,18 +528,25 @@ def bench_latest_prices_bucketed(spark, sf_dir: str) -> dict[str, float]:
     from real_time_financial_market_data_pipeline_spark.tables import load_table, trades_from_events
 
     work = tempfile.mkdtemp(prefix="bench_lprices_")
-    feed, out = os.path.join(work, "feed"), os.path.join(work, "out")
+    feed = os.path.join(work, "feed")
     table = "bench_latest_prices_serving"
     try:
         trades = trades_from_events(load_table(spark, sf_dir, "events"))
         trades.selectExpr(
             "symbol AS s", "price AS p", "volume AS v", "timestamp AS t"
         ).coalesce(4).write.json(feed)
-        job = LatestPricesStreamJob(out_dir=out)
-        t0 = time.perf_counter()
-        mgr = job.start(read_trade_stream(spark, feed))
-        mgr.await_all(timeout_s=600)
-        drain_s = round(time.perf_counter() - t0, 3)
+        drain_s = float("inf")
+        for rep in range(3):  # rep 0 = untimed first-touch warm
+            out = os.path.join(work, f"out{rep}")
+            job = LatestPricesStreamJob(out_dir=out)
+            t0 = time.perf_counter()
+            mgr = job.start(read_trade_stream(spark, feed))
+            mgr.await_all(timeout_s=600)
+            if rep > 0:
+                drain_s = min(drain_s, round(time.perf_counter() - t0, 3))
+        # downstream serving measurements read the LAST rep's output
+        # (all reps drain the identical feed, so the folded state is
+        # identical)
 
         best_view = float("inf")
         for _ in range(2):

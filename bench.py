@@ -296,6 +296,29 @@ def needs_third_rep(
     return ""
 
 
+def needs_batch_third_rep(best: float, prev_val, threshold: float = 1.25) -> str:
+    """Adaptive third-rep trigger for BATCH min-of-2 entries (round-18):
+    the drain-class trigger (needs_third_rep) left the HEADLINE/batch
+    entries unprotected, and the r18 canonical-run adjudication showed
+    the failure mode live — five runs at byte-identical code each
+    caught a burst spanning BOTH reps of a different min-of-2 entry
+    (knn_bruteforce 1.378 vs 0.685-0.962 elsewhere; minhash_near_dups
+    1.138 vs 0.683-0.870), each costing a round-boundary exoneration.
+    When the min-of-2 result still exceeds the previous canonical
+    payload's value by >threshold, ONE extra rep runs: a burst that
+    inflated both reps gets a third chance to miss it, while a genuine
+    code regression stays slow on all three and reports unchanged.
+    Only fires with a same-sf prior value (pick_prev_payload), so a
+    debugging run at another SF never triggers retries.  Bounded cost:
+    one extra rep per regressed entry (~0.2-2.5 s each, only on the
+    few entries a burst actually hit).  Returns the trigger name for
+    the digest ("regressed_vs_prev") or "".  Unit-pinned in
+    tests/test_bench_digest.py."""
+    if prev_val and prev_val > 0.05 and best > prev_val * threshold:
+        return "regressed_vs_prev"
+    return ""
+
+
 def pick_prev_payload(paths: list, current_sf) -> dict:
     """Latest prior-round durable payload measured at the SAME scale
     factor (round-18): the digest's regression lists compare this run's
@@ -965,14 +988,46 @@ def main() -> None:
         # time): fires after every ~10 recorded entries
         _maybe_probe()
 
-    def _min_of_2(fn) -> float:
+    # previous canonical payload (same sf), loaded ONCE up front: the
+    # batch third-rep trigger compares each min-of-2 result against it
+    # at measure time, and the digest reuses it at the end
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    try:
+        import glob as _glob
+        import re as _re
+
+        _prior_paths = sorted(
+            p
+            for p in _glob.glob(os.path.join(repo_root, "BENCH_local_r*.json"))
+            if (m := _re.search(r"BENCH_local_r(\d+)\.json$", p))
+            and int(m.group(1)) < CURRENT_ROUND
+        )
+        prev_payload = pick_prev_payload(_prior_paths, sf_val)
+    except Exception:  # noqa: BLE001 — bench must never abort
+        prev_payload = {}
+    prev_q_retry = prev_payload.get("queries", {})
+    batch_third_reps: dict[str, str] = {}
+
+    def _min_of_2(fn, name: str | None = None) -> float:
         # two runs, min taken: first run pays plan compile/codegen, and
-        # the min damps interference from co-tenant load on the host
+        # the min damps interference from co-tenant load on the host.
+        # Round-18: when a name + same-sf prior value exist and the min
+        # still reads >1.25x the prior, ONE extra rep fires
+        # (needs_batch_third_rep) — a burst spanning both reps gets a
+        # third chance to miss, a real regression stays slow on all 3.
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
             fn()
             best = min(best, time.perf_counter() - t0)
+        if name:
+            why = needs_batch_third_rep(best, prev_q_retry.get(name))
+            if why:
+                batch_third_reps[name] = why
+                t0 = time.perf_counter()
+                fn()
+                best = min(best, time.perf_counter() - t0)
         return round(best, 3)
 
     # warm up: JVM + parquet footer reads, not attributed to any query.
@@ -1037,7 +1092,7 @@ def main() -> None:
 
     for name in HEADLINE:
         _guard(name, lambda name=name: _min_of_2(
-            lambda: QUERIES[name](spark, sf_dir).count()
+            lambda: QUERIES[name](spark, sf_dir).count(), name=name
         ))
 
     try:
@@ -1053,10 +1108,11 @@ def main() -> None:
     _guard("span_dedup_pairs", lambda: _min_of_2(
         lambda: repeated_span_pairs(
             _lt(spark, sf_dir, "documents"), k=8, max_fp_docs=50
-        ).count()
+        ).count(), name="span_dedup_pairs"
     ))
     _guard("span_common", lambda: _min_of_2(
-        lambda: common_spans(_lt(spark, sf_dir, "documents"), k=8, min_docs=2).count()
+        lambda: common_spans(_lt(spark, sf_dir, "documents"), k=8, min_docs=2).count(),
+        name="span_common",
     ))
     # round 8: merged maximal blocks (same aggregate-only plan + one
     # run-merge) and the splice-safe split excision treatment end-to-end
@@ -1068,21 +1124,21 @@ def main() -> None:
     _guard("span_common_merged", lambda: _min_of_2(
         lambda: merged_common_spans(
             _lt(spark, sf_dir, "documents"), k=8, min_docs=2
-        ).count()
+        ).count(), name="span_common_merged"
     ))
     _guard("span_excise_split", lambda: _min_of_2(
         lambda: split_excise_common_spans(
             _lt(spark, sf_dir, "documents").select("doc_id", "text"),
             common_spans(_lt(spark, sf_dir, "documents"), k=8, min_docs=2),
             k=8,
-        ).count()
+        ).count(), name="span_excise_split"
     ))
     from real_time_financial_market_data_pipeline_spark.operators.dedup import excise_internal_repeats
 
     _guard("span_internal_excise", lambda: _min_of_2(
         lambda: excise_internal_repeats(
             _lt(spark, sf_dir, "documents").select("doc_id", "text"), k=8
-        ).agg({"excised_tokens": "sum"}).collect()
+        ).agg({"excised_tokens": "sum"}).collect(), name="span_internal_excise"
     ))
 
     # per-strategy kNN split (round-2 VERDICT task 7): the knn_bruteforce
@@ -1101,7 +1157,9 @@ def main() -> None:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     for label, fn in [("knn_jvm_strategy", brute_force_knn), ("knn_arrow_strategy", brute_force_knn_arrow)]:
-        _guard(label, lambda fn=fn: _min_of_2(lambda: fn(emb, knn_q, k=10).count()))
+        _guard(label, lambda fn=fn, label=label: _min_of_2(
+            lambda: fn(emb, knn_q, k=10).count(), name=label
+        ))
 
     # Drop persisted DataFrames left behind by the batch queries (the
     # minhash path persists its banded tables and leaves eviction to
@@ -1244,9 +1302,13 @@ def main() -> None:
         # non-empty means a burst was suspected during the min-of-2;
         # value = which trigger fired ("disagree" / "probe_burst")
         "drain_third_reps": dict(sorted(third_reps.items())),
+        # batch min-of-2 entries whose retry-on-regression fired
+        # (round-18, needs_batch_third_rep): the entry's first two reps
+        # both read >1.25x the previous canonical value
+        "batch_third_reps": dict(sorted(batch_third_reps.items())),
         "host_calibration": host_calibration,
         "host_calibration_streaming": host_calibration_streaming,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
     if errors:
         payload["errors"] = errors
@@ -1257,7 +1319,6 @@ def main() -> None:
     # payload mid-list.  Persist the complete payload beside the repo's
     # BENCH_r*.json records (committed each round) so every per-entry
     # timing survives regardless of capture windows.
-    repo_root = os.path.dirname(os.path.abspath(__file__))
     local_path = os.path.join(repo_root, f"BENCH_local_r{CURRENT_ROUND:02d}.json")
     try:
         with open(local_path, "w") as fh:
@@ -1276,20 +1337,9 @@ def main() -> None:
     # Final COMPACT digest line — small enough that ANY stdout tail
     # capture keeps it: totals, the worst regressions vs the previous
     # round's durable payload, this round's new entries, error count.
-    prev: dict = {}
-    try:
-        import glob as _glob
-        import re as _re
-
-        prior = sorted(
-            p
-            for p in _glob.glob(os.path.join(repo_root, "BENCH_local_r*.json"))
-            if (m := _re.search(r"BENCH_local_r(\d+)\.json$", p))
-            and int(m.group(1)) < CURRENT_ROUND
-        )
-        prev = pick_prev_payload(prior, payload["sf"])
-    except Exception:  # noqa: BLE001 — digest must never abort
-        prev = {}
+    # (prev_payload loaded once up front — same-sf guard via
+    # pick_prev_payload — and shared with the batch third-rep trigger)
+    prev = prev_payload
     prev_q = prev.get("queries", {})
     regressions = sorted(
         (
@@ -1352,6 +1402,7 @@ def main() -> None:
             sorted(norm_unstable)[:8] if cal_ratio else None
         ),
         "drain_third_reps": dict(sorted(third_reps.items())),
+        "batch_third_reps": dict(sorted(batch_third_reps.items())),
         "new_entries": {
             n: t
             for n, t in timings.items()

@@ -454,3 +454,15 @@ def test_pick_prev_payload_skips_other_sf(tmp_path):
     assert bench.pick_prev_payload(
         [str(p16), str(p17), str(p18)], 0.1
     )["bench_round"] == 17
+
+
+def test_needs_batch_third_rep_trigger_rule():
+    # round-18: fires only when the min-of-2 result exceeds the prior
+    # canonical value by >1.25x — a burst spanning both reps; quiet on
+    # mild drift, missing/trivial priors, and genuine improvements
+    assert bench.needs_batch_third_rep(1.38, 0.77) == "regressed_vs_prev"
+    assert bench.needs_batch_third_rep(0.9, 0.77) == ""          # mild drift
+    assert bench.needs_batch_third_rep(0.5, 0.77) == ""          # improvement
+    assert bench.needs_batch_third_rep(1.0, None) == ""          # no prior
+    assert bench.needs_batch_third_rep(1.0, 0.04) == ""          # trivial prior
+    assert bench.needs_batch_third_rep(0.7, 0.77, threshold=1.25) == ""

@@ -341,6 +341,38 @@ def pick_prev_payload(paths: list, current_sf) -> dict:
     return {}
 
 
+def drain_min_adaptive(
+    name: str,
+    run_once,
+    probe_samples: list,
+    third_reps: dict,
+    refresh_probe,
+    key=lambda r: r[0],
+):
+    """Min-of-2 with the adaptive third rep for drain-class entries
+    (round-17, trigger rule in needs_third_rep), factored to module
+    level in round-18 so the probe-refresh behavior is unit-pinnable.
+
+    Round-18 ADVICE: the probe sample that fired condition (b)
+    (probe_burst) is otherwise static for the rest of the run, so one
+    burst would charge a third rep to EVERY later drain entry even
+    after the burst ended.  After a probe_burst-triggered rep,
+    refresh_probe() takes a fresh adjacent sample so later entries
+    adjudicate the CURRENT window (~3 s, only paid when a
+    burst-triggered rep already fired).  A "disagree"-triggered rep
+    does NOT refresh — that trigger is about the drain samples
+    themselves, not the probe window.  Unit-pinned in
+    tests/test_bench_digest.py."""
+    runs = [run_once(), run_once()]
+    why = needs_third_rep([key(r) for r in runs], probe_samples)
+    if why:
+        third_reps[name] = why
+        runs.append(run_once())
+        if why == "probe_burst":
+            refresh_probe()
+    return min(runs, key=key)
+
+
 def bench_bucketed_serving(spark, sf_dir: str) -> dict[str, float]:
     """Round-2/3 VERDICT before/after: the serving queries that cluster
     on symbol — Q5 (latest 50 bars), Q6/Q7 (volume/trade_count by
@@ -1178,21 +1210,10 @@ def main() -> None:
     third_reps: dict[str, str] = {}
 
     def _drain_min_adaptive(name: str, run_once, key=lambda r: r[0]):
-        runs = [run_once(), run_once()]
-        why = needs_third_rep([key(r) for r in runs], cal_stream_samples)
-        if why:
-            third_reps[name] = why
-            runs.append(run_once())
-            if why == "probe_burst":
-                # round-18 ADVICE: the probe sample that fired condition
-                # (b) is otherwise static for the rest of the run, so one
-                # burst would charge a third rep to EVERY later drain
-                # entry even after the burst ended.  Refresh the adjacent
-                # sample so later entries adjudicate the CURRENT window
-                # (~3 s, only paid when a burst-triggered rep already
-                # fired).
-                _probe_stream()
-        return min(runs, key=key)
+        return drain_min_adaptive(
+            name, run_once, cal_stream_samples, third_reps, _probe_stream,
+            key=key,
+        )
 
     best_chained = (None, 0, [])
     try:

@@ -466,3 +466,51 @@ def test_needs_batch_third_rep_trigger_rule():
     assert bench.needs_batch_third_rep(1.0, None) == ""          # no prior
     assert bench.needs_batch_third_rep(1.0, 0.04) == ""          # trivial prior
     assert bench.needs_batch_third_rep(0.7, 0.77, threshold=1.25) == ""
+
+
+def test_drain_min_adaptive_probe_refresh_only_on_probe_burst():
+    # round-18 ADVICE (low): one probe_burst must not charge a third
+    # rep to every later drain entry — after a probe_burst-triggered
+    # rep the adjacent probe is refreshed; a disagree-triggered rep
+    # does not touch the probe, and no trigger means no third rep
+    calls = {"runs": 0, "probes": 0}
+
+    def mk_run(vals):
+        it = iter(vals)
+
+        def run():
+            calls["runs"] += 1
+            return (next(it),)
+
+        return run
+
+    def refresh():
+        calls["probes"] += 1
+
+    # (1) probe_burst: latest probe sample >2x the run minimum; two
+    # agreeing drain reps -> third rep fires AND the probe refreshes
+    reps = {}
+    best = bench.drain_min_adaptive(
+        "e1", mk_run([5.0, 5.1, 4.9]), [1.3, 3.8], reps, refresh
+    )
+    assert best == (4.9,) and reps == {"e1": "probe_burst"}
+    assert calls == {"runs": 3, "probes": 1}
+
+    # (2) disagree: drain samples >1.5x apart, probes quiet -> third
+    # rep fires but NO probe refresh
+    calls = {"runs": 0, "probes": 0}
+    reps = {}
+    best = bench.drain_min_adaptive(
+        "e2", mk_run([9.0, 3.0, 3.1]), [1.3, 1.35], reps, refresh
+    )
+    assert best == (3.0,) and reps == {"e2": "disagree"}
+    assert calls == {"runs": 3, "probes": 0}
+
+    # (3) quiet: agreeing reps, quiet probes -> min-of-2 stands
+    calls = {"runs": 0, "probes": 0}
+    reps = {}
+    best = bench.drain_min_adaptive(
+        "e3", mk_run([3.0, 3.1]), [1.3, 1.35], reps, refresh
+    )
+    assert best == (3.0,) and reps == {}
+    assert calls == {"runs": 2, "probes": 0}

@@ -312,9 +312,18 @@ def needs_batch_third_rep(best: float, prev_val, threshold: float = 1.25) -> str
     debugging run at another SF never triggers retries.  Bounded cost:
     one extra rep per regressed entry (~0.2-2.5 s each, only on the
     few entries a burst actually hit).  Returns the trigger name for
-    the digest ("regressed_vs_prev") or "".  Unit-pinned in
+    the digest ("regressed_vs_prev") or "".  Non-numeric prior values
+    (round-18 ADVICE: a hand-edited payload or a future nested record)
+    must not raise inside _min_of_2 — they mean "no usable prior", the
+    same as None.  bool is excluded explicitly: JSON true would
+    otherwise compare as 1.0.  Unit-pinned in
     tests/test_bench_digest.py."""
-    if prev_val and prev_val > 0.05 and best > prev_val * threshold:
+    if (
+        isinstance(prev_val, (int, float))
+        and not isinstance(prev_val, bool)
+        and prev_val > 0.05
+        and best > prev_val * threshold
+    ):
         return "regressed_vs_prev"
     return ""
 
@@ -1039,7 +1048,7 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — bench must never abort
         prev_payload = {}
     prev_q_retry = prev_payload.get("queries", {})
-    batch_third_reps: dict[str, str] = {}
+    batch_third_reps: dict[str, dict] = {}
 
     def _min_of_2(fn, name: str | None = None) -> float:
         # two runs, min taken: first run pays plan compile/codegen, and
@@ -1056,10 +1065,20 @@ def main() -> None:
         if name:
             why = needs_batch_third_rep(best, prev_q_retry.get(name))
             if why:
-                batch_third_reps[name] = why
+                before = round(best, 3)
                 t0 = time.perf_counter()
                 fn()
                 best = min(best, time.perf_counter() - t0)
+                # round-18 ADVICE: record the pre-retry min alongside
+                # the trigger so the adjudicator can see how much the
+                # extra rep moved the entry (min-of-3 vs min-of-2 is a
+                # small systematic downward bias on exactly the entries
+                # that looked regressed — make it visible, not silent)
+                batch_third_reps[name] = {
+                    "why": why,
+                    "before": before,
+                    "after": round(best, 3),
+                }
         return round(best, 3)
 
     # warm up: JVM + parquet footer reads, not attributed to any query.

@@ -78,10 +78,15 @@ def arm_a_files(
                 # HEAD-added new path — surface it so the adjudicator
                 # knows the old-path module is out of scope by design.
                 if status.startswith("R"):
+                    # round-18 ADVICE: stderr, not stdout — every other
+                    # diagnostic path here is silent and a caller
+                    # capturing stdout for results must not ingest the
+                    # warning line into its machine-readable output
                     print(
                         f"WARNING: rename into the package from outside it "
                         f"({old} -> {new}); ref-era module at {old} is out "
-                        f"of arm-A scope"
+                        f"of arm-A scope",
+                        file=sys.stderr,
                     )
                 added.append(new)
         elif len(parts) == 2 and is_src(parts[1]):

@@ -26,6 +26,7 @@ Prints one JSON line; record the numbers in NOTES.md / SCALE.md.
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -90,7 +91,9 @@ def main() -> None:
             f"stream_probe={stream_probes[-1]:.3f}",
             flush=True,
         )
-    steady = sorted(drains[1:])[len(drains[1:]) // 2] if len(drains) > 1 else None
+    # round-18 ADVICE: true median (unbiased for even n of post-warm
+    # reps; the old upper-element pick understated first_over_steady)
+    steady = statistics.median(drains[1:]) if len(drains) > 1 else None
     print(
         json.dumps(
             {

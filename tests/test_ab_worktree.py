@@ -90,6 +90,10 @@ def test_arm_a_files_rename_into_package_from_outside_is_added(capsys):
     assert files == []
     assert added == [f"{PKG}/operators/helper.py"]
     assert renamed == []
-    out = capsys.readouterr().out
-    assert "rename into the package" in out
-    assert "scripts/helper.py" in out
+    captured = capsys.readouterr()
+    # round-18 ADVICE (second pass): the warning goes to stderr so a
+    # caller capturing stdout for machine-readable results never
+    # ingests it; stdout must stay clean
+    assert "rename into the package" in captured.err
+    assert "scripts/helper.py" in captured.err
+    assert "rename into the package" not in captured.out

@@ -466,6 +466,13 @@ def test_needs_batch_third_rep_trigger_rule():
     assert bench.needs_batch_third_rep(1.0, None) == ""          # no prior
     assert bench.needs_batch_third_rep(1.0, 0.04) == ""          # trivial prior
     assert bench.needs_batch_third_rep(0.7, 0.77, threshold=1.25) == ""
+    # round-18 ADVICE (second pass): a non-numeric prior (hand-edited
+    # payload, future nested record) means "no usable prior", never a
+    # TypeError that _guard would convert into a recorded bench error
+    assert bench.needs_batch_third_rep(1.38, "0.77") == ""       # string prior
+    assert bench.needs_batch_third_rep(1.38, {"v": 0.77}) == ""  # nested prior
+    assert bench.needs_batch_third_rep(1.38, [0.77]) == ""       # list prior
+    assert bench.needs_batch_third_rep(1.38, True) == ""         # bool != 1.0
 
 
 def test_drain_min_adaptive_probe_refresh_only_on_probe_burst():

@@ -1065,20 +1065,21 @@ def main() -> None:
         if name:
             why = needs_batch_third_rep(best, prev_q_retry.get(name))
             if why:
-                before = round(best, 3)
-                t0 = time.perf_counter()
-                fn()
-                best = min(best, time.perf_counter() - t0)
                 # round-18 ADVICE: record the pre-retry min alongside
                 # the trigger so the adjudicator can see how much the
                 # extra rep moved the entry (min-of-3 vs min-of-2 is a
                 # small systematic downward bias on exactly the entries
-                # that looked regressed — make it visible, not silent)
-                batch_third_reps[name] = {
-                    "why": why,
-                    "before": before,
-                    "after": round(best, 3),
-                }
+                # that looked regressed — make it visible, not silent).
+                # round-19 ADVICE: write the record BEFORE invoking the
+                # retry — if the third rep raises, the entry lands in
+                # errors via _guard but the fact a retry was attempted
+                # stays visible here ("after" absent = retry died).
+                rec = {"why": why, "before": round(best, 3)}
+                batch_third_reps[name] = rec
+                t0 = time.perf_counter()
+                fn()
+                best = min(best, time.perf_counter() - t0)
+                rec["after"] = round(best, 3)
         return round(best, 3)
 
     # warm up: JVM + parquet footer reads, not attributed to any query.
@@ -1344,7 +1345,11 @@ def main() -> None:
         "drain_third_reps": dict(sorted(third_reps.items())),
         # batch min-of-2 entries whose retry-on-regression fired
         # (round-18, needs_batch_third_rep): the entry's first two reps
-        # both read >1.25x the previous canonical value
+        # both read >1.25x the previous canonical value.
+        # SCHEMA NOTE (r19): values changed from a bare trigger string
+        # to {"why", "before", "after"} objects ("after" absent when
+        # the retry rep raised); payloads from r18 and earlier carry
+        # the string form — consumers must branch on value type.
         "batch_third_reps": dict(sorted(batch_third_reps.items())),
         "host_calibration": host_calibration,
         "host_calibration_streaming": host_calibration_streaming,

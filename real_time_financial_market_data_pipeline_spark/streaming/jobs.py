@@ -115,22 +115,30 @@ class MedallionStreamJob:
             compact_latest_state,
         )
 
-        folded = 0
-        for layer in ("gold_5m", "gold_1h"):
+        def _fold_layer(layer: str) -> int:
             path = os.path.join(self.out_dir, layer)
-            if os.path.isdir(path):
-                bound = committed_fold_bound(path, self._gold_commit_logs(layer))
-                folded += compact_latest_state(
-                    spark,
-                    path,
-                    list(self.GOLD_KEYS),
-                    only_below=bound,
-                    # dashboard readers poll these layers: leave the
-                    # superseded dirs visible (per-key-latest resolves
-                    # them away) until the next compact's grace cleanup
-                    defer_retire=True,
-                )
-        return folded
+            if not os.path.isdir(path):
+                return 0
+            bound = committed_fold_bound(path, self._gold_commit_logs(layer))
+            return compact_latest_state(
+                spark,
+                path,
+                list(self.GOLD_KEYS),
+                only_below=bound,
+                # dashboard readers poll these layers: leave the
+                # superseded dirs visible (per-key-latest resolves
+                # them away) until the next compact's grace cleanup
+                defer_retire=True,
+            )
+
+        # the two layers' folds are independent staged-publish
+        # protocols confined to their own directories — overlap them
+        # (round-20 optimization pass, same shape as
+        # IncrementalDedupJob.compact)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            return sum(pool.map(_fold_layer, ("gold_5m", "gold_1h")))
 
     def publish_gold_bucketed(
         self, spark, layer: str = "gold_5m", table: str | None = None, n_buckets: int = 8

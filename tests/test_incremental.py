@@ -981,3 +981,57 @@ def test_stage_timer_accumulates_and_is_detachable():
     except ValueError:
         pass
     assert t.counts["boom"] == 1
+
+
+def test_run_index_writes_executes_all_and_propagates():
+    """_run_index_writes (round-20 overlap of the per-batch index
+    writes): every thunk executes exactly once whether the pooled or
+    the sequential (timer-attached / single-write) path is taken; a
+    failing write's exception propagates to the caller (failing the
+    batch for the replay, exactly like the sequential form) while the
+    pool still joins its other threads; and the timer path records one
+    segment per write name."""
+    from real_time_financial_market_data_pipeline_spark.streaming.incremental import (
+        StageTimer,
+        _run_index_writes,
+    )
+
+    # pooled path (no timer, >1 write): all run, any order
+    ran: list[str] = []
+    _run_index_writes(
+        [("w1", lambda: ran.append("w1")), ("w2", lambda: ran.append("w2"))],
+        None,
+    )
+    assert sorted(ran) == ["w1", "w2"]
+
+    # exception propagates from the pooled path; the sibling write
+    # still ran (pool joins before the error surfaces)
+    ran.clear()
+
+    def _boom() -> None:
+        raise RuntimeError("write failed")
+
+    try:
+        _run_index_writes(
+            [("ok", lambda: ran.append("ok")), ("bad", _boom)], None
+        )
+    except RuntimeError as exc:
+        assert "write failed" in str(exc)
+    else:  # pragma: no cover
+        raise AssertionError("pooled write failure did not propagate")
+    assert ran == ["ok"]
+
+    # timer attached -> sequential, one attributed segment per name
+    t = StageTimer()
+    ran.clear()
+    _run_index_writes(
+        [("s1", lambda: ran.append("s1")), ("s2", lambda: ran.append("s2"))],
+        t,
+    )
+    assert ran == ["s1", "s2"]  # declared order preserved sequentially
+    assert t.counts == {"s1": 1, "s2": 1}
+
+    # single write skips the pool regardless of timer
+    ran.clear()
+    _run_index_writes([("only", lambda: ran.append("only"))], None)
+    assert ran == ["only"]

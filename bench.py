@@ -1,6 +1,10 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
-sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+sf0.1) on local[$SPARK_GRAFT_CPUS]. The FINAL stdout line is the driver
+contract JSON (round-20 VERDICT item 1 — the driver keeps only the last
+~2000 chars of stdout and parses the last line):
+{"metric": ..., "value": total_sec, "unit": "sec", ..., "queries": {...}, "sf": ...}
+Two earlier lines carry the full payload (also persisted to
+BENCH_local_r*.json) and the diagnostic digest.
 
 Each query is timed over a full materialization (count of the result)
 so the whole plan executes; the session is warmed up once first so JVM
@@ -241,6 +245,80 @@ def summarize_calibration(samples: list[float]) -> dict | None:
         "end_s": samples[-1],
         "mean_s": round(sum(s) / n, 3),
     }
+
+
+# The driver captures only the LAST ~2000 chars of stdout (measured:
+# the r20 BENCH record's tail field is exactly 2000 chars, which cut
+# the full-payload line down to its final 221 chars and left the
+# driver's PERF comparator with zero per-query data — r20 VERDICT
+# item 1).  The FINAL printed line must therefore (a) carry the
+# per-query timings map and (b) fit the tail window whole.
+FINAL_LINE_BUDGET = 1990
+
+# Scalars the final line carries besides the driver contract, in
+# drop-first order under budget pressure (least critical first —
+# everything here also appears in the penultimate diagnostic digest
+# and in the durable BENCH_local payload, so a drop loses nothing).
+_FINAL_OPTIONAL_KEYS = [
+    "streaming_calibration_spread_ratio",
+    "calibration_spread_ratio",
+    "prev_streaming_calibration_s",
+    "streaming_calibration_ratio",
+    "streaming_calibration_s",
+    "full_payload",
+    "prev_calibration_s",
+    "calibration_s",
+    "total_normalized",
+    "calibration_ratio",
+    "n_errors",
+    "n_entries",
+    "prev_round",
+    "prev_total",
+    "comparable_total",
+]
+
+
+def build_final_line(
+    timings: dict,
+    sf_val,
+    digest: dict,
+    budget: int = FINAL_LINE_BUDGET,
+) -> str:
+    """Assemble the LAST stdout line: the driver bench contract
+    (metric/value/unit/queries/sf) plus compact cross-round scalars,
+    serialized with compact separators and guaranteed to fit `budget`.
+
+    Under budget pressure (more entries in future rounds), optional
+    scalars are dropped first (in _FINAL_OPTIONAL_KEYS order), then
+    query timings are re-rounded to 2 decimals; `queries`, `sf` and the
+    metric/value/unit trio are never dropped.  The full-precision
+    payload is always available in BENCH_local_r*.json."""
+    line_obj = {
+        "metric": "headline_queries_total",
+        "value": digest.get("total"),
+        "unit": "sec",
+        "bench_digest": True,
+        "bench_round": digest.get("bench_round"),
+    }
+    for k in reversed(_FINAL_OPTIONAL_KEYS):
+        if k in digest:
+            line_obj[k] = digest[k]
+    line_obj["queries"] = timings
+    line_obj["sf"] = sf_val
+    dump = lambda o: json.dumps(o, separators=(",", ":"))  # noqa: E731
+    line = dump(line_obj)
+    for k in _FINAL_OPTIONAL_KEYS:
+        if len(line) <= budget:
+            break
+        if k in line_obj:
+            del line_obj[k]
+            line = dump(line_obj)
+    if len(line) > budget:
+        line_obj["queries"] = {
+            n: round(t, 2) for n, t in timings.items()
+        }
+        line = dump(line_obj)
+    return line
 
 
 def is_streaming_entry(name: str) -> bool:
@@ -1460,6 +1538,12 @@ def main() -> None:
 
     sys.stdout.flush()
     print(json.dumps(digest))
+    # FINAL line (round-20 VERDICT item 1): the driver's PERF comparator
+    # reads the LAST JSON line of a ~2000-char stdout tail; it must carry
+    # the per-query timings map and fit the window whole.  The diagnostic
+    # digest above and the durable BENCH_local payload keep the fields
+    # this compact line omits.
+    print(build_final_line(timings, sf_val, digest))
     sys.stdout.flush()
 
 

@@ -456,6 +456,88 @@ def test_pick_prev_payload_skips_other_sf(tmp_path):
     )["bench_round"] == 17
 
 
+def _digest_fixture(total=169.444):
+    return {
+        "bench_digest": True,
+        "bench_round": 21,
+        "total": total,
+        "comparable_total": total,
+        "prev_total": 126.052,
+        "prev_round": 20,
+        "calibration_s": 0.825,
+        "prev_calibration_s": 0.555,
+        "calibration_ratio": 1.486,
+        "calibration_spread_ratio": 1.316,
+        "streaming_calibration_s": 1.369,
+        "prev_streaming_calibration_s": 1.173,
+        "streaming_calibration_ratio": 1.167,
+        "streaming_calibration_spread_ratio": 1.475,
+        "total_normalized": 114.027,
+        "n_entries": 44,
+        "n_errors": 0,
+        "full_payload": "BENCH_local_r21.json",
+    }
+
+
+def test_final_line_carries_driver_contract_and_fits_budget():
+    # round-20 VERDICT item 1: the driver parses the LAST JSON line of a
+    # 2000-char stdout tail; PERF_r20 extracted zero per-query data
+    # because `queries` lived only in the truncated first line.  The
+    # final line must carry metric/value/unit/queries/sf AND fit whole.
+    import json
+
+    timings = json.load(
+        open(
+            __file__.replace(
+                "tests/test_bench_digest.py", "BENCH_local_r20.json"
+            )
+        )
+    )["queries"]
+    line = bench.build_final_line(timings, 0.1, _digest_fixture())
+    assert len(line) <= bench.FINAL_LINE_BUDGET
+    obj = json.loads(line)
+    assert obj["metric"] == "headline_queries_total"
+    assert obj["value"] == 169.444 and obj["unit"] == "sec"
+    assert obj["queries"] == timings and obj["sf"] == 0.1
+    assert obj["bench_round"] == 21 and obj["bench_digest"] is True
+    # with today's 44 entries the compact form keeps every optional
+    # scalar — the comparator gets calibration + prev totals too
+    for k in bench._FINAL_OPTIONAL_KEYS:
+        assert k in obj, k
+    # final line is the last thing parsed: it must be ONE line
+    assert "\n" not in line
+
+
+def test_final_line_sheds_optional_scalars_before_touching_queries():
+    import json
+
+    # ~120 synthetic entries blow the budget; optional scalars drop
+    # (in declared order) while queries/sf/metric survive intact
+    timings = {f"entry_with_a_rather_long_name_{i:03d}": round(1.0 + i * 0.017, 3) for i in range(120)}
+    line = bench.build_final_line(timings, 0.1, _digest_fixture())
+    obj = json.loads(line)
+    assert obj["queries"] == timings or obj["queries"] == {
+        n: round(t, 2) for n, t in timings.items()
+    }
+    assert obj["sf"] == 0.1 and obj["unit"] == "sec"
+    dropped = [k for k in bench._FINAL_OPTIONAL_KEYS if k not in obj]
+    kept = [k for k in bench._FINAL_OPTIONAL_KEYS if k in obj]
+    # drop-first order respected: everything dropped precedes everything kept
+    assert bench._FINAL_OPTIONAL_KEYS[: len(dropped)] == dropped, (dropped, kept)
+
+
+def test_final_line_last_resort_rerounds_queries_to_2_decimals():
+    import json
+
+    timings = {f"very_long_query_entry_name_padding_{i:04d}": 123.456 for i in range(200)}
+    line = bench.build_final_line(timings, 0.1, _digest_fixture(), budget=1990)
+    obj = json.loads(line)
+    # every optional scalar gone, queries re-rounded, contract intact
+    assert all(k not in obj for k in bench._FINAL_OPTIONAL_KEYS)
+    assert obj["queries"]["very_long_query_entry_name_padding_0000"] == 123.46
+    assert obj["metric"] == "headline_queries_total" and obj["sf"] == 0.1
+
+
 def test_needs_batch_third_rep_trigger_rule():
     # round-18: fires only when the min-of-2 result exceeds the prior
     # canonical value by >1.25x — a burst spanning both reps; quiet on

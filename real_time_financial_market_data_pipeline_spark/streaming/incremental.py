@@ -9,10 +9,18 @@ historical answer must live on disk, as an index the per-batch work can
 equi-join against:
 
   corpus/        batch_id=N dirs of kept docs (the growing corpus)
-  index_bands/   batch_id=N dirs of (id, band, bhash) — the minhash LSH
-                 candidate key index (operators.dedup.banded_signatures)
-  index_sigs/    batch_id=N dirs of (id, sig) — full signatures for
-                 index-only Jaccard estimation (no text re-read)
+  index_bands/   batch_id=N dirs of (id, band, bhash, sig) — the minhash
+                 LSH candidate key index (operators.dedup.
+                 banded_signatures); `sig` is the full signature for
+                 index-only Jaccard estimation (no text re-read),
+                 non-null ONLY on a doc's band-0 row so it is stored
+                 once per doc (sigs_layout 2, round-21: one write
+                 action + one directory listing/read fewer per batch
+                 than the separate table)
+  index_sigs/    LEGACY (sigs_layout 1, corpora built before round 21):
+                 batch_id=N dirs of (id, sig) — such corpora keep this
+                 separate table on both the write and read paths for
+                 their whole lifetime; no data migration
   index_spanfps/ (span_index=True) batch_id=N dirs of per-fingerprint
                  partial span stats — common_spans/excision against the
                  growing corpus without re-fingerprinting history
@@ -525,12 +533,25 @@ class IncrementalDedupJob:
             ),
             "monotone_ids": self.monotone_ids,
         }
+        # storage-layout version (round-21 optimization, guide §2.4/§6):
+        # layout 2 carries the full signature ON the index_bands rows
+        # (non-null only on each doc's band-0 row, so it is stored once
+        # per doc) instead of a separate index_sigs table — one fewer
+        # write action, one fewer directory listing + read construction
+        # per micro-batch, one fewer table to fold at compaction.  The
+        # layout is lifetime-locked per corpus like every schema-shaping
+        # setting, but NOT diff-checked: the job ADAPTS to the stored
+        # layout (corpora built before the field existed keep layout 1 —
+        # the separate index_sigs table — on both write and read paths),
+        # so existing corpora need no migration and never error.
+        self._sigs_in_bands = True
         marker = os.path.join(self.out_dir, _CORPUS_SPEC_MARKER)
         if os.path.exists(marker):
             import json
 
             with open(marker) as fh:
                 prior = json.load(fh)
+            self._sigs_in_bands = prior.get("sigs_layout", 1) >= 2
             if self.near_dup and prior.get("minhash_version", 1) != _MINHASH_VERSION:
                 raise ValueError(
                     f"the corpus at {self.out_dir} stores minhash "
@@ -580,6 +601,7 @@ class IncrementalDedupJob:
                         **spec,
                         "decontam_mode": self.decontam_mode,
                         "decontam_k": self.decontam_k,
+                        "sigs_layout": 2,
                     },
                     fh,
                 )
@@ -602,6 +624,22 @@ class IncrementalDedupJob:
             session.conf.set(
                 "spark.sql.shuffle.partitions", str(self.shuffle_partitions)
             )
+
+        # benchmark-index frame built ONCE per stream run (round-21,
+        # guide §1.2 "don't rebuild what is invariant"): the micro-batch
+        # execution session is cloned once per run and stable across
+        # batches, and the benchmark fp index is lifetime-locked for the
+        # corpus (decontam_k is validated against its _span_spec at
+        # start), so re-constructing the read per batch only re-paid
+        # file listing + py4j plan construction.  Identity-compared and
+        # strongly referenced so a restarted run (fresh clone) rebuilds.
+        _bench_fps_cache: dict = {"session": None, "df": None}
+
+        def _bench_fps(spark) -> DataFrame:
+            if _bench_fps_cache["session"] is not spark:
+                _bench_fps_cache["session"] = spark
+                _bench_fps_cache["df"] = spark.read.parquet(self.benchmark_fp_dir)
+            return _bench_fps_cache["df"]
 
         def process(batch_df: DataFrame, batch_id: int) -> None:
             if batch_df.isEmpty():
@@ -717,7 +755,7 @@ class IncrementalDedupJob:
                     excise_contaminated_spans_from_index,
                 )
 
-                bench_fps = spark.read.parquet(self.benchmark_fp_dir)
+                bench_fps = _bench_fps(spark)
                 rewritten = excise_contaminated_spans_from_index(
                     batch_df.select("doc_id", "text"), bench_fps, k=self.decontam_k
                 ).select(
@@ -790,7 +828,7 @@ class IncrementalDedupJob:
             if self.benchmark_fp_dir is not None and self.decontam_mode == "drop":
                 from real_time_financial_market_data_pipeline_spark.operators.dedup import span_fingerprints
 
-                bench_fps = spark.read.parquet(self.benchmark_fp_dir)
+                bench_fps = _bench_fps(spark)
                 hit = (
                     span_fingerprints(
                         batch.select("doc_id", "text"), k=self.decontam_k
@@ -844,7 +882,21 @@ class IncrementalDedupJob:
 
                 # 4. cross-corpus near-dup against the persistent index
                 prior_bands = self._read_prior(spark, "index_bands", batch_id)
-                prior_sigs = self._read_prior(spark, "index_sigs", batch_id)
+                if self._sigs_in_bands:
+                    # sigs_layout 2: the signature rides the band-0 rows
+                    # of the bands table — deriving the sigs view from
+                    # the SAME read skips a directory listing + read
+                    # construction per batch (the filter prunes to the
+                    # one non-null sig row per doc at the parquet scan)
+                    prior_sigs = (
+                        prior_bands.filter(F.col("sig").isNotNull()).select(
+                            "id", "sig"
+                        )
+                        if prior_bands is not None
+                        else None
+                    )
+                else:
+                    prior_sigs = self._read_prior(spark, "index_sigs", batch_id)
                 if prior_bands is not None and prior_sigs is not None:
                     cand = (
                         bands_df.select("id", "band", "bhash")
@@ -962,25 +1014,49 @@ class IncrementalDedupJob:
             if self.near_dup:
                 kept_ids = kept.select(F.col("doc_id").alias("id"))
                 kept_bands = bands_df.join(kept_ids, "id", "leftsemi")
-                index_writes.append((
-                    "bands_sigs_write",
-                    lambda: kept_bands.select("id", "band", "bhash").write.mode(
-                        "overwrite"
-                    ).parquet(
-                        os.path.join(
-                            self.out_dir, "index_bands", f"batch_id={batch_id}"
-                        )
-                    ),
-                ))
-                index_writes.append((
-                    "sigs_write",
-                    lambda: kept_bands.select("id", "sig")
-                    .dropDuplicates(["id"])
-                    .write.mode("overwrite")
-                    .parquet(
-                        os.path.join(self.out_dir, "index_sigs", f"batch_id={batch_id}")
-                    ),
-                ))
+                if self._sigs_in_bands:
+                    # sigs_layout 2 (round-21): ONE write carries bands
+                    # and signatures; sig is masked to the band-0 row so
+                    # each doc's signature is stored exactly once (same
+                    # bytes as the legacy separate table, one fewer
+                    # action + one fewer dropDuplicates shuffle per
+                    # batch; banded_signatures emits every band index
+                    # for every indexable doc, so band 0 is total)
+                    index_writes.append((
+                        "bands_sigs_write",
+                        lambda: kept_bands.select(
+                            "id",
+                            "band",
+                            "bhash",
+                            F.when(F.col("band") == 0, F.col("sig")).alias(
+                                "sig"
+                            ),
+                        ).write.mode("overwrite").parquet(
+                            os.path.join(
+                                self.out_dir, "index_bands", f"batch_id={batch_id}"
+                            )
+                        ),
+                    ))
+                else:
+                    index_writes.append((
+                        "bands_sigs_write",
+                        lambda: kept_bands.select("id", "band", "bhash").write.mode(
+                            "overwrite"
+                        ).parquet(
+                            os.path.join(
+                                self.out_dir, "index_bands", f"batch_id={batch_id}"
+                            )
+                        ),
+                    ))
+                    index_writes.append((
+                        "sigs_write",
+                        lambda: kept_bands.select("id", "sig")
+                        .dropDuplicates(["id"])
+                        .write.mode("overwrite")
+                        .parquet(
+                            os.path.join(self.out_dir, "index_sigs", f"batch_id={batch_id}")
+                        ),
+                    ))
             _run_index_writes(index_writes, self.stage_timer)
             if self.span_index:
                 # record the window size the index was built with —

@@ -71,10 +71,16 @@ def test_incremental_dedup_exact_and_near(spark, tmp_path):
     assert kept == [1, 3, 6]
 
     # the index holds bands+sigs for exactly the kept (indexable) docs
+    # (sigs_layout 2: the signature rides the band-0 rows of the bands
+    # table; no separate index_sigs dir exists on a fresh corpus)
     bands = spark.read.parquet(os.path.join(out, "index_bands"))
     assert set(r["id"] for r in bands.select("id").distinct().collect()) == {1, 3, 6}
-    sigs = spark.read.parquet(os.path.join(out, "index_sigs"))
+    assert not os.path.isdir(os.path.join(out, "index_sigs"))
+    sigs = bands.filter(F.col("sig").isNotNull()).select("id", "sig")
     assert sigs.groupBy("id").count().filter(F.col("count") > 1).count() == 0
+    assert set(r["id"] for r in sigs.select("id").collect()) == {1, 3, 6}
+    # sig is masked to exactly the band-0 rows (stored once per doc)
+    assert bands.filter(F.col("sig").isNotNull() & (F.col("band") != 0)).count() == 0
 
 
 def test_incremental_dedup_replay_does_not_lose_or_duplicate(spark, tmp_path):
@@ -130,7 +136,7 @@ def test_incremental_compact_preserves_corpus_and_index(spark, tmp_path):
     before = sorted(tuple(r) for r in corpus_view(spark, out).select("doc_id", "fingerprint").collect())
     job = IncrementalDedupJob(out_dir=out)
     assert job.compact(spark) > 0
-    for table in ("corpus", "index_bands", "index_sigs"):
+    for table in ("corpus", "index_bands"):  # sigs ride index_bands (layout 2)
         dirs = [
             d
             for d in os.listdir(os.path.join(out, table))
@@ -205,7 +211,7 @@ def test_compact_with_uncommitted_tail_survives_replay(spark, tmp_path):
 
     # with the commit log complete, a follow-up compact folds fully
     assert job.compact(spark) > 0
-    for table in ("corpus", "index_bands", "index_sigs"):
+    for table in ("corpus", "index_bands"):  # sigs ride index_bands (layout 2)
         dirs = [
             d
             for d in os.listdir(os.path.join(out, table))
@@ -637,7 +643,7 @@ def test_auto_compaction_cadence(spark, tmp_path):
 
     kept = sorted(r["doc_id"] for r in corpus_view(spark, out).collect())
     assert kept == [1, 2, 3, 5]
-    for table in ("corpus", "index_bands", "index_sigs"):
+    for table in ("corpus", "index_bands"):  # sigs ride index_bands (layout 2)
         dirs = [
             d
             for d in os.listdir(os.path.join(out, table))
@@ -1035,3 +1041,43 @@ def test_run_index_writes_executes_all_and_propagates():
     ran.clear()
     _run_index_writes([("only", lambda: ran.append("only"))], None)
     assert ran == ["only"]
+
+
+def test_legacy_sigs_layout_corpus_keeps_separate_table(spark, tmp_path):
+    """Corpora built before sigs_layout existed (spec file WITHOUT the
+    field) keep the separate index_sigs table on BOTH the write and the
+    read path for their whole lifetime — no data migration — and
+    cross-corpus near-dup still catches against that legacy index.  The
+    same feed drained into a fresh (layout 2) corpus must keep exactly
+    the same docs via the derived sigs path."""
+    feed = str(tmp_path / "feed")
+    out_new = str(tmp_path / "out_new")
+    out_legacy = str(tmp_path / "out_legacy")
+    _write_doc_feed(
+        feed,
+        [
+            [{"doc_id": 1, "text": LONG_A}, {"doc_id": 2, "text": LONG_B}],
+            # doc 3 is a cross-batch NEAR dup of doc 1: catching it
+            # exercises the prior_bands + prior_sigs read path
+            [{"doc_id": 3, "text": LONG_A2}, {"doc_id": 4, "text": "another tiny note"}],
+        ],
+    )
+    # fresh corpus: layout 2 — derived sigs path catches the near dup
+    _drain(spark, feed, out_new)
+    assert sorted(r["doc_id"] for r in corpus_view(spark, out_new).collect()) == [1, 2, 4]
+    spec = json.load(open(os.path.join(out_new, "_corpus_spec.json")))
+    assert spec.pop("sigs_layout") == 2
+
+    # legacy corpus: pre-create the spec file WITHOUT sigs_layout (what a
+    # pre-round-21 build wrote); the job must adapt to layout 1 from the
+    # first batch — no schema-heterogeneous bands dirs, no error
+    os.makedirs(out_legacy)
+    with open(os.path.join(out_legacy, "_corpus_spec.json"), "w") as fh:
+        json.dump(spec, fh)
+    _drain(spark, feed, out_legacy)
+    assert sorted(r["doc_id"] for r in corpus_view(spark, out_legacy).collect()) == [1, 2, 4]
+    bands = spark.read.parquet(os.path.join(out_legacy, "index_bands"))
+    assert "sig" not in bands.columns
+    sigs = spark.read.parquet(os.path.join(out_legacy, "index_sigs"))
+    assert sigs.groupBy("id").count().filter(F.col("count") > 1).count() == 0
+    assert set(r["id"] for r in sigs.select("id").collect()) == {1, 2, 4}

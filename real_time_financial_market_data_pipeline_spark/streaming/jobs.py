@@ -614,17 +614,42 @@ class QuoteEnrichJob:
                         )
                 # one materialization feeds the empty-check and both
                 # writes — without the persist, each action re-executes
-                # the stateful join plan
+                # the stateful join plan.  count() (not isEmpty) so the
+                # materialization is provably COMPLETE before the pool:
+                # the round-21 probe (scripts/probe_quote_batch.py)
+                # measured the join materialization at 71% of batch time
+                # with the writes reading the populated cache, so the
+                # two layer writes are independent cache readers over
+                # distinct dirs and overlap on a small driver pool
+                # (guide §2.6, the same shape as the incremental job's
+                # pooled index writes).  Crash contract unchanged: both
+                # writes are idempotent batch_id=N overwrites, the
+                # manifest lands only after BOTH succeed, and the
+                # checkpoint commit only after process() returns — a
+                # crash mid-pool leaves partial dirs a replay overwrites.
                 batch_df.persist()
                 try:
-                    if batch_df.isEmpty():
+                    if batch_df.count() == 0:
                         return
-                    batch_df.write.mode("overwrite").parquet(
-                        os.path.join(enriched_dir, f"batch_id={batch_id}")
-                    )
-                    best_quote_per_trade(batch_df).write.mode("overwrite").parquet(
-                        os.path.join(best_dir, f"batch_id={batch_id}")
-                    )
+
+                    def _write_enriched() -> None:
+                        batch_df.write.mode("overwrite").parquet(
+                            os.path.join(enriched_dir, f"batch_id={batch_id}")
+                        )
+
+                    def _write_best() -> None:
+                        best_quote_per_trade(batch_df).write.mode(
+                            "overwrite"
+                        ).parquet(os.path.join(best_dir, f"batch_id={batch_id}"))
+
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(max_workers=2) as pool:
+                        for fut in [
+                            pool.submit(_write_enriched),
+                            pool.submit(_write_best),
+                        ]:
+                            fut.result()
                     # same manifest contract as parquet_sink.write_batch
                     # (best_quote_view routes reads through it)
                     _manifest_add(best_dir, f"batch_id={batch_id}")

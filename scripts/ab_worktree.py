@@ -118,6 +118,11 @@ def child(root: str, group: str, out_path: str) -> None:
         timings = {name: round(best, 3)}
     else:
         timings = getattr(bench, f"bench_{group}")(spark, sf_dir)
+        if not isinstance(timings, dict):
+            # tuple-returning bench fns (quote_enrich, streaming_medallion,
+            # incremental single-run forms) lead with the drain seconds —
+            # adapt to the {metric: seconds} contract (round-21)
+            timings = {group: round(float(timings[0]), 3)}
     with open(out_path, "a", encoding="utf-8") as fh:
         fh.write(json.dumps({"root": root, **timings}) + "\n")
     spark.stop()

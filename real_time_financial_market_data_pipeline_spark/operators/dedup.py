@@ -733,7 +733,18 @@ def repeated_span_pairs(
     from pyspark.sql import Window
 
     min_span = min_span_tokens if min_span_tokens is not None else k
-    fps = span_fingerprints(df, id_col=id_col, text_col=text_col, k=k)
+    # The window-fingerprint subtree is referenced by BOTH sides of the
+    # pair self-join (and by the frequency cap): Catalyst does not CSE
+    # across joins, so without materialization the tokenize+posexplode
+    # pass re-executes once per instance (~3x end-to-end, measured —
+    # scripts/probe_span_pairs.py, round 21).  persist() shares ONE
+    # computation across all instances — the same within-query pattern
+    # as the minhash banded tables (eviction left to LRU; rows are
+    # (id, pos, fp), narrow).  Salting the pair join was profiled and
+    # REJECTED the same round: under the max_fp_docs cap the max
+    # per-fingerprint doc frequency at bench scale is 4 (p999 = 3) —
+    # there is no hot key to split.
+    fps = span_fingerprints(df, id_col=id_col, text_col=text_col, k=k).persist()
     if max_fp_docs is not None:
         common = (
             fps.groupBy("fp")

@@ -1235,13 +1235,29 @@ def main() -> None:
     from real_time_financial_market_data_pipeline_spark.operators.dedup import common_spans, repeated_span_pairs
     from real_time_financial_market_data_pipeline_spark.tables import load_table as _lt
 
+    def _span_cold(fn):
+        # MEASUREMENT FIX (round 21, disclosed in OPTIMIZATION_r21.md):
+        # repeated_span_pairs now persists its fingerprint frame
+        # internally; left to LRU, that cache would (a) make rep 2 of
+        # its own min-of-2 a cache read and (b) leak into the LATER
+        # span entries whose plans contain the same fingerprint subtree
+        # (CacheManager substitution), breaking the family's mutual
+        # independence.  Clearing at each rep start keeps every span
+        # rep a cold operator measurement — the same basis every
+        # pre-round-21 number was taken on (those operators cached
+        # nothing, so their reps were cold by construction).
+        spark.catalog.clearCache()
+        return fn()
+
     _guard("span_dedup_pairs", lambda: _min_of_2(
-        lambda: repeated_span_pairs(
+        lambda: _span_cold(lambda: repeated_span_pairs(
             _lt(spark, sf_dir, "documents"), k=8, max_fp_docs=50
-        ).count(), name="span_dedup_pairs"
+        ).count()), name="span_dedup_pairs"
     ))
     _guard("span_common", lambda: _min_of_2(
-        lambda: common_spans(_lt(spark, sf_dir, "documents"), k=8, min_docs=2).count(),
+        lambda: _span_cold(lambda: common_spans(
+            _lt(spark, sf_dir, "documents"), k=8, min_docs=2
+        ).count()),
         name="span_common",
     ))
     # round 8: merged maximal blocks (same aggregate-only plan + one
@@ -1252,23 +1268,23 @@ def main() -> None:
     )
 
     _guard("span_common_merged", lambda: _min_of_2(
-        lambda: merged_common_spans(
+        lambda: _span_cold(lambda: merged_common_spans(
             _lt(spark, sf_dir, "documents"), k=8, min_docs=2
-        ).count(), name="span_common_merged"
+        ).count()), name="span_common_merged"
     ))
     _guard("span_excise_split", lambda: _min_of_2(
-        lambda: split_excise_common_spans(
+        lambda: _span_cold(lambda: split_excise_common_spans(
             _lt(spark, sf_dir, "documents").select("doc_id", "text"),
             common_spans(_lt(spark, sf_dir, "documents"), k=8, min_docs=2),
             k=8,
-        ).count(), name="span_excise_split"
+        ).count()), name="span_excise_split"
     ))
     from real_time_financial_market_data_pipeline_spark.operators.dedup import excise_internal_repeats
 
     _guard("span_internal_excise", lambda: _min_of_2(
-        lambda: excise_internal_repeats(
+        lambda: _span_cold(lambda: excise_internal_repeats(
             _lt(spark, sf_dir, "documents").select("doc_id", "text"), k=8
-        ).agg({"excised_tokens": "sum"}).collect(), name="span_internal_excise"
+        ).agg({"excised_tokens": "sum"}).collect()), name="span_internal_excise"
     ))
 
     # per-strategy kNN split (round-2 VERDICT task 7): the knn_bruteforce
